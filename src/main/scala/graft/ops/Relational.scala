@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Kit
+import graft.sources.Tables
+
+/** Relational core (SURVEY §2.2–§2.6): every projection/filter/join/agg/
+  * set-op the reference performs through embedded BigQuery SQL or pandas,
+  * re-expressed as declarative DataFrame plans so Catalyst owns pushdown,
+  * join selection (broadcast vs shuffle), and partial aggregation.
+  *
+  * Scale stance: all queries are shuffle-minimal — aggregates rely on
+  * map-side partial aggregation, small dimensions are broadcast, and no
+  * query collects to the driver or sorts a large intermediate.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Flagship (SURVEY §7 slice; reference `datasources.py:627-647`):
+    * grouped COUNT(DISTINCT) CTE, left join USING key, null-aware filter —
+    * "orders with fewer than 2 distinct suppliers or none". At scale the
+    * aggregate side is pre-shrunk before the join (group first, join
+    * after), so the shuffle carries one row per key, not per lineitem.
+    */
+  val flagshipMissingStats: QueryDef = QueryDef.sql(
+    "flagship_missing_stats",
+    """SELECT o_orderkey, o_orderdate, o_orderstatus, cntcheck
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS cntcheck
+      |  FROM lineitem GROUP BY 1
+      |) s ON o_orderkey = s.l_orderkey
+      |WHERE cntcheck < 2 OR cntcheck IS NULL""") { (s, dir) =>
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val cnts = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("cntcheck"))
+    orders
+      .join(cnts, orders("o_orderkey") === cnts("l_orderkey"), "left")
+      .where($"cntcheck" < 2 || $"cntcheck".isNull)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus", $"cntcheck")
+  }
+
+  /** TPC-H-Q1-shaped pricing summary — the canonical wide aggregate. All
+    * money math in DECIMAL(…,2) (lossless on the 2-dp fixtures, associative
+    * → order-independent across 1000 executors), surfaced as double.
+    */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
+    import s.implicits._
+    val m12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+    t(s, dir, "lineitem")
+      .where($"l_shipdate" <= lit("2000-12-01 00:00:00").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast(DoubleType).as("sum_qty"),
+        Kit.moneySum($"l_extendedprice").as("sum_base_price"),
+        sum(m12($"l_extendedprice") * m12(lit(1) - $"l_discount"))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(m12($"l_extendedprice") * m12(lit(1) - $"l_discount") *
+            (lit(1) + $"l_tax").cast(DecimalType(8, 2)))
+          .cast(DoubleType).as("sum_charge"),
+        (sum($"l_quantity").cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(Kit.money($"l_extendedprice")).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        (sum(Kit.money($"l_discount")).cast(DoubleType) / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** S2/P1/P2 — projected + filtered scan (reference `datasources.py:171-174`
+    * `SELECT ZIP_Code FROM US_Zips_Counties WHERE State=…`). Both the
+    * predicate and the 3-column projection reach the parquet scan
+    * (PushedFilters / ReadSchema), so at 100 TB only the needed column
+    * chunks are read. */
+  val scanFilterProject: QueryDef = QueryDef.sql(
+    "scan_filter_project",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING'""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  /** P3 — IN-list predicate (`WHERE YEAR IN {...}`, `datasources.py:548`). */
+  val filterInList: QueryDef = QueryDef.sql(
+    "filter_in_list",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders")
+      .where($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_orderkey", $"o_orderpriority")
+  }
+
+  /** P4/F15 — date-part predicate (`EXTRACT(MONTH FROM Date) = m`,
+    * `datasources.py:159`). */
+  val filterDatePart: QueryDef = QueryDef.sql(
+    "filter_date_part",
+    """SELECT o_orderkey, o_orderdate FROM orders
+      |WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders")
+      .where(month($"o_orderdate") === 3 && year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_orderdate")
+  }
+
+  /** A1 — scalar MAX watermark (`SELECT MAX(Date) AS dt`,
+    * `datasources.py:140-143`). Partial+final agg; one row out. */
+  val watermarkMaxDate: QueryDef = QueryDef.sql(
+    "watermark_max_date",
+    """SELECT MAX(o_orderdate) AS last_pull,
+      |  EXTRACT(YEAR FROM MAX(o_orderdate)) AS last_year,
+      |  EXTRACT(MONTH FROM MAX(o_orderdate)) AS last_month
+      |FROM orders""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders").agg(
+      max($"o_orderdate").as("last_pull"),
+      year(max($"o_orderdate")).cast(LongType).as("last_year"),
+      month(max($"o_orderdate")).cast(LongType).as("last_month"))
+  }
+
+  /** A2/F18 — filtered COUNT(*) + budget arithmetic (the 1M-request gate,
+    * `datasources.py:159-167`: `1000000 - cnt - len(zips)`). */
+  val budgetCheck: QueryDef = QueryDef.sql(
+    "budget_check",
+    """SELECT COUNT(*) AS pulls_this_month,
+      |  1000000 - COUNT(*) - 42 AS budget_left
+      |FROM orders
+      |WHERE EXTRACT(MONTH FROM o_orderdate) = 6""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders")
+      .where(month($"o_orderdate") === 6)
+      .agg(count(lit(1)).as("pulls_this_month"),
+        (lit(1000000L) - count(lit(1)) - lit(42L)).as("budget_left"))
+  }
+
+  /** A3 — grouped COUNT(DISTINCT) standalone (`datasources.py:628-634`).
+    * Spark plans this as expand + two-phase hash agg; at 100 TB swap in
+    * approx_count_distinct when exactness isn't contractual. */
+  val groupedCountDistinct: QueryDef = QueryDef.sql(
+    "grouped_count_distinct",
+    """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    flagshipMissingStats, q1PricingSummary, scanFilterProject,
+    filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
+    groupedCountDistinct)
+}

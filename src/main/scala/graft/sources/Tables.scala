@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's warehouse-table scans (S1/S2 in SURVEY §2.1;
+  * reference: `functions/utils/datasources.py:496-498,650-655` — `SELECT *
+  * FROM <table>` against BigQuery). Here a "table" is a parquet directory;
+  * Catalyst pushes filters/projections into the vectorized parquet reader,
+  * so callers should express predicates on the returned DataFrame rather
+  * than materializing it.
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed table paths
+  * (e.g. `orders` date-partitioned for partition pruning); the API shape —
+  * lazily-planned scans keyed by logical name — stays identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Lazy scan of one fixture table. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` works
+    * against the same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
