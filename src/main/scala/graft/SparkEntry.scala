@@ -11,7 +11,8 @@ import graft.ops._
 object SparkEntry {
 
   /** Every operator the engine exposes, in registration order. */
-  def defs: Seq[QueryDef] = Relational.all
+  def defs: Seq[QueryDef] =
+    Relational.all ++ JoinsSetOps.all ++ Shaping.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Kit
+import graft.sources.Tables
+
+/** Joins and set operations (SURVEY §2.3, §2.6): the reference's left-join
+  * missing-rows detection (J1), its "new rows only" anti-join intent and
+  * literal symmetric-difference behavior (J2/U3, `datasources.py:547-552`),
+  * the team×year fan-out cross product (J3), union-all accumulation (U1)
+  * and dedup (U2).
+  *
+  * Scale notes: dimension sides (customer vs orders, region) are broadcast
+  * candidates — Catalyst auto-broadcasts under the 10 MB default and AQE
+  * converts to broadcast at runtime when a side turns out small; the
+  * fact-fact joins (orders↔lineitem) shuffle on the join key once, with
+  * partial aggregation applied before the join where possible.
+  */
+object JoinsSetOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** J1 + F19 — left outer join with aggregate + sentinel fill: per-customer
+    * order rollup, 'unavail' when the customer never ordered (the
+    * reference's coalesce-to-sentinel pattern, `datasources.py:717-720`). */
+  val leftJoinAgg: QueryDef = QueryDef.sql(
+    "left_join_agg",
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |  COALESCE(MAX(o_orderstatus), 'unavail') AS last_status
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name""") { (s, dir) =>
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        Kit.moneySum($"o_totalprice").as("total_spend"),
+        Kit.unavail(max($"o_orderstatus")).as("last_status"))
+  }
+
+  /** J2 (intended semantics) — "new rows only" anti-join: orders that have
+    * no lineitems yet. left_anti keeps the build side small and never
+    * materializes the non-matching rows. */
+  val antiJoinNewRows: QueryDef = QueryDef.sql(
+    "anti_join_new_rows",
+    """SELECT o_orderkey, o_orderdate FROM orders o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""") { (s, dir) =>
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").select($"l_orderkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select($"o_orderkey", $"o_orderdate")
+  }
+
+  /** Semi join — suppliers that shipped at least one line (EXISTS). */
+  val semiJoinActive: QueryDef = QueryDef.sql(
+    "semi_join_active",
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)""") { (s, dir) =>
+    import s.implicits._
+    val sup = t(s, dir, "supplier")
+    val l = t(s, dir, "lineitem").select($"l_suppkey")
+    sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_semi")
+      .select($"s_suppkey", $"s_name")
+  }
+
+  /** U1 + U2 — union-all accumulation then distinct (the reference's
+    * per-batch `pd.concat` + `drop_duplicates`, `datasources.py:276,543`):
+    * every nation that has a customer or a supplier. */
+  val unionDistinct: QueryDef = QueryDef.sql(
+    "union_distinct",
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier) u""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+      .unionByName(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      .distinct()
+  }
+
+  /** U3 — the reference's literal `drop_duplicates(keep=False)` is a
+    * symmetric difference (`datasources.py:547-552`, a documented latent
+    * bug — SURVEY §4.1): keys on exactly one side. Here: orderkeys present
+    * in orders but not lineitem, or vice versa. */
+  val symmetricDifference: QueryDef = QueryDef.sql(
+    "symmetric_difference",
+    """SELECT orderkey FROM (
+      |  SELECT orderkey FROM (
+      |    SELECT DISTINCT o_orderkey AS orderkey FROM orders
+      |    EXCEPT
+      |    SELECT DISTINCT l_orderkey AS orderkey FROM lineitem)
+      |  UNION ALL
+      |  SELECT orderkey FROM (
+      |    SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+      |    EXCEPT
+      |    SELECT DISTINCT o_orderkey AS orderkey FROM orders)) d""") { (s, dir) =>
+    import s.implicits._
+    val a = t(s, dir, "orders").select($"o_orderkey".as("orderkey")).distinct()
+    val b = t(s, dir, "lineitem").select($"l_orderkey".as("orderkey")).distinct()
+    a.except(b).unionByName(b.except(a))
+  }
+
+  /** U2 — DISTINCT over a projection (`drop_duplicates()`,
+    * `datasources.py:543`). */
+  val dedupDistinct: QueryDef = QueryDef.sql(
+    "dedup_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "lineitem").select($"l_returnflag", $"l_linestatus").distinct()
+  }
+
+  /** J3 — small-side cross product: region × distinct order years (the
+    * reference's team×year fetch fan-out, `datasources.py:514-516`). Both
+    * sides are tiny after dedup, so the cross join is broadcast-safe. */
+  val crossJoinFanout: QueryDef = QueryDef.sql(
+    "cross_join_fanout",
+    """SELECT r_name, yr FROM region CROSS JOIN (
+      |  SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS yr FROM orders) y""") { (s, dir) =>
+    import s.implicits._
+    val years = t(s, dir, "orders")
+      .select(year($"o_orderdate").cast(LongType).as("yr")).distinct()
+    t(s, dir, "region").select($"r_name").crossJoin(years)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    leftJoinAgg, antiJoinNewRows, semiJoinActive, unionDistinct,
+    symmetricDifference, dedupDistinct, crossJoinFanout)
+}

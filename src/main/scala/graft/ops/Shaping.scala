@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Window functions, row shaping, and the scalar kit in anger (SURVEY §2.5,
+  * §2.7): top-k per group, running aggregates, string/date/JSON scalar
+  * pipelines, pivot/unpivot (the reference's stat-name→column routing F20
+  * and home/away row emission S9), and cast/rename (F1/F2).
+  *
+  * Scale notes: windows partition by a key (never a global window without
+  * PARTITION BY — that would single-task); all scalar work is
+  * `functions._` compositions that stay inside whole-stage codegen.
+  */
+object Shaping {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Top-k per group (extension of the reference's Python `max` top-1,
+    * `datasources.py:503`): 3 highest-value orders per customer.
+    * Deterministic tiebreak on o_orderkey. */
+  val topkPerGroup: QueryDef = QueryDef.sql(
+    "topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) r
+      |WHERE rk <= 3""") { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+  }
+
+  /** Running sum + lag per supplier over a total order (shipdate, orderkey,
+    * linenumber). Quantities are integer-valued doubles → the running sum
+    * is exact regardless of partial-sum order. */
+  val windowRunningSum: QueryDef = QueryDef.sql(
+    "window_running_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+      |  LAG(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      |FROM lineitem""") { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    t(s, dir, "lineitem").select(
+      $"l_suppkey", $"l_orderkey", $"l_linenumber",
+      sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_qty"),
+      lag($"l_quantity", 1).over(w).as("prev_qty"))
+  }
+
+  /** String kit (F3–F9): lower, regex group extract (Brand#N → N), split
+    * head, concat_ws, translate, length — the reference's scrape-cleaning
+    * pipeline (`datasources.py:341,433,534,713,725`). */
+  val stringKit: QueryDef = QueryDef.sql(
+    "string_kit",
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+      |  split_part(p_name, ' ', 1) AS name_head,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  translate(p_name, 'aeiou', '') AS name_novowels,
+      |  length(p_name) AS name_len,
+      |  trim(concat(' ', p_type, ' ')) AS type_trim
+      |FROM part""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "part").select(
+      $"p_partkey",
+      lower($"p_name").as("name_lower"),
+      regexp_extract($"p_brand", "Brand#(\\d+)", 1).as("brand_num"),
+      split($"p_name", " ").getItem(0).as("name_head"),
+      concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+      translate($"p_name", "aeiou", "").as("name_novowels"),
+      length($"p_name").cast(LongType).as("name_len"),
+      trim(concat(lit(" "), $"p_type", lit(" "))).as("type_trim"))
+  }
+
+  /** Date kit (F14–F17): truncation, parts, arithmetic, day-of-week.
+    * Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday — the
+    * oracle encodes the +1 shift. */
+  val dateKit: QueryDef = QueryDef.sql(
+    "date_kit",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |  EXTRACT(MONTH FROM o_orderdate) AS mon,
+      |  EXTRACT(DAY FROM o_orderdate) AS dom,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS days_since_95,
+      |  dayofweek(o_orderdate) + 1 AS dow
+      |FROM orders""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders").select(
+      $"o_orderkey",
+      $"o_orderdate".cast(DateType).as("order_date"),
+      year($"o_orderdate").cast(LongType).as("yr"),
+      month($"o_orderdate").cast(LongType).as("mon"),
+      dayofmonth($"o_orderdate").cast(LongType).as("dom"),
+      date_trunc("month", $"o_orderdate").as("month_start"),
+      date_add($"o_orderdate".cast(DateType), 30).as("due_date"),
+      datediff($"o_orderdate".cast(DateType), lit("1995-01-01").cast(DateType))
+        .cast(LongType).as("days_since_95"),
+      dayofweek($"o_orderdate").cast(LongType).as("dow"))
+  }
+
+  /** F11/F12 — JSON document parse + path extract over the events `props`
+    * column, aggregated per event type. */
+  val jsonPropsExtract: QueryDef = QueryDef.sql(
+    "json_props_extract",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+  }
+
+  /** F20 — pivot: the reference's stat-name→column routing (`mapfields`,
+    * `datasources.py:737-752`) done as a relational pivot with a FIXED
+    * value list (required for a deterministic schema — and at scale it
+    * avoids the extra pass that value-discovery would need). */
+  val pivotEventCounts: QueryDef = QueryDef.sql(
+    "pivot_event_counts",
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+  }
+
+  /** S9-shaped unpivot — one wide row → (measure, value) rows, the
+    * home/away stat emission done with a generator (`stack`), which
+    * streams inside codegen instead of a union of rescans. The oracle is
+    * the equivalent UNION ALL. */
+  val unpivotMeasures: QueryDef = QueryDef.sql(
+    "unpivot_measures",
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'tax' AS measure, l_tax AS val FROM lineitem""") { (s, dir) =>
+    t(s, dir, "lineitem").selectExpr(
+      "l_orderkey", "l_linenumber",
+      "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, val)")
+  }
+
+  /** F1/F2 — cast + bulk rename (`astype` + `mapfields`,
+    * `datasources.py:274-275,737-752`). Money→string goes through
+    * DECIMAL(18,2) so both engines print identical text. */
+  val castRename: QueryDef = QueryDef.sql(
+    "cast_rename",
+    """SELECT l_orderkey AS order_id,
+      |  CAST(l_quantity AS BIGINT) AS qty_int,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+      |  CAST(l_shipdate AS DATE) AS ship_date,
+      |  concat(l_returnflag, '/', l_linestatus) AS flag_status
+      |FROM lineitem""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "lineitem").select(
+      $"l_orderkey".as("order_id"),
+      // quantities are integral; floor→long avoids the round-vs-truncate
+      // divergence between engines on true fractions
+      floor($"l_quantity").cast(LongType).as("qty_int"),
+      $"l_extendedprice".cast(DecimalType(18, 2)).cast(StringType).as("price_str"),
+      $"l_shipdate".cast(DateType).as("ship_date"),
+      concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag_status"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    topkPerGroup, windowRunningSum, stringKit, dateKit, jsonPropsExtract,
+    pivotEventCounts, unpivotMeasures, castRename)
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -20,10 +21,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Lazy scan of one fixture table. */
+  /** Lazy scan of one fixture table.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
+    * raw longs (legacy conf) and convert to a microsecond TimestampType —
+    * integer `div` so the 1.7e18-scale nanos never round-trip through a
+    * double. Fixture timestamps are whole microseconds, so this is
+    * lossless and oracle-parity-safe.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register every fixture table as a temp view so `spark.sql` works
