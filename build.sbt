@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of logging
+// each line with an [info]/[error] prefix — the bench driver parses the
+// one-line JSON metric from raw stdout (BENCH_r01 recorded parsed:null
+// because the line arrived as "[info] {…}").
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

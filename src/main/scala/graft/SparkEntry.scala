@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every operator the engine exposes, in registration order. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ JoinsSetOps.all ++ Shaping.all
+    Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,7 +26,12 @@ object JoinsSetOps {
 
   /** J1 + F19 — left outer join with aggregate + sentinel fill: per-customer
     * order rollup, 'unavail' when the customer never ordered (the
-    * reference's coalesce-to-sentinel pattern, `datasources.py:717-720`). */
+    * reference's coalesce-to-sentinel pattern, `datasources.py:717-720`).
+    *
+    * Shrink-before-join: orders are pre-aggregated to one row per custkey
+    * BEFORE the join, so the join shuffle carries |customers| + |custkeys|
+    * rows instead of every customer×order pair — the same discipline as
+    * the flagship query, and the shape that survives a 100× scale-up. */
   val leftJoinAgg: QueryDef = QueryDef.sql(
     "left_join_agg",
     """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
@@ -36,13 +41,18 @@ object JoinsSetOps {
       |GROUP BY c_custkey, c_name""") { (s, dir) =>
     import s.implicits._
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy($"c_custkey", $"c_name")
+    val oagg = t(s, dir, "orders")
+      .groupBy($"o_custkey")
       .agg(
-        count($"o_orderkey").as("n_orders"),
-        Kit.moneySum($"o_totalprice").as("total_spend"),
-        Kit.unavail(max($"o_orderstatus")).as("last_status"))
+        count(lit(1)).as("cnt"),
+        sum(Kit.money($"o_totalprice")).as("spend_dec"),
+        max($"o_orderstatus").as("st"))
+    c.join(oagg, c("c_custkey") === oagg("o_custkey"), "left")
+      .select(
+        $"c_custkey", $"c_name",
+        coalesce($"cnt", lit(0L)).as("n_orders"),
+        $"spend_dec".cast(DoubleType).as("total_spend"),
+        Kit.unavail($"st").as("last_status"))
   }
 
   /** J2 (intended semantics) — "new rows only" anti-join: orders that have
@@ -105,9 +115,19 @@ object JoinsSetOps {
       |    EXCEPT
       |    SELECT DISTINCT o_orderkey AS orderkey FROM orders)) d""") { (s, dir) =>
     import s.implicits._
-    val a = t(s, dir, "orders").select($"o_orderkey".as("orderkey")).distinct()
-    val b = t(s, dir, "lineitem").select($"l_orderkey".as("orderkey")).distinct()
-    a.except(b).unionByName(b.except(a))
+    // Single-pass shape: tag each side, union, one groupBy on the key —
+    // keys seen on only one side have min(side)=max(side). One wide
+    // shuffle (with map-side partial agg) vs the naive two-EXCEPT plan's
+    // 4 scans + 2 distinct-joins.
+    val a = t(s, dir, "orders").select($"o_orderkey".as("orderkey"))
+      .withColumn("side", lit(0))
+    val b = t(s, dir, "lineitem").select($"l_orderkey".as("orderkey"))
+      .withColumn("side", lit(1))
+    a.unionByName(b)
+      .groupBy($"orderkey")
+      .agg(min($"side").as("lo"), max($"side").as("hi"))
+      .where($"lo" === $"hi")
+      .select($"orderkey")
   }
 
   /** U2 — DISTINCT over a projection (`drop_duplicates()`,

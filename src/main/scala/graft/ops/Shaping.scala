@@ -194,7 +194,61 @@ object Shaping {
       concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag_status"))
   }
 
+  /** Scalar kit round 2 — exercises the remaining Kit functions (F4 suffix
+    * removal, F10 base64 round-trip, F16 epoch-millis→date, F17 calendar
+    * predicate, F18 rounding) plus split/extract/cast via the Kit API.
+    * All stay inside whole-stage codegen. */
+  val scalarKit2: QueryDef = QueryDef.sql(
+    "scalar_kit_2",
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS as_str,
+      |  regexp_replace(o_orderpriority, '-URGENT$', '') AS desuf,
+      |  string_split(o_orderpriority, '-')[2] AS item1,
+      |  regexp_extract(o_orderpriority, '(\d+)-', 1) AS grp,
+      |  decode(from_base64(to_base64(encode(o_orderstatus)))) AS b64rt,
+      |  CAST(make_timestamp(epoch_ms(o_orderdate) * 1000) AS DATE) AS mdate,
+      |  month(o_orderdate) IN (8,9,10,11,12,1) AND dayofweek(o_orderdate) = 1 AS season_mon,
+      |  round(o_totalprice / 7, 2) AS r2,
+      |  translate(o_orderstatus || chr(9) || o_orderpriority,
+      |            chr(9) || chr(13) || chr(10), '') AS strip
+      |FROM orders""") { (s, dir) =>
+    import s.implicits._
+    import graft.functions.Kit
+    t(s, dir, "orders").select(
+      $"o_orderkey",
+      Kit.asString($"o_orderkey").as("as_str"),
+      Kit.removeSuffix($"o_orderpriority", "-URGENT").as("desuf"),
+      Kit.splitItem($"o_orderpriority", "-", 1).as("item1"),
+      Kit.extractGroup($"o_orderpriority", "(\\d+)-", 1).as("grp"),
+      Kit.b64ToString(base64(encode($"o_orderstatus", "UTF-8"))).as("b64rt"),
+      // fixture timestamps are NTZ; session TZ is UTC, so the cast is the
+      // same wall-clock→epoch mapping DuckDB's epoch_ms applies
+      Kit.millisToDate(unix_millis($"o_orderdate".cast(TimestampType)))
+        .as("mdate"),
+      Kit.inSeasonMonday($"o_orderdate").as("season_mon"),
+      round($"o_totalprice" / 7, 2).as("r2"),
+      Kit.stripCtl(concat($"o_orderstatus", lit("\t"), $"o_orderpriority"))
+        .as("strip"))
+  }
+
+  /** Exact money rollup — moneySum/moneyAvg (decimal-exact, associative →
+    * order-independent across executors, F18 arithmetic). */
+  val moneyRollup: QueryDef = QueryDef.sql(
+    "money_rollup",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(o_totalprice) AS avg_price
+      |FROM orders GROUP BY o_orderstatus""") { (s, dir) =>
+    import s.implicits._
+    import graft.functions.Kit
+    t(s, dir, "orders").groupBy($"o_orderstatus").agg(
+      count(lit(1)).as("n"),
+      Kit.moneySum($"o_totalprice").as("sum_price"),
+      Kit.moneyAvg($"o_totalprice").as("avg_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     topkPerGroup, windowRunningSum, stringKit, dateKit, jsonPropsExtract,
-    pivotEventCounts, unpivotMeasures, castRename)
+    pivotEventCounts, unpivotMeasures, castRename, scalarKit2, moneyRollup)
 }

@@ -128,15 +128,15 @@ object TextOps {
       |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT doc_a, doc_b,
-      |  CAST(FLOOR(CAST(both AS DOUBLE) / (sa.n + sb.n - both) * 1000000) AS BIGINT) AS jaccard_q6
+      |  CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT) AS jaccard_q6
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(both AS DOUBLE) / (sa.n + sb.n - both) >= 0.30""") { (s, dir) =>
+      |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""") { (s, dir) =>
     import s.implicits._
     val sh = t(s, dir, "documents")
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
@@ -148,8 +148,8 @@ object TextOps {
     val a = sh.toDF("doc_a", "s")
     val b = sh.toDF("doc_b", "s")
     val inter = a.join(b, Seq("s")).where($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("both"))
-    val jac = $"both".cast(DoubleType) / ($"sa.n" + $"sb.n" - $"both")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_both"))
+    val jac = $"n_both".cast(DoubleType) / ($"sa.n" + $"sb.n" - $"n_both")
     inter
       .join(sizes.as("sa"), $"sa.doc_id" === $"doc_a")
       .join(sizes.as("sb"), $"sb.doc_id" === $"doc_b")
