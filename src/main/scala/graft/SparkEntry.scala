@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Every operator the engine exposes, in registration order. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all
+    Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all ++
+      Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
