@@ -112,42 +112,83 @@ object TextOps {
       md5(regexp_replace(lower($"text"), "[^a-z0-9 ]", "")).as("fingerprint"))
   }
 
-  /** Exact n-gram Jaccard near-dup detection, shingle-bucketed: explode
-    * distinct word-3-grams, self-join on the shingle (candidate pairs
-    * share ≥1 shingle — never doc×doc), count intersections, Jaccard =
+  /** Max docs a shingle may appear in and still generate candidate pairs.
+    * A shingle shared by d docs yields d²/2 pairs — a stopword 3-gram in
+    * 10⁶ docs would yield 10¹² pairs. Capping df bounds the self-join at
+    * DF_CAP²/2 pairs per shingle; true near-dups (Jaccard ≥ 0.30) share
+    * many shingles and virtually always at least one rare one, so recall
+    * loss is negligible. Exact Jaccard is still computed over ALL shared
+    * shingles of each surviving candidate pair. */
+  private val DF_CAP = 50
+
+  /** Exact n-gram Jaccard near-dup detection, shingle-bucketed with a
+    * document-frequency cap (see [[DF_CAP]]): explode distinct word-3-
+    * grams, self-join on shingles with df ≤ cap (candidate pairs share
+    * ≥1 rare shingle — never doc×doc, never hot-shingle quadratic),
+    * then count intersections over the FULL shingle sets, Jaccard =
     * |∩| / (|A|+|B|−|∩|), keep pairs ≥ 0.30. Quantized (floor×1e6) so the
-    * double division is engine-portable. At 100 TB the same plan holds:
-    * the shuffle key is the shingle, hot shingles are the skew risk —
-    * AQE skew-join handles it, or pre-filter stopword-only shingles. */
+    * double division is engine-portable. At 100 TB: candidate volume is
+    * bounded per shingle; the intersection join shuffles on doc_id. */
   val ngramJaccardNeardup: QueryDef = QueryDef.sql(
     "ngram_jaccard_neardup",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
       |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+      |rare AS (
+      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $DF_CAP),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.s = r.s
+      |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
+      |  SELECT doc_a, doc_b, COUNT(*) AS n_both
+      |  FROM cand
+      |  JOIN sh fa ON fa.doc_id = doc_a
+      |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+      |  GROUP BY doc_a, doc_b)
       |SELECT doc_a, doc_b,
       |  CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT) AS jaccard_q6
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""") { (s, dir) =>
+      |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val sh = t(s, dir, "documents")
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .where($"df" <= DF_CAP).select($"s")
+    val a = sh.toDF("doc_a", "s")
+    val b = sh.toDF("doc_b", "s")
+    val cand = a.join(rare, Seq("s")).join(b, Seq("s"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    jaccardVerify(s, cand, sh)
+  }
+
+  /** Distinct word-3-gram shingles per document: (doc_id, s). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .select($"doc_id", explode(expr(
         "transform(sequence(0, greatest(size(ts) - 3, 0)), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
         .as("s"))
       .distinct()
+  }
+
+  /** Exact-Jaccard verify stage shared by both near-dup candidate
+    * generators: count shingle intersections for the candidate pairs
+    * only, join per-doc set sizes, keep Jaccard ≥ 0.30 quantized. */
+  private def jaccardVerify(s: SparkSession, cand: DataFrame,
+                            sh: DataFrame): DataFrame = {
+    import s.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "s")
-    val b = sh.toDF("doc_b", "s")
-    val inter = a.join(b, Seq("s")).where($"doc_a" < $"doc_b")
+    val inter = cand
+      .join(sh.toDF("doc_a", "sa_s"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "sb_s"), Seq("doc_b"))
+      .where($"sa_s" === $"sb_s")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_both"))
     val jac = $"n_both".cast(DoubleType) / ($"sa.n" + $"sb.n" - $"n_both")
     inter
@@ -157,7 +198,93 @@ object TextOps {
       .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
   }
 
+  /** MinHash-LSH parameters: 16 hash functions = 8 bands × 2 rows over a
+    * 48-bit md5-prefix base hash mod the Mersenne prime 2³¹−1. Collision
+    * probability per pair ≈ 1−(1−J²)⁸: ~53% at J=0.30, ~90% at J=0.50,
+    * ~100% at J≥0.75 — tuned for the 0.30 report threshold where true
+    * near-dups cluster high. All constants are inlined into BOTH the
+    * Spark expressions and the oracle SQL from this one list. */
+  private val MH_P = 2147483647L
+  private val MH_AB: Seq[(Long, Long)] = (1 to 16).map { i =>
+    ((1103515245L * i + 12345L) % MH_P, (69069L * i + 1013904223L) % MH_P)
+  }
+  private val MH_BANDS = 8 // × 2 rows each
+
+  /** Near-dup detection via MinHash banding — the 100 TB candidate
+    * generator: per-doc 16-slot minhash signature (one groupBy over the
+    * shingle hashes, no shingle self-join at all), band into 8 buckets of
+    * 2 slots, self-join on (band, bucket) — candidate volume is
+    * sum(bucket²) per band, independent of shingle document frequency.
+    * Exact Jaccard over full shingle sets then verifies the 0.30
+    * threshold, so reported pairs are never false positives; banding only
+    * bounds recall (by design, mirrored exactly in the oracle). */
+  val minhashLshNeardup: QueryDef = {
+    val sigColsSql = MH_AB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $MH_P) AS m$i"
+    }.mkString(",\n      |    ")
+    val bandsSql = (0 until MH_BANDS).map { bd =>
+      s"SELECT doc_id, $bd AS band, concat_ws('_', m${2 * bd}, m${2 * bd + 1}) AS k FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    QueryDef.sql(
+      "minhash_lsh_neardup",
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $MH_P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigColsSql
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  $bandsSql),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.k = b.k
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS n_both
+        |  FROM cand
+        |  JOIN sh fa ON fa.doc_id = doc_a
+        |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT) AS jaccard_q6
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val hs = sh.select($"doc_id",
+        expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
+          .as("h"))
+      val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
+      }
+      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = (0 until MH_BANDS).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
+      }
+      val bands = sig
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.k".as("k"))
+      val cand = bands.toDF("doc_a", "band", "k")
+        .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
+        .where($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      jaccardVerify(s, cand, sh)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, langHistogram, langIdHeuristic,
-    docFingerprint, ngramJaccardNeardup)
+    docFingerprint, ngramJaccardNeardup, minhashLshNeardup)
 }
