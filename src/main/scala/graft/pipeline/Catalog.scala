@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.{Instant, LocalDate, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/** Catalog introspection over a parquet warehouse directory — the engine
+  * analogue of the reference's `__TABLES__` metadata scans:
+  *
+  *   - table existence (S3): `SELECT table_id FROM __TABLES__` + membership
+  *     test (`functions/utils/datasources.py:136-139,309-312,390-393`)
+  *   - last-modified (S4): `DATE(TIMESTAMP_MILLIS(last_modified_time))`
+  *     (`functions/utils/datasources.py:394-396`)
+  *
+  * A "table" is a directory of parquet part-files under the warehouse
+  * root. On a real cluster these calls would go through
+  * `spark.catalog.tableExists` / Delta history; the filesystem mtime walk
+  * below is the exact parity for a path-addressed parquet warehouse and
+  * is O(#files-in-one-table), never O(warehouse).
+  */
+final case class Catalog(root: String) {
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+
+  /** S3: does the table exist (any committed parquet data present)? */
+  def tableExists(table: String): Boolean = {
+    val dir = tableDir(table)
+    Files.isDirectory(dir) && Files.walk(dir).iterator().asScala
+      .exists(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+  }
+
+  /** All table names present in the warehouse (the `__TABLES__` scan). */
+  def listTables(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(root))) Seq.empty
+    else Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  /** S4: last-modified instant of a table = max part-file mtime. */
+  def lastModified(table: String): Option[Instant] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val times = Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => Files.getLastModifiedTime(p).toInstant).toSeq
+      if (times.isEmpty) None else Some(times.max)
+    }
+  }
+
+  /** S4 as the reference consumes it: the last-modified *date*
+    * (`DATE(TIMESTAMP_MILLIS(last_modified_time))`). */
+  def lastModifiedDate(table: String): Option[LocalDate] =
+    lastModified(table).map(_.atOffset(ZoneOffset.UTC).toLocalDate)
+}

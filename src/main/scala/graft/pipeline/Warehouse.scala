@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** How a batch lands in its target table — the reference's write
+  * dispositions re-expressed for a parquet warehouse:
+  *
+  *   - [[SinkPolicy.Append]]: `WRITE_APPEND` + `ALLOW_FIELD_ADDITION`
+  *     (`functions/utils/datasources.py:55-59,554-563,754-767,799-805`).
+  *     New columns are allowed; readers see them via `mergeSchema`.
+  *   - [[SinkPolicy.Overwrite]]: truncate-replace (`WRITE_TRUNCATE`,
+  *     `datasources.py:362-366,440-444`). The reference truncates twice
+  *     (explicit `TRUNCATE TABLE` + `WRITE_TRUNCATE`, SURVEY §4.1) — here
+  *     a single atomic overwrite.
+  *   - [[SinkPolicy.RelandByDate]]: delete-by-date idempotent re-land
+  *     (`DELETE FROM t WHERE Date='{overwrite}'` then append,
+  *     `datasources.py:50-53`). Implemented as DYNAMIC PARTITION
+  *     OVERWRITE on a date-partitioned layout: only the partitions
+  *     present in the incoming batch are replaced, which is both the
+  *     idempotency delete and the append in one atomic commit — and the
+  *     only shape of this operation that scales (a predicate delete that
+  *     rewrites a 100 TB unpartitioned table per re-land does not).
+  */
+sealed trait SinkPolicy
+object SinkPolicy {
+  case object Append extends SinkPolicy
+  case object Overwrite extends SinkPolicy
+  /** @param dateCol partition column the re-land is keyed by */
+  final case class RelandByDate(dateCol: String) extends SinkPolicy
+}
+
+/** One landed batch, for the pipeline run report. */
+final case class LoadResult(source: String, action: String, rows: Long)
+
+/** A parquet warehouse rooted at `root`: land/read/catalog in one place.
+  *
+  * Fixes two reference quirks deliberately (SURVEY §4.1): sink errors
+  * SURFACE (the reference's idempotency `DELETE` was fire-and-forget with
+  * no `.result()`, silently swallowing failures — here every write is
+  * synchronous and throws), and the delete-by-date only ever fires for an
+  * explicitly re-landed batch (the reference could issue
+  * `DELETE ... WHERE Date='None'` on normal runs).
+  */
+final case class Warehouse(spark: SparkSession, root: String) {
+
+  val catalog: Catalog = Catalog(root)
+
+  private def path(table: String): String = s"$root/$table"
+
+  /** Read a table back. `mergeSchema` makes column additions from later
+    * appends visible — the read-side half of `ALLOW_FIELD_ADDITION`. */
+  def read(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(table))
+
+  /** Land `df` into `table` under `policy`. Returns what happened.
+    *
+    * Empty batches are skipped (the reference's `df.shape[0] > 0` guard,
+    * `datasources.py:756`) — checked with `isEmpty` (one lazy task), not
+    * `count()`.
+    */
+  def load(table: String, df: DataFrame, policy: SinkPolicy): LoadResult = {
+    if (df.isEmpty) return LoadResult(table, "skipped-empty", 0L)
+    val rows = policy match {
+      case SinkPolicy.Append =>
+        val n = write(df, SaveMode.Append, None, table)
+        n
+      case SinkPolicy.Overwrite =>
+        write(df, SaveMode.Overwrite, None, table)
+      case SinkPolicy.RelandByDate(dateCol) =>
+        // Dynamic mode: only partitions present in df are replaced —
+        // re-landing the same date twice keeps exactly one copy, other
+        // dates are untouched.
+        write(df, SaveMode.Overwrite, Some(dateCol), table)
+    }
+    LoadResult(table, policy.toString, rows)
+  }
+
+  /** Dedup-on-arrival: keep only rows of `df` not already present in
+    * `table` (the reference's intended "new rows only" semantics,
+    * `datasources.py:547-552` — implemented as the anti-join SURVEY §4.1
+    * prescribes, not the literal `keep=False` symmetric difference). */
+  def newRowsOnly(table: String, df: DataFrame): DataFrame =
+    if (!catalog.tableExists(table)) df
+    else df.join(read(table).select(df.columns.map(col): _*),
+      df.columns.toSeq, "left_anti")
+
+  /** S2-style secret lookup: `SELECT API_KEY FROM <keysTable> WHERE
+    * TBL_NM = '<forTable>'` (`functions/utils/pipeline.py:28-29`). */
+  def secret(keysTable: String, forTable: String): Option[String] =
+    if (!catalog.tableExists(keysTable)) None
+    else read(keysTable).where(col("TBL_NM") === forTable)
+      .select(col("API_KEY")).limit(1).collect()
+      .headOption.map(_.getString(0))
+
+  private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],
+                    table: String): Long = {
+    val n = df.cache().count() // rows landed, reported in LoadResult
+    try {
+      val w = df.write.mode(mode)
+      partitionCol match {
+        case Some(c) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          w.partitionBy(c).parquet(path(table))
+        case None => w.parquet(path(table))
+      }
+      n
+    } finally df.unpersist()
+  }
+}
