@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkTestBase
+
+/** Algebraic laws over the set/join/dedup operators (SURVEY §5.3),
+  * property-checked with scalacheck generators of small literal frames.
+  * Driven through Prop/Test directly (no scalatestplus bridge in the
+  * offline cache). */
+class LawsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows: Gen[List[(Int, String)]] = Gen.resize(12,
+    Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.oneOf("x", "y", "z"))))
+
+  private def df(xs: List[(Int, String)]): DataFrame = {
+    // toDF on an empty list still needs a schema — seed with a dummy row
+    // and strip it, keeping the frame genuinely empty but typed
+    if (xs.isEmpty) List((0, "x")).toDF("k", "v").limit(0)
+    else xs.toDF("k", "v")
+  }
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("dedup is idempotent") {
+    check("dedup")(Prop.forAll(rows) { xs =>
+      val once = df(xs).distinct()
+      once.distinct().count() == once.count()
+    })
+  }
+
+  test("union-all row count is additive") {
+    check("union")(Prop.forAll(rows, rows) { (a, b) =>
+      df(a).unionAll(df(b)).count() == a.size.toLong + b.size.toLong
+    })
+  }
+
+  test("anti-join result is a subset of the left input; semi+anti partition it") {
+    check("anti")(Prop.forAll(rows, rows) { (a, b) =>
+      val l = df(a).distinct()
+      val anti = l.join(df(b), Seq("k", "v"), "left_anti").count()
+      val semi = l.join(df(b), Seq("k", "v"), "left_semi").count()
+      anti + semi == l.count()
+    })
+  }
+
+  test("tagged-union symmetric difference equals except-both-ways") {
+    check("symmdiff")(Prop.forAll(rows, rows) { (a, b) =>
+      val (da, db) = (df(a).distinct(), df(b).distinct())
+      val viaExcept = da.except(db).unionAll(db.except(da))
+        .as[(Int, String)].collect().toSet
+      val viaCount = da.withColumn("side", org.apache.spark.sql.functions.lit(0))
+        .unionAll(db.withColumn("side", org.apache.spark.sql.functions.lit(1)))
+        .groupBy("k", "v")
+        .count().where(org.apache.spark.sql.functions.col("count") === 1)
+        .select("k", "v").as[(Int, String)].collect().toSet
+      viaExcept == viaCount
+    })
+  }
+
+  test("watermark (max) is monotone under union") {
+    check("watermark")(Prop.forAll(rows, rows) { (a, b) =>
+      import org.apache.spark.sql.functions.max
+      def hi(d: DataFrame): Option[Int] =
+        Option(d.agg(max("k")).collect()(0).get(0)).map(_.asInstanceOf[Int])
+      val u = hi(df(a).unionAll(df(b)))
+      Seq(hi(df(a)), hi(df(b))).flatten.forall(h => u.exists(_ >= h))
+    })
+  }
+
+  test("int -> string -> int cast roundtrips") {
+    check("cast")(Prop.forAll(rows) { xs =>
+      df(xs).select($"k".cast("string").cast("int").as("k"), $"v")
+        .as[(Int, String)].collect().toList.sorted == xs.sorted
+    })
+  }
+}
