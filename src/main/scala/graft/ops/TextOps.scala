@@ -156,7 +156,8 @@ object TextOps {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val sh = shingles(s, dir)
+    val sets = docShingleSets(s, dir)
+    val sh = explodedShingles(sets)
     val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
       .where($"df" <= DF_CAP).select($"s")
     val a = sh.toDF("doc_a", "s")
@@ -164,36 +165,43 @@ object TextOps {
     val cand = a.join(rare, Seq("s")).join(b, Seq("s"))
       .where($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    jaccardVerify(s, cand, sh)
+    jaccardVerify(s, cand, sets)
   }
 
-  /** Distinct word-3-gram shingles per document: (doc_id, s). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document DISTINCT word-3-gram shingle set as an array column:
+    * (doc_id, sset). `array_distinct` dedups within the row — no
+    * exploded-row `.distinct()` shuffle anywhere in the near-dup plans
+    * (at 100 TB that shuffle would move the whole shingled corpus; this
+    * moves nothing). */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
-      .select($"doc_id", explode(expr(
+      .select($"doc_id", array_distinct(expr(
         "transform(sequence(0, greatest(size(ts) - 3, 0)), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
-        .as("s"))
-      .distinct()
+        .as("sset"))
   }
 
+  /** (doc_id, s) rows — a narrow explode of the per-doc sets. */
+  private def explodedShingles(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("sset")).as("s"))
+
   /** Exact-Jaccard verify stage shared by both near-dup candidate
-    * generators: count shingle intersections for the candidate pairs
-    * only, join per-doc set sizes, keep Jaccard ≥ 0.30 quantized. */
+    * generators: join the (small) candidate pair set back to the per-doc
+    * shingle arrays and compute |∩| with `array_intersect` — a map-side
+    * expression per pair, no intersection shuffle; set sizes come free
+    * from `size(sset)`. Keep Jaccard ≥ 0.30, quantized. */
   private def jaccardVerify(s: SparkSession, cand: DataFrame,
-                            sh: DataFrame): DataFrame = {
+                            sets: DataFrame): DataFrame = {
     import s.implicits._
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.toDF("doc_a", "sa_s"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "sb_s"), Seq("doc_b"))
-      .where($"sa_s" === $"sb_s")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_both"))
-    val jac = $"n_both".cast(DoubleType) / ($"sa.n" + $"sb.n" - $"n_both")
-    inter
-      .join(sizes.as("sa"), $"sa.doc_id" === $"doc_a")
-      .join(sizes.as("sb"), $"sb.doc_id" === $"doc_b")
+    val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
+    cand
+      .join(sets.toDF("doc_a", "sa_set"), Seq("doc_a"))
+      .join(sets.toDF("doc_b", "sb_set"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa_set", $"sb_set")).cast(LongType).as("n_both"),
+        size($"sa_set").cast(LongType).as("na"),
+        size($"sb_set").cast(LongType).as("nb"))
       .where(jac >= 0.30)
       .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
   }
@@ -261,7 +269,8 @@ object TextOps {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = shingles(s, dir)
+      val sets = docShingleSets(s, dir)
+      val sh = explodedShingles(sets)
       val hs = sh.select($"doc_id",
         expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
           .as("h"))
@@ -280,7 +289,7 @@ object TextOps {
         .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
         .where($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
-      jaccardVerify(s, cand, sh)
+      jaccardVerify(s, cand, sets)
     }
   }
 
