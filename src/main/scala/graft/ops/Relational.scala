@@ -171,8 +171,26 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** S14 — the fire-and-forget SQL task (`Query.run()`,
+    * `datasources.py:86-99`): arbitrary warehouse SQL executed as-is. The
+    * engine registers every fixture table as a view and hands the text to
+    * `spark.sql`, so the whole relational surface is reachable through
+    * raw SQL too — same Catalyst plan as the DataFrame form (this body is
+    * byte-identical to the oracle's). Unlike the reference, execution is
+    * synchronous and errors surface (SURVEY §4.1). */
+  val sqlTask: QueryDef = {
+    val body =
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    QueryDef.sql("sql_task", body) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(body)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
-    groupedCountDistinct)
+    groupedCountDistinct, sqlTask)
 }

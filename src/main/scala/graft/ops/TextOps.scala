@@ -293,7 +293,89 @@ object TextOps {
     }
   }
 
+  /** SimHash parameters: 48-bit fingerprints (the md5-prefix hash width),
+    * banded 4 × 12 bits for candidate generation, Hamming ≤ 6 reported.
+    * Collision: near-identical docs differ in a few bits, so at least one
+    * 12-bit band matches with high probability; each bucket is tiny, so
+    * the self-join never approaches doc². */
+  private val SH_BITS = 48
+  private val SH_BANDS = 4 // × 12 bits each
+  private val SH_HAMMING_MAX = 6
+
+  /** SimHash near-dup detection — the third dedup family (exact-hash →
+    * MinHash-Jaccard → SimHash-Hamming): per doc, each distinct shingle
+    * votes ±1 on every fingerprint bit by its hash bit; the fingerprint
+    * takes the sign. Similar shingle sets → similar vote sums → small
+    * Hamming distance. One groupBy with 48 conditional-sum columns (no
+    * row explosion), band-bucketed candidate self-join, exact
+    * `bit_count(xor)` verify. All bit arithmetic is identical in DuckDB,
+    * so the oracle replays the whole pipeline bit-for-bit. */
+  val simhashNeardup: QueryDef = {
+    val sigSql = (0 until SH_BITS).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n      |    ")
+    val fpSql = (0 until SH_BITS).map(b =>
+      s"CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
+      .mkString(" + ")
+    val bandsSql = (0 until SH_BANDS).map(k =>
+      s"SELECT doc_id, fp, $k AS band, (fp >> ${12 * k}) & 4095 AS bv FROM fps")
+      .mkString("\n      |  UNION ALL ")
+    QueryDef.sql(
+      "simhash_neardup",
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+        |hs AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigSql
+        |  FROM hs GROUP BY doc_id),
+        |fps AS (
+        |  SELECT doc_id, $fpSql AS fp FROM sig),
+        |bands AS (
+        |  $bandsSql),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.fp AS fp_a, b.fp AS fp_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(fp_a, fp_b)) <= $SH_HAMMING_MAX""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sets = docShingleSets(s, dir)
+      val hs = explodedShingles(sets).select($"doc_id",
+        expr("CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT)").as("h"))
+      val sigCols = (0 until SH_BITS).map(b =>
+        sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val fpExpr = (0 until SH_BITS).map(b =>
+        s"CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
+        .mkString(" + ")
+      val fps = sig.select($"doc_id", expr(fpExpr).as("fp"))
+      val bandStructs = (0 until SH_BANDS).map(k =>
+        struct(lit(k).as("band"),
+          expr(s"shiftright(fp, ${12 * k}) & 4095").as("bv")))
+      val bands = fps
+        .select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"fp", $"bk.band".as("band"), $"bk.bv".as("bv"))
+      val cand = bands.toDF("doc_a", "fp_a", "band", "bv")
+        .join(bands.toDF("doc_b", "fp_b", "band", "bv"), Seq("band", "bv"))
+        .where($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"fp_a", $"fp_b").distinct()
+      cand
+        .select($"doc_a", $"doc_b",
+          bit_count(expr("fp_a ^ fp_b")).cast(LongType).as("hamming"))
+        .where($"hamming" <= SH_HAMMING_MAX)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, langHistogram, langIdHeuristic,
-    docFingerprint, ngramJaccardNeardup, minhashLshNeardup)
+    docFingerprint, ngramJaccardNeardup, minhashLshNeardup, simhashNeardup)
 }
