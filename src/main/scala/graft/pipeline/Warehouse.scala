@@ -95,6 +95,28 @@ final case class Warehouse(spark: SparkSession, root: String) {
       .select(col("API_KEY")).limit(1).collect()
       .headOption.map(_.getString(0))
 
+  /** Land `df` as a BUCKETED catalog table: rows are hash-clustered (and
+    * sorted) by `bucketCol` into `nBuckets` files per write. Two tables
+    * bucketed the same way join with NO exchange and no sort — the
+    * co-located join discipline for recurring large-table joins at 100 TB
+    * (pay the clustering once at write, never shuffle at read). Requires
+    * the session catalog (`saveAsTable`), so it lives beside the
+    * path-addressed sinks rather than inside [[load]]. */
+  def loadBucketed(table: String, df: DataFrame, bucketCol: String,
+                   nBuckets: Int): LoadResult = {
+    // repartition to the bucket layout first: HashPartitioning matches the
+    // bucket hash, so each task holds exactly one bucket → one file per
+    // bucket. That both avoids small-file explosion and lets readers trust
+    // the per-bucket sort order (multi-file buckets force a re-sort).
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path(table))
+      .saveAsTable(table)
+    LoadResult(table, s"bucketed($bucketCol,$nBuckets)", spark.table(table).count())
+  }
+
   private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],
                     table: String): Long = {
     val n = df.cache().count() // rows landed, reported in LoadResult
