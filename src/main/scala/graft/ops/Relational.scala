@@ -189,8 +189,25 @@ object Relational {
     }
   }
 
+  /** The 100 TB form of A3: HyperLogLog++ `approx_count_distinct` — no
+    * per-group Expand tripling pre-shuffle rows, a fixed-size sketch per
+    * group instead of a distinct-value set. Sketch internals are
+    * engine-specific, so there is no DuckDB hash oracle (rows-only check
+    * here); the accuracy contract is unit-tested against the exact
+    * counts instead (RelationalApproxSpec: ≤5% relative error). */
+  val groupedCountDistinctApprox: QueryDef =
+    QueryDef.rowsOnly("grouped_count_distinct_approx") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          approx_count_distinct($"l_suppkey", 0.02).as("n_supp_approx"),
+          approx_count_distinct($"l_partkey", 0.02).as("n_part_approx"),
+          count(lit(1)).as("n_lines"))
+    }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
-    groupedCountDistinct, sqlTask)
+    groupedCountDistinct, sqlTask, groupedCountDistinctApprox)
 }
