@@ -22,12 +22,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: run every query once at the smoke scale so whole-stage
+    // codegen is compiled before anything is timed. Otherwise JIT
+    // compilation cost (seconds, and nondeterministic in placement) lands
+    // on whichever query runs first with a given plan shape, swamping the
+    // numbers the measurement exists to produce.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.defs.foreach { d =>
+        try d.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
+      }
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
       }
+      // internal stage-table caches count toward the query's own time and
+      // are dropped before the next query runs
+      finally spark.catalog.clearCache()
       d.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

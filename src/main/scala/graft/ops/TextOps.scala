@@ -277,7 +277,11 @@ object TextOps {
       val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
         min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
       }
-      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // persist = stage materialization: both sides of the banded
+      // self-join read the signature table instead of recomputing the
+      // 16-column aggregate per side (at 100 TB this is a written stage
+      // table). The Verify/Bench harness clears the cache between queries.
+      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
       val bandStructs = (0 until MH_BANDS).map { bd =>
         struct(lit(bd).as("band"),
           concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
@@ -357,7 +361,9 @@ object TextOps {
       val fpExpr = (0 until SH_BITS).map(b =>
         s"CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
         .mkString(" + ")
-      val fps = sig.select($"doc_id", expr(fpExpr).as("fp"))
+      // persist: see minhash_lsh_neardup — fingerprint stage table read by
+      // both self-join sides.
+      val fps = sig.select($"doc_id", expr(fpExpr).as("fp")).persist()
       val bandStructs = (0 until SH_BANDS).map(k =>
         struct(lit(k).as("band"),
           expr(s"shiftright(fp, ${12 * k}) & 4095").as("bv")))
