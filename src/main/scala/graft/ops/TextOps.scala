@@ -172,13 +172,19 @@ object TextOps {
     * (doc_id, sset). `array_distinct` dedups within the row — no
     * exploded-row `.distinct()` shuffle anywhere in the near-dup plans
     * (at 100 TB that shuffle would move the whole shingled corpus; this
-    * moves nothing). */
+    * moves nothing). Documents with fewer than 3 tokens yield an EMPTY
+    * set — without the guard, `concat_ws` would silently skip the null
+    * tail elements and emit a padded 1–2-word "shingle" that the oracle's
+    * `range()` never generates. */
   private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .select($"doc_id", array_distinct(expr(
-        "transform(sequence(0, greatest(size(ts) - 3, 0)), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+        """CASE WHEN size(ts) >= 3
+          |  THEN transform(sequence(0, size(ts) - 3),
+          |         i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin))
         .as("sset"))
   }
 

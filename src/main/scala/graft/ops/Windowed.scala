@@ -59,19 +59,23 @@ object Windowed {
   /** Session windows per user with a 30-minute inactivity gap. Output is
     * the window-implementation-independent signature (first/last event
     * time + size), so Spark's `session_window` and the oracle's
-    * gaps-and-islands (LAG + running break count) agree exactly. */
+    * gaps-and-islands (LAG + running break count) agree exactly — the
+    * oracle's break condition is `>= gap` because Spark session windows
+    * are [start, start+gap): an event exactly at the gap boundary opens a
+    * NEW session; ties on ts are ordered by event_id so the running sum
+    * is deterministic. */
   val sessionWindowStats: QueryDef = QueryDef.sql(
     "session_window_stats",
     """WITH breaks AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+      |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM breaks)
       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events

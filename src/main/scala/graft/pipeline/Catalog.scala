@@ -3,6 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Path, Paths}
 import java.time.{Instant, LocalDate, ZoneOffset}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Catalog introspection over a parquet warehouse directory — the engine
   * analogue of the reference's `__TABLES__` metadata scans:
@@ -16,33 +17,41 @@ import scala.jdk.CollectionConverters._
   * root. On a real cluster these calls would go through
   * `spark.catalog.tableExists` / Delta history; the filesystem mtime walk
   * below is the exact parity for a path-addressed parquet warehouse and
-  * is O(#files-in-one-table), never O(warehouse).
+  * is O(#files-in-one-table), never O(warehouse). Directory streams are
+  * closed eagerly (Using) — a polling orchestrator calls these per
+  * schedule check, and GC-reclaimed handles would accumulate toward the
+  * fd ulimit.
   */
 final case class Catalog(root: String) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
+  private def parquetFiles[A](dir: Path)(f: Iterator[Path] => A): A =
+    Using.resource(Files.walk(dir)) { stream =>
+      f(stream.iterator().asScala.filter(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p)))
+    }
+
   /** S3: does the table exist (any committed parquet data present)? */
   def tableExists(table: String): Boolean = {
     val dir = tableDir(table)
-    Files.isDirectory(dir) && Files.walk(dir).iterator().asScala
-      .exists(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    Files.isDirectory(dir) && parquetFiles(dir)(_.nonEmpty)
   }
 
   /** All table names present in the warehouse (the `__TABLES__` scan). */
   def listTables(): Seq[String] =
     if (!Files.isDirectory(Paths.get(root))) Seq.empty
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else Using.resource(Files.list(Paths.get(root))) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    }
 
   /** S4: last-modified instant of a table = max part-file mtime. */
   def lastModified(table: String): Option[Instant] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) None
-    else {
-      val times = Files.walk(dir).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(p => Files.getLastModifiedTime(p).toInstant).toSeq
+    else parquetFiles(dir) { files =>
+      val times = files.map(p => Files.getLastModifiedTime(p).toInstant).toSeq
       if (times.isEmpty) None else Some(times.max)
     }
   }

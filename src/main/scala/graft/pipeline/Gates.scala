@@ -58,8 +58,12 @@ object Gates {
 
   /** Row-shape assertion (P7): the reference rejects a scraped state
     * batch when its parallel column lists disagree in length
-    * (`datasources.py:349-353`). Engine shape: an `observe`-free exact
-    * check on a (small) extracted batch. */
+    * (`datasources.py:349-353`). Two failure modes are checked: the
+    * static one (wrong columns) and the data-dependent one the reference
+    * actually guards against — mis-paired parallel lists, which surface
+    * as NULL-bearing rows after `arrays_zip` pads the shorter side (see
+    * `ingest/Parsers.zipRows`). */
   def rowShapeOk(df: DataFrame, expectedCols: Seq[String]): Boolean =
-    df.columns.toSeq == expectedCols
+    df.columns.toSeq == expectedCols &&
+      df.where(expectedCols.map(col(_).isNull).reduce(_ || _)).isEmpty
 }

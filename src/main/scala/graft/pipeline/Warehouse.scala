@@ -62,30 +62,47 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * `count()`.
     */
   def load(table: String, df: DataFrame, policy: SinkPolicy): LoadResult = {
-    if (df.isEmpty) return LoadResult(table, "skipped-empty", 0L)
-    val rows = policy match {
-      case SinkPolicy.Append =>
-        val n = write(df, SaveMode.Append, None, table)
-        n
-      case SinkPolicy.Overwrite =>
-        write(df, SaveMode.Overwrite, None, table)
-      case SinkPolicy.RelandByDate(dateCol) =>
-        // Dynamic mode: only partitions present in df are replaced —
-        // re-landing the same date twice keeps exactly one copy, other
-        // dates are untouched.
-        write(df, SaveMode.Overwrite, Some(dateCol), table)
-    }
-    LoadResult(table, policy.toString, rows)
+    // one evaluation of the batch plan serves both the empty check and
+    // the landed-rows count (a separate isEmpty would run the plan twice)
+    val cached = df.cache()
+    try {
+      val n = cached.count()
+      if (n == 0) return LoadResult(table, "skipped-empty", 0L)
+      policy match {
+        case SinkPolicy.Append =>
+          write(cached, SaveMode.Append, None, table)
+        case SinkPolicy.Overwrite =>
+          write(cached, SaveMode.Overwrite, None, table)
+        case SinkPolicy.RelandByDate(dateCol) =>
+          // Dynamic mode: only partitions present in df are replaced —
+          // re-landing the same date twice keeps exactly one copy, other
+          // dates are untouched.
+          write(cached, SaveMode.Overwrite, Some(dateCol), table)
+      }
+      LoadResult(table, policy.toString, n)
+    } finally cached.unpersist()
   }
 
   /** Dedup-on-arrival: keep only rows of `df` not already present in
     * `table` (the reference's intended "new rows only" semantics,
     * `datasources.py:547-552` — implemented as the anti-join SURVEY §4.1
-    * prescribes, not the literal `keep=False` symmetric difference). */
+    * prescribes, not the literal `keep=False` symmetric difference).
+    *
+    * The match is NULL-SAFE (`<=>`): a plain equality anti-join treats
+    * NULL as never-equal, so every NULL-bearing row would be re-ingested
+    * as "new" on every run — accumulating exactly the duplicates this
+    * dedup exists to prevent. Matching is on the columns both sides
+    * share, so a batch widened by field addition still dedups on the
+    * established columns instead of failing to resolve the new one. */
   def newRowsOnly(table: String, df: DataFrame): DataFrame =
     if (!catalog.tableExists(table)) df
-    else df.join(read(table).select(df.columns.map(col): _*),
-      df.columns.toSeq, "left_anti")
+    else {
+      val existing = read(table)
+      val shared = df.columns.filter(existing.columns.contains(_))
+      require(shared.nonEmpty, s"no shared columns with $table")
+      val cond = shared.map(c => df(c) <=> existing(c)).reduce(_ && _)
+      df.join(existing.select(shared.map(existing(_)): _*), cond, "left_anti")
+    }
 
   /** S2-style secret lookup: `SELECT API_KEY FROM <keysTable> WHERE
     * TBL_NM = '<forTable>'` (`functions/utils/pipeline.py:28-29`). */
@@ -104,31 +121,34 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * path-addressed sinks rather than inside [[load]]. */
   def loadBucketed(table: String, df: DataFrame, bucketCol: String,
                    nBuckets: Int): LoadResult = {
-    // repartition to the bucket layout first: HashPartitioning matches the
-    // bucket hash, so each task holds exactly one bucket → one file per
-    // bucket. That both avoids small-file explosion and lets readers trust
-    // the per-bucket sort order (multi-file buckets force a re-sort).
-    df.repartition(nBuckets, col(bucketCol))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
-      .option("path", path(table))
-      .saveAsTable(table)
-    LoadResult(table, s"bucketed($bucketCol,$nBuckets)", spark.table(table).count())
+    val cached = df.cache()
+    try {
+      val n = cached.count() // landed rows, without re-scanning the table
+      // repartition to the bucket layout first: HashPartitioning matches
+      // the bucket hash, so each task holds exactly one bucket → one file
+      // per bucket. That both avoids small-file explosion and lets readers
+      // trust the per-bucket sort order (multi-file buckets force a
+      // re-sort).
+      cached.repartition(nBuckets, col(bucketCol))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", path(table))
+        .saveAsTable(table)
+      LoadResult(table, s"bucketed($bucketCol,$nBuckets)", n)
+    } finally cached.unpersist()
   }
 
   private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],
-                    table: String): Long = {
-    val n = df.cache().count() // rows landed, reported in LoadResult
-    try {
-      val w = df.write.mode(mode)
-      partitionCol match {
-        case Some(c) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          w.partitionBy(c).parquet(path(table))
-        case None => w.parquet(path(table))
-      }
-      n
-    } finally df.unpersist()
+                    table: String): Unit = {
+    val w = df.write.mode(mode)
+    partitionCol match {
+      case Some(c) =>
+        // writer-local option, not a session-conf mutation — concurrent
+        // writers with different policies can't race on global state
+        w.option("partitionOverwriteMode", "dynamic")
+          .partitionBy(c).parquet(path(table))
+      case None => w.parquet(path(table))
+    }
   }
 }

@@ -60,6 +60,9 @@ object StatefulSessions {
           cur = cur match {
             case Some(s) if e.ts.getTime - s.last.getTime <= gapSeconds * 1000L =>
               Some(s.copy(
+                // a late (within-watermark) event can precede the open
+                // session: extend BOTH ends, or start/dwell are wrong
+                start = if (e.ts.before(s.start)) e.ts else s.start,
                 last = if (e.ts.after(s.last)) e.ts else s.last,
                 nEvents = s.nEvents + 1,
                 types = s.types + e.event_type))

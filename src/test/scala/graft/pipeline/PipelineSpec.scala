@@ -99,6 +99,26 @@ class PipelineSpec extends SparkTestBase {
     assert(w.read("t").count() == 4)
   }
 
+  test("newRowsOnly is null-safe: NULL-bearing rows don't re-ingest forever") {
+    val w = wh()
+    val withNull = Seq(("u1", Some("2026-01-01")), ("u2", None))
+      .toDF("user", "event_date")
+      .withColumn("event_date", $"event_date".cast("date"))
+    w.load("t", withNull, SinkPolicy.Append)
+    // identical batch arrives again: nothing is new, including the NULL row
+    assert(w.newRowsOnly("t", withNull).count() == 0)
+  }
+
+  test("newRowsOnly dedups a field-addition-widened batch on shared columns") {
+    val w = wh()
+    w.load("t", hits("2026-01-01", 2), SinkPolicy.Append)
+    val widened = hits("2026-01-01", 3).withColumn("ua",
+      org.apache.spark.sql.functions.lit("ff"))
+    val fresh = w.newRowsOnly("t", widened)
+    assert(fresh.select("user").as[String].collect().toSet == Set("u3"))
+    assert(fresh.columns.contains("ua")) // new column survives the dedup
+  }
+
   // ---- secrets (S2 lookup) ----
 
   test("secret returns the key for the requested table") {
@@ -146,9 +166,11 @@ class PipelineSpec extends SparkTestBase {
     assert(!Gates.annualRefreshDue(Some(LocalDate.parse("2026-01-01")), clock))
   }
 
-  test("rowShapeOk checks extracted column shape") {
+  test("rowShapeOk checks extracted column shape and mis-paired (null) rows") {
     assert(Gates.rowShapeOk(hits("2026-01-01", 1), Seq("user", "event_date")))
     assert(!Gates.rowShapeOk(hits("2026-01-01", 1), Seq("user")))
+    val misPaired = Seq(("u1", Some("x")), ("u2", None)).toDF("user", "county")
+    assert(!Gates.rowShapeOk(misPaired, Seq("user", "county")))
   }
 
   // ---- orchestrator ----

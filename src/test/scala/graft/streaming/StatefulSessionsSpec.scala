@@ -51,6 +51,29 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(after.count() == 1)
   }
 
+  test("transition extends session start for a late within-watermark event") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StatefulSessions._
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val state = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        SessionState(ts("2026-01-01T10:05:00Z"),
+          ts("2026-01-01T10:05:00Z"), 1L, Set("view"))),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // a late event 5 minutes BEFORE the open session's start
+    val out = transition(1L,
+      Iterator(Event(1L, ts("2026-01-01T10:00:00Z"), "click")), state)
+    assert(out.isEmpty)
+    val s = state.get
+    assert(s.start == ts("2026-01-01T10:00:00Z"))
+    assert(s.last == ts("2026-01-01T10:05:00Z"))
+    assert(s.nEvents == 2L && s.types == Set("view", "click"))
+  }
+
   test("a new event after a closed session starts a fresh session") {
     val inbox = tmpDir("ss2-inbox")
     val table = tmpDir("ss2-table") + "/t"
