@@ -156,7 +156,7 @@ object TextOps {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val sets = docShingleSets(s, dir)
+    val sets = docShingleSets(s, dir).persist() // stage table: read by rare/cand/verify
     val sh = explodedShingles(sets)
     val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
       .where($"df" <= DF_CAP).select($"s")
