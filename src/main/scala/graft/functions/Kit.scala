@@ -61,6 +61,13 @@ object Kit {
   def inSeasonMonday(d: Column): Column =
     month(d).isin(8, 9, 10, 11, 12, 1) && dayofweek(d) === 2
 
+  /** Native-codegen dot product over two BIGINT arrays (see
+    * [[DotProductI64]]) — the similarity hot loop. */
+  def dotI64(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(DotProductI64(
+      org.apache.spark.sql.GraftExpr.expression(a),
+      org.apache.spark.sql.GraftExpr.expression(b)))
+
   /** Deterministic float quantization: floor(x * 10^scale) as BIGINT.
     * floor (not cast) because Spark truncates double→bigint while other
     * engines round — floor is unambiguous everywhere. Used to make

@@ -25,8 +25,12 @@ import graft.sources.Tables
   * double in both engines. Outputs carry `floor(cos * 1e6)` so hashes
   * match.
   *
-  * All token work uses higher-order array functions (`transform`,
-  * `zip_with`, `aggregate`) — codegen'd expressions, no UDFs.
+  * Vector shaping uses higher-order array functions (`transform`); the
+  * hot loop — one dot product per candidate pair — is the native
+  * codegen'd [[graft.functions.DotProductI64]] expression (higher-order
+  * `aggregate`/`zip_with` are interpreted per row and allocate an
+  * intermediate array; the native expression is a primitive long loop
+  * inside whole-stage codegen). No UDFs anywhere.
   */
 object Similarity {
 
@@ -40,7 +44,7 @@ object Similarity {
       $"vec_id",
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qe"))
-      .withColumn("nrm", expr("aggregate(qe, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nrm", Kit.dotI64(col("qe"), col("qe")))
   }
 
   private def cosCol(dot: Column, na: Column, nb: Column): Column =
@@ -94,7 +98,7 @@ object Similarity {
     base.crossJoin(broadcast(qs))
       .where($"vec_id" =!= $"qid")
       .withColumn("dot",
-        expr("aggregate(zip_with(qe, qqe, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        Kit.dotI64($"qe", $"qqe"))
       .select($"qid", $"vec_id".as("cid"),
         cosCol($"dot", $"qn", $"nrm").as("cos"))
       .withColumn("rk", row_number().over(w))
@@ -148,7 +152,7 @@ object Similarity {
     a.join(b, Seq("bkt"))
       .where($"qid" =!= $"cid")
       .withColumn("dot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        Kit.dotI64($"qa", $"qb"))
       .select($"qid", $"cid", cosCol($"dot", $"na", $"nb").as("cos"))
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 5)
@@ -209,7 +213,7 @@ object Similarity {
     val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
     cand.join(left, Seq("va")).join(right, Seq("vb"))
       .withColumn("dot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        Kit.dotI64($"qa", $"qb"))
       .select($"va".as("vec_a"), $"vb".as("vec_b"),
         cosCol($"dot", $"na", $"nb").as("cos"))
       .where($"cos" >= 0.40)
