@@ -155,8 +155,16 @@ object TextOps {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
+    jaccardNeardupPairs(t(s, dir, "documents"))
+  }
+
+  /** The exact-Jaccard near-dup detector over ANY (doc_id, text) frame —
+    * unit-testable on literal documents; the registered query applies it
+    * to the fixture table. */
+  def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sets = docShingleSets(s, dir).persist() // stage table: read by rare/cand/verify
+    val sets = shingleSets(docs).persist() // stage table: read by rare/cand/verify
     val sh = explodedShingles(sets)
     val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
       .where($"df" <= DF_CAP).select($"s")
@@ -165,7 +173,7 @@ object TextOps {
     val cand = a.join(rare, Seq("s")).join(b, Seq("s"))
       .where($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    jaccardVerify(s, cand, sets)
+    jaccardVerify(cand, sets)
   }
 
   /** Per-document DISTINCT word-3-gram shingle set as an array column:
@@ -176,9 +184,10 @@ object TextOps {
     * set — without the guard, `concat_ws` would silently skip the null
     * tail elements and emit a padded 1–2-word "shingle" that the oracle's
     * `range()` never generates. */
-  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+  def shingleSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .select($"doc_id", array_distinct(expr(
         """CASE WHEN size(ts) >= 3
@@ -197,8 +206,8 @@ object TextOps {
     * shingle arrays and compute |∩| with `array_intersect` — a map-side
     * expression per pair, no intersection shuffle; set sizes come free
     * from `size(sset)`. Keep Jaccard ≥ 0.30, quantized. */
-  private def jaccardVerify(s: SparkSession, cand: DataFrame,
-                            sets: DataFrame): DataFrame = {
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val s = cand.sparkSession
     import s.implicits._
     val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
     cand
@@ -274,8 +283,15 @@ object TextOps {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
+      minhashNeardupPairs(t(s, dir, "documents"))
+    }
+  }
+
+  /** MinHash-banded near-dup detector over ANY (doc_id, text) frame. */
+  def minhashNeardupPairs(docs: DataFrame): DataFrame = {
+      val s = docs.sparkSession
       import s.implicits._
-      val sets = docShingleSets(s, dir)
+      val sets = shingleSets(docs)
       val sh = explodedShingles(sets)
       val hs = sh.select($"doc_id",
         expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
@@ -299,8 +315,7 @@ object TextOps {
         .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
         .where($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
-      jaccardVerify(s, cand, sets)
-    }
+      jaccardVerify(cand, sets)
   }
 
   /** SimHash parameters: 48-bit fingerprints (the md5-prefix hash width),
@@ -357,8 +372,15 @@ object TextOps {
         |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
         |FROM cand
         |WHERE bit_count(xor(fp_a, fp_b)) <= $SH_HAMMING_MAX""".stripMargin) { (s, dir) =>
+      simhashNeardupPairs(t(s, dir, "documents"))
+    }
+  }
+
+  /** SimHash near-dup detector over ANY (doc_id, text) frame. */
+  def simhashNeardupPairs(docs: DataFrame): DataFrame = {
+      val s = docs.sparkSession
       import s.implicits._
-      val sets = docShingleSets(s, dir)
+      val sets = shingleSets(docs)
       val hs = explodedShingles(sets).select($"doc_id",
         expr("CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT)").as("h"))
       val sigCols = (0 until SH_BITS).map(b =>
@@ -384,7 +406,6 @@ object TextOps {
         .select($"doc_a", $"doc_b",
           bit_count(expr("fp_a ^ fp_b")).cast(LongType).as("hamming"))
         .where($"hamming" <= SH_HAMMING_MAX)
-    }
   }
 
   val all: Seq[QueryDef] = Seq(

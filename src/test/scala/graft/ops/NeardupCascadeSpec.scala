@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Behavioral proof of the dedup cascade on planted documents — the
+  * oracle harness only proves Spark==DuckDB; this proves the detectors
+  * actually find near-duplicates and don't invent them. Deterministic
+  * corpus: a base document, a light perturbation (one word of sixty
+  * changed), an exact copy, and an unrelated document. */
+class NeardupCascadeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60 deterministic pseudo-words
+  private val baseWords = (1 to 60).map(i => s"w${(i * 37) % 101}")
+  private val docs = Seq(
+    (1L, baseWords.mkString(" ")),                                  // base
+    (2L, baseWords.updated(30, "CHANGED").mkString(" ")),           // near-dup
+    (3L, baseWords.mkString(" ")),                                  // exact copy
+    (4L, (1 to 60).map(i => s"z${(i * 53) % 97}").mkString(" ")))   // unrelated
+    .toDF("doc_id", "text")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  private val dupPairs = Set((1L, 2L), (1L, 3L), (2L, 3L))
+
+  test("exact Jaccard finds all planted pairs and nothing else") {
+    val p = TextOps.jaccardNeardupPairs(docs)
+    assert(pairs(p) == dupPairs)
+    // the exact copy scores Jaccard 1.0
+    val exact = p.where($"doc_a" === 1L && $"doc_b" === 3L)
+      .select("jaccard_q6").as[Long].collect().head
+    assert(exact == 1000000L)
+  }
+
+  test("MinHash banding recalls the planted pairs at high Jaccard") {
+    assert(pairs(TextOps.minhashNeardupPairs(docs)) == dupPairs)
+  }
+
+  test("SimHash finds the planted pairs with small Hamming distance") {
+    val p = TextOps.simhashNeardupPairs(docs)
+    assert(pairs(p) == dupPairs)
+    val h13 = p.where($"doc_a" === 1L && $"doc_b" === 3L)
+      .select("hamming").as[Long].collect().head
+    assert(h13 == 0L) // identical text → identical fingerprint
+  }
+
+  test("shingleSets: fewer than 3 tokens yields an empty set, 3 yields one") {
+    val tiny = Seq((1L, "one two"), (2L, "one two three"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val sets = TextOps.shingleSets(tiny)
+      .select($"doc_id", org.apache.spark.sql.functions.size($"sset").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sets == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+}
