@@ -98,6 +98,42 @@ object TextOps {
       when(enHits >= 2, "en").otherwise("unknown").as("lang_guess"))
   }
 
+  /** Composite quality score + keep/drop decision — the filter stage of a
+    * training-data pipeline. Three independent heuristics vote: document
+    * length in a sane band, alphabetic character ratio, and mean word
+    * length in the natural-language band. Integer/quantized arithmetic
+    * throughout so the score is engine-exact; the decision is a plain
+    * CASE, so downstream `WHERE keep` pushes into the scan at scale. */
+  val qualityFilter: QueryDef = QueryDef.sql(
+    "quality_filter",
+    """SELECT doc_id,
+      |  CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
+      |         >= length(text) * 60 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(text) <= 12 * len(string_split(text, ' '))
+      |         AND length(text) >= 3 * len(string_split(text, ' '))
+      |         THEN 1 ELSE 0 END AS quality_score,
+      |  CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
+      |         >= length(text) * 60 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(text) <= 12 * len(string_split(text, ' '))
+      |         AND length(text) >= 3 * len(string_split(text, ' '))
+      |         THEN 1 ELSE 0 END >= 2 AS keep
+      |FROM documents""") { (s, dir) =>
+    import s.implicits._
+    val lenOk = when(length($"text").between(100, 20000), 1).otherwise(0)
+    val alphaOk = when(
+      length(regexp_replace(lower($"text"), "[^a-z]", "")) * 100 >=
+        length($"text") * 60, 1).otherwise(0)
+    val nTok = size(split($"text", " ", -1))
+    val wordLenOk = when(
+      length($"text") <= nTok * 12 && length($"text") >= nTok * 3, 1)
+      .otherwise(0)
+    val score = (lenOk + alphaOk + wordLenOk).cast(IntegerType)
+    t(s, dir, "documents").select(
+      $"doc_id", score.as("quality_score"), (score >= 2).as("keep"))
+  }
+
   /** Document fingerprint: md5 over the normalized text (lower + strip
     * non-alphanumerics) — stable under whitespace/punct jitter, the cheap
     * first stage of a dedup cascade. */
@@ -410,5 +446,6 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, langHistogram, langIdHeuristic,
-    docFingerprint, ngramJaccardNeardup, minhashLshNeardup, simhashNeardup)
+    qualityFilter, docFingerprint, ngramJaccardNeardup, minhashLshNeardup,
+    simhashNeardup)
 }
