@@ -327,7 +327,10 @@ object TextOps {
   def minhashNeardupPairs(docs: DataFrame): DataFrame = {
       val s = docs.sparkSession
       import s.implicits._
-      val sets = shingleSets(docs)
+      // persist: without it the interpreted transform/array_distinct chain
+      // under the explode re-evaluates per OUTPUT row (shingle), not per
+      // document — a ~50x recompute (measured 8s of a 9s query at sf0.1)
+      val sets = shingleSets(docs).persist()
       val sh = explodedShingles(sets)
       val hs = sh.select($"doc_id",
         expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
@@ -416,7 +419,9 @@ object TextOps {
   def simhashNeardupPairs(docs: DataFrame): DataFrame = {
       val s = docs.sparkSession
       import s.implicits._
-      val sets = shingleSets(docs)
+      // persist: see minhashNeardupPairs — explode would re-evaluate the
+      // shingling per output row
+      val sets = shingleSets(docs).persist()
       val hs = explodedShingles(sets).select($"doc_id",
         expr("CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT)").as("h"))
       val sigCols = (0 until SH_BITS).map(b =>
