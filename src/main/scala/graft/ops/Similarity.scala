@@ -37,7 +37,12 @@ object Similarity {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** vec_id, qe (quantized int64 vector), nrm (int64 squared norm). */
+  /** vec_id, qe (quantized int64 vector), nrm (int64 squared norm).
+    * Persisted: the interpreted `transform` would otherwise re-evaluate
+    * under downstream self-joins/explodes (per consumer, and per OUTPUT
+    * row under a generator — the pathology measured in TextOps); every
+    * similarity query reads this stage table instead. The harness clears
+    * the cache between queries. */
   private def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings").select(
@@ -45,6 +50,7 @@ object Similarity {
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qe"))
       .withColumn("nrm", Kit.dotI64(col("qe"), col("qe")))
+      .persist()
   }
 
   private def cosCol(dot: Column, na: Column, nb: Column): Column =
