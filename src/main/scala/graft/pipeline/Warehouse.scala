@@ -139,6 +139,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
     } finally cached.unpersist()
   }
 
+  /** Compaction — the small-file maintenance op every streaming/append
+    * warehouse needs at scale: years of micro-batch appends leave
+    * thousands of KB-sized part-files, and scan cost becomes file-open
+    * dominated. Rewrites the table into ~`targetBytesPerFile` files
+    * (floor of current on-disk size / target, min 1). Atomic via
+    * write-to-temp + directory swap, so a concurrent reader sees either
+    * the old or the new layout, never a half-written one. */
+  def compact(table: String, targetBytesPerFile: Long = 128L << 20): LoadResult = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(root, table)
+    val bytes = Files.walk(dir).filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => Files.size(p)).sum()
+    val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
+    val df = read(table)
+    val tmp = s"$root/.compact-$table"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val old = s"$root/.old-$table"
+    Files.move(dir, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    LoadResult(table, s"compacted($nFiles files)", n)
+  }
+
   private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],
                     table: String): Unit = {
     val w = df.write.mode(mode)
