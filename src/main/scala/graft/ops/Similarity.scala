@@ -226,6 +226,92 @@ object Similarity {
       .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
+  /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
+    * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
+    * path"; this engine ships both). Deterministic coarse quantizer so
+    * the DuckDB oracle replays it exactly: centroids = every 61st vector
+    * (cell count grows ~n/61, i.e. with the corpus, as IVF wants), each
+    * vector is assigned to its max-cosine centroid, a query probes its 2
+    * nearest cells, and exact cosine re-ranks the probed candidates to
+    * top-5. At 100 TB: assignment is one broadcast-centroids pass over
+    * the corpus (written as a stage table alongside the embeddings), and
+    * a query touches ~2/K of the corpus instead of all of it — the
+    * recall/cost dial is (K, nprobe), not data size. */
+  val ivfTopk: QueryDef = QueryDef.sql(
+    "ivf_topk",
+    oraclePrefix +
+      """,
+        |cents AS (SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 61 = 0),
+        |cdots AS (
+        |  SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * g.v) AS BIGINT) AS dot
+        |  FROM flat f
+        |  JOIN cents c ON true
+        |  JOIN flat g ON g.vec_id = c.cent_id AND g.i = f.i
+        |  GROUP BY 1, 2),
+        |ccos AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |    CAST(d.dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM cdots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nb ON nb.vec_id = d.cent_id),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell FROM ccos
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cent_id AS cell FROM ccos
+        |  WHERE vec_id % 25 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.qid),
+        |dots AS (
+        |  SELECT c.qid, c.cid, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN flat fa ON fa.vec_id = c.qid
+        |  JOIN flat fb ON fb.vec_id = c.cid AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT qid, cid,
+        |    CAST(dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = qid
+        |  JOIN norms nb ON nb.vec_id = cid)
+        |SELECT qid, cid, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
+        |FROM sims
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = quantized(s, dir)
+    val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
+      $"nrm".as("cn")).where($"cent_id" % 61 === 0)
+    val ccos = base.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cos".desc, $"cent_id".asc)
+    val ranked = ccos.withColumn("rk", row_number().over(wAssign))
+    val assign = ranked.where($"rk" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+    val probes = ranked.where($"vec_id" % 25 === 0 && $"rk" <= 2)
+      .select($"vec_id".as("qid"), $"cent_id".as("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid")).distinct()
+    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    cand
+      .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
+        Seq("qid"))
+      .join(base.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
+        Seq("cid"))
+      .select($"qid", $"cid",
+        cosCol(Kit.dotI64($"qa", $"qb"), $"na", $"nb").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where($"rk" <= 5)
+      .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+  }
+
   /** Multimodal-column plumbing: treat content as an opaque binary column
     * with typed metadata — byte length, content hash, header bytes, and a
     * deterministic stub feature vector (surfaced as scalar columns). The
@@ -256,5 +342,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    similarityTopk, annLshTopk, embeddingNeardup, multimodalFeatures)
+    similarityTopk, annLshTopk, ivfTopk, embeddingNeardup, multimodalFeatures)
 }
