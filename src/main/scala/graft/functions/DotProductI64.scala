@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   * no allocation, no boxing, no virtual calls (brief preference order:
   * native `Expression` with `doGenCode` over UDFs).
   *
-  * Semantics match the higher-order formulation the oracle mirrors:
-  * null input → null; arrays of unequal length use the common prefix
-  * (zip_with would null-pad; inputs here are fixed-dim embeddings, and
-  * the prefix rule makes the expression total rather than throwing).
+  * Semantics: null input array → null; a null ELEMENT in the overlapped
+  * range → null (matching the higher-order formulation, where the null
+  * propagates through zip_with and aggregate); arrays of unequal length
+  * use the common prefix (zip_with would null-pad the shorter side and
+  * thus return null — inputs here are fixed-dim embeddings, and the
+  * prefix rule makes the expression total; the one deliberate
+  * divergence, documented and tested).
   */
 case class DotProductI64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,6 +47,7 @@ case class DotProductI64(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -59,11 +63,15 @@ case class DotProductI64(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+
+  // a null element can null the result even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductI64 =

@@ -196,7 +196,11 @@ object TextOps {
 
   /** The exact-Jaccard near-dup detector over ANY (doc_id, text) frame —
     * unit-testable on literal documents; the registered query applies it
-    * to the fixture table. */
+    * to the fixture table. NOTE (all three detectors): the shingle/
+    * signature stage tables stay persisted until the session's cache is
+    * cleared — the Verify/Bench harness does so between queries; other
+    * long-lived callers should `spark.catalog.clearCache()` (or accept
+    * the cached stage as reusable state) after materializing results. */
   def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

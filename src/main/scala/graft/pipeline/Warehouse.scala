@@ -143,24 +143,58 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * warehouse needs at scale: years of micro-batch appends leave
     * thousands of KB-sized part-files, and scan cost becomes file-open
     * dominated. Rewrites the table into ~`targetBytesPerFile` files
-    * (floor of current on-disk size / target, min 1). Atomic via
-    * write-to-temp + directory swap, so a concurrent reader sees either
-    * the old or the new layout, never a half-written one. */
+    * (floor of current on-disk size / target, min 1), PRESERVING a
+    * date/partition layout (partition dirs are detected and the rewrite
+    * re-partitions by the same columns — flattening them would break
+    * RelandByDate and partition discovery). Bucketed CATALOG tables are
+    * refused: their files carry bucket ids the path-level rewrite cannot
+    * reproduce; re-land them with [[loadBucketed]] instead.
+    *
+    * The swap is write-to-temp + two directory renames: readers see the
+    * old layout until the first rename and the new one after the second;
+    * the window in between is not atomic (POSIX offers no two-directory
+    * swap) — run compaction when the table has no concurrent readers.
+    * Crash-safe: leftover temp dirs are cleaned on entry, and a crash
+    * between the renames is recovered on the next call (the displaced
+    * old layout is restored before re-compacting). */
   def compact(table: String, targetBytesPerFile: Long = 128L << 20): LoadResult = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    require(!spark.catalog.tableExists(table),
+      s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
     val dir = Paths.get(root, table)
-    val bytes = Files.walk(dir).filter(p => p.toString.endsWith(".parquet"))
-      .mapToLong(p => Files.size(p)).sum()
+    val tmp = Paths.get(root, s".compact-$table")
+    val old = Paths.get(root, s".old-$table")
+    // recover from a crash between the two renames of a previous run
+    if (!Files.isDirectory(dir) && Files.isDirectory(old))
+      Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
+    Seq(tmp, old).foreach(p => if (Files.exists(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    val (bytes, partitionCols) = scala.util.Using.resource(Files.walk(dir)) { st =>
+      val files = st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      val b = files.filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+      // partition dirs look like  <table>/col=value/...  — recover the
+      // column chain from any leaf file's relative path
+      val cols = files.headOption.map { f =>
+        dir.relativize(f).iterator().asScala.toSeq.dropRight(1)
+          .map(_.toString).takeWhile(_.contains("="))
+          .map(_.split("=", 2)(0))
+      }.getOrElse(Seq.empty)
+      (b, cols)
+    }
     val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
     val df = read(table)
-    val tmp = s"$root/.compact-$table"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    val old = s"$root/.old-$table"
-    Files.move(dir, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
-    LoadResult(table, s"compacted($nFiles files)", n)
+    val writer =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      else df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    writer.parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    LoadResult(table, s"compacted(${if (partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
   }
 
   private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],

@@ -40,14 +40,6 @@ object EventWindows {
     * exactly once. */
   def drainOnce(spark: SparkSession, inboxDir: String, tableDir: String,
                 checkpointDir: String): StreamingQuery = {
-    val q = windowedCounts(spark, inboxDir).writeStream
-      .format("parquet")
-      .option("path", tableDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    Streams.drainOnce(windowedCounts(spark, inboxDir), tableDir, checkpointDir)
   }
 }

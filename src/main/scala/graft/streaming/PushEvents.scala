@@ -57,14 +57,6 @@ object PushEvents {
     * batch deployment mode). Blocks until the drain completes. */
   def drainOnce(spark: SparkSession, inboxDir: String, tableDir: String,
                 checkpointDir: String): StreamingQuery = {
-    val q = stream(spark, inboxDir).writeStream
-      .format("parquet")
-      .option("path", tableDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    Streams.drainOnce(stream(spark, inboxDir), tableDir, checkpointDir)
   }
 }

@@ -96,14 +96,6 @@ object StatefulSessions {
   /** Drain pending events; closed sessions append exactly once. */
   def drainOnce(spark: SparkSession, inboxDir: String, tableDir: String,
                 checkpointDir: String): StreamingQuery = {
-    val q = sessions(spark, inboxDir).toDF().writeStream
-      .format("parquet")
-      .option("path", tableDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    Streams.drainOnce(sessions(spark, inboxDir).toDF(), tableDir, checkpointDir)
   }
 }

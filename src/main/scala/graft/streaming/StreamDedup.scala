@@ -22,14 +22,6 @@ object StreamDedup {
 
   def drainOnce(spark: SparkSession, inboxDir: String, tableDir: String,
                 checkpointDir: String): StreamingQuery = {
-    val q = deduped(spark, inboxDir).writeStream
-      .format("parquet")
-      .option("path", tableDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    Streams.drainOnce(deduped(spark, inboxDir), tableDir, checkpointDir)
   }
 }

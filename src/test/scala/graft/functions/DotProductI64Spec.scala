@@ -32,6 +32,13 @@ class DotProductI64Spec extends SparkTestBase {
       Seq(Some(11L), None, Some(11L)))
   }
 
+  test("a null ELEMENT nulls the result, matching null propagation in aggregate") {
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(4L), Some(5L), Some(6L))))
+      .toDF("a", "b")
+      .select(Kit.dotI64($"a", $"b").as("d"))
+    assert(df.as[Option[Long]].collect().toSeq == Seq(None))
+  }
+
   test("the expression runs inside whole-stage codegen") {
     // a literal frame would be constant-folded to a LocalTableScan, so
     // derive the arrays from range() to get a real codegen'd stage

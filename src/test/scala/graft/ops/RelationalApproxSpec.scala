@@ -2,8 +2,12 @@ package graft.ops
 
 import graft.SparkTestBase
 
-/** Accuracy contract of the approx distinct variant: within 5% of the
-  * exact per-group counts (HLL++ at rsd 0.02 is well inside that). */
+/** Accuracy contract of the approx distinct variant: within 5% (with a
+  * ±1 floor) of the exact per-group counts. At rsd 0.05 this bound holds
+  * because the fixture's per-order cardinalities are tiny (≤7), where
+  * HLL++'s linear-counting regime is near-exact; for large groups 5%
+  * would be a 1-sigma bound, not a guarantee — widen the tolerance if
+  * the fixture ever grows high-cardinality groups. */
 class RelationalApproxSpec extends SparkTestBase {
   import spark.implicits._
 

@@ -30,6 +30,31 @@ class WarehouseScaleSpec extends SparkTestBase {
     assert(back.select("event_date").distinct().count() == 8)
   }
 
+  test("compact preserves a reland partition layout; re-land still replaces its date") {
+    val w = Warehouse(spark, tmpDir("cpp-wh"))
+    val p = SinkPolicy.RelandByDate("event_date")
+    (1 to 4).foreach(i => w.load("t", hits(f"2026-03-$i%02d", 6), p))
+    w.compact("t")
+    // partition dirs survive the rewrite
+    val dirs = new java.io.File(w.root + "/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 4 && dirs.forall(_.startsWith("event_date=")))
+    assert(w.read("t").count() == 24)
+    // and the idempotent re-land semantics still hold after compaction
+    w.load("t", hits("2026-03-02", 2), p)
+    val back = w.read("t")
+    assert(back.count() == 20)
+    assert(back.where($"event_date" === "2026-03-02").count() == 2)
+  }
+
+  test("compact refuses a bucketed catalog table") {
+    val w = Warehouse(spark, tmpDir("cpb-wh"))
+    w.loadBucketed("bk_t", hits("2026-01-01", 10), "user", 2)
+    try {
+      intercept[IllegalArgumentException](w.compact("bk_t"))
+    } finally spark.sql("DROP TABLE IF EXISTS bk_t")
+  }
+
   test("date-partitioned reland layout prunes partitions at scan time") {
     val w = Warehouse(spark, tmpDir("pp-wh"))
     val p = SinkPolicy.RelandByDate("event_date")
