@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+
+/** One-pass data-quality expectations: per-rule violation counts, the
+  * uniqueness special case, and the pass/fail gate. */
+class ExpectationsSpec extends SparkTestBase {
+  import spark.implicits._
+  import Expectations._
+
+  private val batch = Seq(
+    (1, Some("30301"), 0.5),
+    (2, Some("3030x"), 1.5),   // bad zip format, out of range
+    (3, None, 0.7),            // null zip
+    (3, Some("30060"), 0.2))   // duplicate id
+    .toDF("id", "zip", "score")
+
+  test("check counts violations per rule in one pass") {
+    val report = check(batch, Seq(
+      NotNull("zip"),
+      Matches("zip", "^[0-9]{5}$"),
+      InRange("score", 0.0, 1.0),
+      Holds("positive_id", $"id" > 0),
+      Unique("id")))
+    assert(report("rows") == 4L)
+    assert(report("not_null(zip)") == 1L)
+    assert(report("matches(zip)") == 1L)
+    assert(report("in_range(score,0.0,1.0)") == 1L)
+    assert(report("positive_id") == 0L)
+    assert(report("unique(id)") == 1L)
+  }
+
+  test("pass gates a pipeline load") {
+    assert(!pass(batch, Seq(NotNull("zip"))))
+    val clean = batch.where($"zip".isNotNull && $"score" <= 1.0)
+      .dropDuplicates("id")
+    assert(pass(clean, Seq(NotNull("zip"), InRange("score", 0.0, 1.0),
+      Unique("id"))))
+  }
+
+  test("Holds treats a null predicate result as a violation") {
+    val df = Seq(Some(5), None).toDF("v")
+    val report = check(df, Seq(Holds("v_positive", $"v" > 0)))
+    assert(report("v_positive") == 1L) // the NULL row is not proven
+  }
+}
