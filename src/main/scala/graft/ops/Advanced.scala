@@ -92,5 +92,66 @@ object Advanced {
       .select($"event_id", $"user_id", $"ts", $"view_ts")
   }
 
-  val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView)
+  /** CUBE over returnflag × linestatus: all four grouping combinations
+    * (cells, both margins, grand total) in one Expand+aggregate pass —
+    * the §2.4 "grouping sets / cube" row. */
+  val cubeSales: QueryDef = QueryDef.sql(
+    "cube_sales",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), Kit.moneySum($"l_quantity").as("sum_qty"))
+  }
+
+  /** Ranking-function kit over a partitioned window: rank, dense_rank,
+    * percent_rank, ntile(4), lead — the §2.5 surface beyond row_number.
+    * Quantized percent_rank keeps the double engine-portable; ORDER BY
+    * includes the key so ties are deterministic. */
+  val windowRankKit: QueryDef = QueryDef.sql(
+    "window_rank_kit",
+    """SELECT o_orderkey, o_custkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_q6,
+      |  ntile(4) OVER w AS quartile,
+      |  lead(o_orderkey) OVER w AS next_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)""") { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    t(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey",
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      Kit.quantize(percent_rank().over(w), 6).as("prank_q6"),
+      ntile(4).over(w).as("quartile"),
+      lead($"o_orderkey", 1).over(w).as("next_order"))
+  }
+
+  /** Exact interpolated percentiles per group — Spark's `percentile` and
+    * DuckDB's `quantile_cont` both sort and linearly interpolate, so on
+    * integer-valued quantities the doubles agree exactly (quantized
+    * anyway for hash stability). The 100 TB note: exact percentiles sort
+    * each group; prefer approx_percentile when 1e-3 error is acceptable. */
+  val aggPercentiles: QueryDef = QueryDef.sql(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT) AS p50_q6,
+      |  CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT) AS p90_q6,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+      Kit.quantize(expr("percentile(l_quantity, 0.5)"), 6).as("p50_q6"),
+      Kit.quantize(expr("percentile(l_quantity, 0.9)"), 6).as("p90_q6"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"))
+  }
+
+  val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
+    cubeSales, windowRankKit, aggPercentiles)
 }
