@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.Kit
 import graft.sources.Tables
@@ -152,6 +153,54 @@ object Advanced {
       max($"l_quantity").as("max_qty"))
   }
 
+  /** Argmin/argmax + conditional aggregates: which order carries the
+    * max price per priority (`max_by` / DuckDB `arg_max`), conditional
+    * counts and boolean aggregation — one shuffle, all map-side
+    * combinable. Ties: the fixture's o_totalprice is distinct per group
+    * at 2-decimal granularity, so arg extremes are well-defined. */
+  val aggArgminmax: QueryDef = QueryDef.sql(
+    "agg_argminmax",
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+      |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+      |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      |  bool_or(o_totalprice > 400000) AS any_huge,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k
+      |FROM orders GROUP BY o_orderpriority""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders").groupBy($"o_orderpriority").agg(
+      max_by($"o_orderkey", $"o_totalprice").as("priciest_order"),
+      min_by($"o_orderkey", $"o_totalprice").as("cheapest_order"),
+      count_if($"o_totalprice" > 100000).as("n_big"),
+      bool_or($"o_totalprice" > 400000).as("any_huge"),
+      bool_and($"o_totalprice" > 1000).as("all_over_1k"))
+  }
+
+  /** Array-function kit over the embedding vectors: length, quantized
+    * max element, 1-based position of the max, a slice, and a sorted
+    * prefix — the ArrayType manipulation surface (DuckDB list_* mirrors
+    * each; Spark array_position is already 1-based like DuckDB). */
+  val arrayKit: QueryDef = QueryDef.sql(
+    "array_kit",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS max_q6,
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS max_pos,
+      |  CAST(FLOOR(CAST(embedding[5] AS DOUBLE) * 1000000) AS BIGINT) AS e5_q6,
+      |  CAST(FLOOR(CAST(list_sort(embedding[1:8])[1] AS DOUBLE) * 1000000) AS BIGINT) AS min8_q6
+      |FROM embeddings""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "embeddings").select(
+      $"vec_id",
+      size($"embedding").as("dim"),
+      Kit.quantize(array_max($"embedding").cast(DoubleType), 6).as("max_q6"),
+      array_position($"embedding", array_max($"embedding")).as("max_pos"),
+      Kit.quantize($"embedding".getItem(4).cast(DoubleType), 6).as("e5_q6"),
+      Kit.quantize(
+        array_sort(slice($"embedding", 1, 8)).getItem(0).cast(DoubleType), 6)
+        .as("min8_q6"))
+  }
+
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
-    cubeSales, windowRankKit, aggPercentiles)
+    cubeSales, windowRankKit, aggPercentiles, aggArgminmax, arrayKit)
 }
