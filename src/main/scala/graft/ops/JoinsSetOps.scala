@@ -152,7 +152,32 @@ object JoinsSetOps {
     t(s, dir, "region").select($"r_name").crossJoin(years)
   }
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicity (a nation appearing 3× among customers and 2× among
+    * suppliers intersects 2×), unlike the distinct set ops in
+    * `intersect_except`. Spark plans both as multiplicity-tracking
+    * aggregations, one shuffle each. */
+  val bagSetOps: QueryDef = QueryDef.sql(
+    "bag_set_ops",
+    """SELECT 'inter_all' AS side, n_nationkey FROM (
+      |  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_custkey <= 200
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except_all' AS side, n_nationkey FROM (
+      |  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_custkey <= 200
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier)""") { (s, dir) =>
+    import s.implicits._
+    val c = t(s, dir, "customer").where($"c_custkey" <= 200)
+      .select($"c_nationkey".as("n_nationkey"))
+    val sup = t(s, dir, "supplier").select($"s_nationkey".as("n_nationkey"))
+    c.intersectAll(sup).select(lit("inter_all").as("side"), $"n_nationkey")
+      .unionByName(
+        c.exceptAll(sup).select(lit("except_all").as("side"), $"n_nationkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     leftJoinAgg, antiJoinNewRows, semiJoinActive, unionDistinct,
-    symmetricDifference, dedupDistinct, crossJoinFanout)
+    symmetricDifference, dedupDistinct, crossJoinFanout, bagSetOps)
 }

@@ -248,7 +248,60 @@ object Shaping {
       Kit.moneyAvg($"o_totalprice").as("avg_price"))
   }
 
+  /** MapType surface over the JSON props column: parse to a typed map,
+    * surface the (sorted) key list as a string, typed element access, and
+    * key membership. The oracle works on the JSON document directly
+    * (DuckDB json_keys / json_extract) — same logical operation, two
+    * different physical representations, identical rows. */
+  val mapKit: QueryDef = QueryDef.sql(
+    "map_kit",
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS key_list,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+      |  json_extract(props, '$.k') IS NOT NULL AS has_k,
+      |  json_extract(props, '$.missing') IS NOT NULL AS has_missing
+      |FROM events""") { (s, dir) =>
+    import s.implicits._
+    val m = from_json($"props",
+      org.apache.spark.sql.types.MapType(StringType, LongType))
+    t(s, dir, "events").select(
+      $"event_id",
+      concat_ws(",", array_sort(map_keys(m))).as("key_list"),
+      element_at(m, "k").as("k_val"),
+      map_contains_key(m, "k").as("has_k"),
+      map_contains_key(m, "missing").as("has_missing"))
+  }
+
+  /** Second string/regexp kit (padding, reversal, repetition, regex
+    * counting, field extraction, null scalars) — the remaining F-row
+    * surface a text pipeline leans on. */
+  val stringKit3: QueryDef = QueryDef.sql(
+    "string_kit_3",
+    """SELECT p_partkey,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  rpad(p_brand, 12, '.') AS brand_pad,
+      |  reverse(p_name) AS name_rev,
+      |  repeat(p_type[1:1], 3) AS t3,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+      |  split_part(p_type, ' ', 2) AS type_mid,
+      |  nullif(p_size, 1) AS size_or_null,
+      |  ifnull(nullif(p_size, 1), -1) AS size_fallback
+      |FROM part""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "part").select(
+      $"p_partkey",
+      lpad($"p_size".cast(StringType), 4, "0").as("size_pad"),
+      rpad($"p_brand", 12, ".").as("brand_pad"),
+      reverse($"p_name").as("name_rev"),
+      repeat(substring($"p_type", 1, 1), 3).as("t3"),
+      regexp_count($"p_name", lit("[aeiou]+")).cast(LongType).as("vowel_runs"),
+      split_part($"p_type", lit(" "), lit(2)).as("type_mid"),
+      nullif($"p_size", lit(1)).as("size_or_null"),
+      coalesce(nullif($"p_size", lit(1)), lit(-1)).as("size_fallback"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     topkPerGroup, windowRunningSum, stringKit, dateKit, jsonPropsExtract,
-    pivotEventCounts, unpivotMeasures, castRename, scalarKit2, moneyRollup)
+    pivotEventCounts, unpivotMeasures, castRename, scalarKit2, moneyRollup,
+    mapKit, stringKit3)
 }
