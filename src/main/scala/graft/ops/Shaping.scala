@@ -42,20 +42,23 @@ object Shaping {
   }
 
   /** Running sum + lag per supplier over a total order (shipdate, orderkey,
-    * linenumber). Quantities are integer-valued doubles → the running sum
-    * is exact regardless of partial-sum order. */
+    * linenumber, quantity — the fixture carries duplicate
+    * (orderkey, linenumber) rows at sf0.1, so quantity is the final
+    * tiebreaker that makes the order, and thus LAG and every prefix sum,
+    * deterministic across engines). Quantities are integer-valued doubles
+    * → the running sum is exact regardless of partial-sum order. */
   val windowRunningSum: QueryDef = QueryDef.sql(
     "window_running_sum",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
       |  LAG(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
       |FROM lineitem""") { (s, dir) =>
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
     t(s, dir, "lineitem").select(
       $"l_suppkey", $"l_orderkey", $"l_linenumber",
       sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0))
