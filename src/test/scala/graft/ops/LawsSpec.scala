@@ -64,6 +64,13 @@ class LawsSpec extends SparkTestBase {
     })
   }
 
+  test("intersectAll and exceptAll partition the left multiset") {
+    check("bagops")(Prop.forAll(rows, rows) { (a, b) =>
+      val (da, db) = (df(a), df(b))
+      da.intersectAll(db).count() + da.exceptAll(db).count() == a.size.toLong
+    })
+  }
+
   test("watermark (max) is monotone under union") {
     check("watermark")(Prop.forAll(rows, rows) { (a, b) =>
       import org.apache.spark.sql.functions.max

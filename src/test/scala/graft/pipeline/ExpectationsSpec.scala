@@ -38,6 +38,14 @@ class ExpectationsSpec extends SparkTestBase {
       Unique("id"))))
   }
 
+  test("an empty batch passes vacuously with zero rows") {
+    val empty = batch.limit(0)
+    val report = check(empty, Seq(NotNull("zip"), Unique("id")))
+    assert(report("rows") == 0L && report("not_null(zip)") == 0L &&
+      report("unique(id)") == 0L)
+    assert(pass(empty, Seq(NotNull("zip"), Unique("id"))))
+  }
+
   test("Holds treats a null predicate result as a violation") {
     val df = Seq(Some(5), None).toDF("v")
     val report = check(df, Seq(Holds("v_positive", $"v" > 0)))
