@@ -303,8 +303,59 @@ object Shaping {
       coalesce(nullif($"p_size", lit(1)), lit(-1)).as("size_fallback"))
   }
 
+  /** Second temporal kit: month-end, ISO week, quarter, month shifting
+    * (DuckDB's `+ INTERVAL` lands on TIMESTAMP — cast back to DATE),
+    * and date construction from parts. */
+  val dateKit2: QueryDef = QueryDef.sql(
+    "date_kit_2",
+    """SELECT o_orderkey,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  make_date(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 1, 1) AS year_start
+      |FROM orders""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "orders").select(
+      $"o_orderkey",
+      last_day($"o_orderdate").as("month_end"),
+      weekofyear($"o_orderdate").as("iso_week"),
+      quarter($"o_orderdate").as("qtr"),
+      add_months($"o_orderdate".cast(DateType), 3).as("plus3m"),
+      make_date(year($"o_orderdate"), lit(1), lit(1)).as("year_start"))
+  }
+
+  /** Math/conditional scalar kit: least/greatest, abs/sign/mod on
+    * integers, and quantized sqrt/ln/pow — F18 beyond the budget
+    * arithmetic. */
+  val mathKit: QueryDef = QueryDef.sql(
+    "math_kit",
+    """SELECT p_partkey, p_size,
+      |  least(p_size, 25) AS size_capped,
+      |  greatest(p_size, 5) AS size_floored,
+      |  abs(p_size - 25) AS dist_from_25,
+      |  CAST(sign(p_size - 25) AS BIGINT) AS side_of_25,
+      |  p_size % 7 AS size_mod7,
+      |  CAST(FLOOR(sqrt(CAST(p_size AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_q6,
+      |  CAST(FLOOR(ln(CAST(p_size AS DOUBLE)) * 1000000) AS BIGINT) AS ln_q6,
+      |  CAST(FLOOR(pow(1.05, p_size % 10) * 1000000) AS BIGINT) AS growth_q6
+      |FROM part""") { (s, dir) =>
+    import s.implicits._
+    import graft.functions.Kit
+    t(s, dir, "part").select(
+      $"p_partkey", $"p_size",
+      least($"p_size", lit(25)).as("size_capped"),
+      greatest($"p_size", lit(5)).as("size_floored"),
+      abs($"p_size" - 25).as("dist_from_25"),
+      signum($"p_size" - 25).cast(LongType).as("side_of_25"),
+      ($"p_size" % 7).as("size_mod7"),
+      Kit.quantize(sqrt($"p_size".cast(DoubleType)), 6).as("sqrt_q6"),
+      Kit.quantize(log($"p_size".cast(DoubleType)), 6).as("ln_q6"),
+      Kit.quantize(pow(lit(1.05), $"p_size" % 10), 6).as("growth_q6"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     topkPerGroup, windowRunningSum, stringKit, dateKit, jsonPropsExtract,
     pivotEventCounts, unpivotMeasures, castRename, scalarKit2, moneyRollup,
-    mapKit, stringKit3)
+    mapKit, stringKit3, dateKit2, mathKit)
 }
