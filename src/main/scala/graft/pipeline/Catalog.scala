@@ -32,10 +32,12 @@ final case class Catalog(root: String) {
         p.toString.endsWith(".parquet") && Files.isRegularFile(p)))
     }
 
-  /** S3: does the table exist (any committed parquet data present)? */
+  /** S3: does the table exist (any committed version, or — for a
+    * pre-manifest legacy layout — any parquet data present)? */
   def tableExists(table: String): Boolean = {
     val dir = tableDir(table)
-    Files.isDirectory(dir) && parquetFiles(dir)(_.nonEmpty)
+    Files.isDirectory(dir) &&
+      (TxnLog.current(dir).isDefined || parquetFiles(dir)(_.nonEmpty))
   }
 
   /** All table names present in the warehouse (the `__TABLES__` scan). */
@@ -46,14 +48,17 @@ final case class Catalog(root: String) {
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
     }
 
-  /** S4: last-modified instant of a table = max part-file mtime. */
+  /** S4: last-modified instant of a table = commit time of its current
+    * manifest — more faithful than a part-file mtime walk, since it marks
+    * when the version became VISIBLE (and is O(1), not O(#files)).
+    * Pre-manifest legacy layouts fall back to max part-file mtime. */
   def lastModified(table: String): Option[Instant] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) None
-    else parquetFiles(dir) { files =>
+    else TxnLog.lastCommitTime(dir).orElse(parquetFiles(dir) { files =>
       val times = files.map(p => Files.getLastModifiedTime(p).toInstant).toSeq
       if (times.isEmpty) None else Some(times.max)
-    }
+    })
   }
 
   /** S4 as the reference consumes it: the last-modified *date*

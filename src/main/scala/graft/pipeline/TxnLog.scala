@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** One committed table version: the ordered list of data files (paths
+  * relative to the table directory) that constitute the table, plus the
+  * partition-column chain its layout is keyed by. */
+final case class Manifest(version: Long, partitionCols: Seq[String],
+                          files: Seq[String])
+
+/** Minimal versioned-manifest commit log — the atomicity layer under
+  * [[Warehouse]]. The reference lands batches through BigQuery load jobs,
+  * which are atomic by service contract
+  * (`functions/utils/datasources.py:55-58`, blocking `.result()`); a
+  * path-addressed parquet warehouse has no such contract, so this module
+  * supplies it the way Delta/Iceberg do, scaled down to one file:
+  *
+  *   - data files are IMMUTABLE and write-once, under `<table>/data/<txn>/`
+  *   - each commit is one manifest file `<table>/_log/v<N>.manifest`
+  *     listing every file of the new version — published with an atomic
+  *     link(2), so a manifest is either absent or complete, never partial
+  *   - readers resolve the HIGHEST manifest once and pin its file list:
+  *     a concurrent commit (append, re-land, overwrite, compaction) never
+  *     changes what an in-flight reader sees, because nothing a manifest
+  *     references is ever rewritten in place, and nothing is deleted
+  *     outside an explicit [[Warehouse.vacuum]]
+  *   - writers race on the version number: creating `v<N>.manifest` fails
+  *     for all but one committer (EEXIST), and losers rebuild against the
+  *     new current version and retry — optimistic concurrency, identical
+  *     in shape to Delta's log-contention loop
+  *
+  * At 100 TB the manifest is O(#files) metadata, never O(data): an append
+  * writes only its own parquet files plus one small text file, and
+  * compaction swaps file lists without a data-visible intermediate state.
+  */
+object TxnLog {
+
+  private val Magic = "graft-manifest-v1"
+  private val NameRe = raw"v(\d{12})\.manifest".r
+
+  def logDir(tableDir: Path): Path = tableDir.resolve("_log")
+  def dataDir(tableDir: Path): Path = tableDir.resolve("data")
+
+  private def manifestPath(tableDir: Path, version: Long): Path =
+    logDir(tableDir).resolve(f"v$version%012d.manifest")
+
+  /** All committed versions, ascending (empty if the table has no log). */
+  def versions(tableDir: Path): Seq[Long] = {
+    val ld = logDir(tableDir)
+    if (!Files.isDirectory(ld)) Seq.empty
+    else Using.resource(Files.list(ld)) { st =>
+      st.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case NameRe(n) => Some(n.toLong)
+        case _         => None
+      }).toSeq.sorted
+    }
+  }
+
+  /** The current (highest-version) manifest, if any commit exists. */
+  def current(tableDir: Path): Option[Manifest] =
+    versions(tableDir).lastOption.map(v => readVersion(tableDir, v))
+
+  def readVersion(tableDir: Path, version: Long): Manifest = {
+    val lines = Files.readAllLines(
+      manifestPath(tableDir, version), StandardCharsets.UTF_8).asScala.toSeq
+    require(lines.headOption.contains(Magic),
+      s"unrecognized manifest header in v$version of $tableDir")
+    val partitionCols = lines(1).stripPrefix("partition=") match {
+      case "" => Seq.empty
+      case s  => s.split(",").toSeq
+    }
+    Manifest(version, partitionCols, lines.drop(2))
+  }
+
+  /** Commit time of the current version (mtime of its manifest file). */
+  def lastCommitTime(tableDir: Path): Option[java.time.Instant] =
+    versions(tableDir).lastOption.map(v =>
+      Files.getLastModifiedTime(manifestPath(tableDir, v)).toInstant)
+
+  /** Try to publish `m` as version `m.version`. Returns true on success,
+    * false if another committer won that version (caller re-resolves the
+    * current manifest and retries). Publication is write-temp + fsync +
+    * atomic `link(2)` — readers observe either no manifest or the whole
+    * manifest, and EEXIST makes version numbers race-free. */
+  def tryCommit(tableDir: Path, m: Manifest): Boolean = {
+    val ld = logDir(tableDir)
+    Files.createDirectories(ld)
+    val body = (Seq(Magic, s"partition=${m.partitionCols.mkString(",")}") ++
+      m.files).mkString("\n")
+    val tmp = Files.createTempFile(ld, ".tmp-", ".manifest")
+    try {
+      Using.resource(java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.WRITE)) { ch =>
+        ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+        ch.force(true) // durable before it can become visible
+      }
+      try { Files.createLink(manifestPath(tableDir, m.version), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit loop: rebuild the manifest against the latest committed state
+    * until the publish wins. `build` receives the current manifest (None
+    * for a first commit) and returns (partitionCols, files) for the next
+    * version. Returns the committed manifest. */
+  def commit(tableDir: Path)
+            (build: Option[Manifest] => (Seq[String], Seq[String])): Manifest = {
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      val cur = current(tableDir)
+      val (cols, files) = build(cur)
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), cols, files)
+      if (tryCommit(tableDir, next)) committed = Some(next)
+    }
+    committed.get
+  }
+
+  /** Drop one superseded manifest (vacuum's log-pruning half). */
+  def deleteVersion(tableDir: Path, version: Long): Unit =
+    Files.deleteIfExists(manifestPath(tableDir, version))
+
+  /** The `col=value` directory segments of a relative file path — the
+    * partition identity used for dynamic-partition replacement. */
+  def partitionSegments(relPath: String): Seq[String] =
+    relPath.split('/').dropRight(1).filter(_.matches("[^=/]+=[^/]*")).toSeq
+
+  /** All parquet files under `dir`, as paths relative to `tableDir`,
+    * sorted for deterministic manifests. */
+  def listParquet(tableDir: Path, dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Using.resource(Files.walk(dir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => tableDir.relativize(p).toString).toSeq.sorted
+    }
+}

@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import java.time.LocalDate
+import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** How a batch lands in its target table — the reference's write
@@ -14,15 +14,15 @@ import org.apache.spark.sql.functions._
   *   - [[SinkPolicy.Overwrite]]: truncate-replace (`WRITE_TRUNCATE`,
   *     `datasources.py:362-366,440-444`). The reference truncates twice
   *     (explicit `TRUNCATE TABLE` + `WRITE_TRUNCATE`, SURVEY §4.1) — here
-  *     a single atomic overwrite.
+  *     a single atomic manifest swap.
   *   - [[SinkPolicy.RelandByDate]]: delete-by-date idempotent re-land
   *     (`DELETE FROM t WHERE Date='{overwrite}'` then append,
-  *     `datasources.py:50-53`). Implemented as DYNAMIC PARTITION
-  *     OVERWRITE on a date-partitioned layout: only the partitions
-  *     present in the incoming batch are replaced, which is both the
-  *     idempotency delete and the append in one atomic commit — and the
-  *     only shape of this operation that scales (a predicate delete that
-  *     rewrites a 100 TB unpartitioned table per re-land does not).
+  *     `datasources.py:50-53`). Implemented as dynamic partition
+  *     replacement at the manifest level: only the partitions present in
+  *     the incoming batch are swapped out of the file list, which is both
+  *     the idempotency delete and the append in ONE atomic commit — and
+  *     the only shape of this operation that scales (a predicate delete
+  *     that rewrites a 100 TB unpartitioned table per re-land does not).
   */
 sealed trait SinkPolicy
 object SinkPolicy {
@@ -35,52 +35,96 @@ object SinkPolicy {
 /** One landed batch, for the pipeline run report. */
 final case class LoadResult(source: String, action: String, rows: Long)
 
-/** A parquet warehouse rooted at `root`: land/read/catalog in one place.
+/** A parquet warehouse rooted at `root`: land/read/catalog in one place,
+  * with ATOMIC commits via a versioned-manifest log (see [[TxnLog]]).
+  *
+  * Every mutation — append, truncate-replace, re-land, compaction —
+  * writes immutable files to a fresh `data/<txn>/` directory and then
+  * publishes one manifest; a reader resolves the manifest once and is
+  * pinned to that snapshot, so it sees the table before the commit or
+  * after it, never a mix. This is the engine-side equivalent of the
+  * reference's atomic BigQuery load jobs (`datasources.py:55-58`).
   *
   * Fixes two reference quirks deliberately (SURVEY §4.1): sink errors
   * SURFACE (the reference's idempotency `DELETE` was fire-and-forget with
   * no `.result()`, silently swallowing failures — here every write is
-  * synchronous and throws), and the delete-by-date only ever fires for an
-  * explicitly re-landed batch (the reference could issue
-  * `DELETE ... WHERE Date='None'` on normal runs).
+  * synchronous and throws, and a failed write never commits a manifest),
+  * and the delete-by-date only ever fires for an explicitly re-landed
+  * batch (the reference could issue `DELETE ... WHERE Date='None'` on
+  * normal runs).
   */
 final case class Warehouse(spark: SparkSession, root: String) {
 
   val catalog: Catalog = Catalog(root)
 
-  private def path(table: String): String = s"$root/$table"
+  private def tableDir(table: String): Path = Paths.get(root, table)
 
-  /** Read a table back. `mergeSchema` makes column additions from later
-    * appends visible — the read-side half of `ALLOW_FIELD_ADDITION`. */
-  def read(table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path(table))
+  /** Read the current committed snapshot of a table. The file list is
+    * resolved ONCE, here — the returned DataFrame keeps answering from
+    * this version even if commits land (or compaction rewrites files)
+    * while it is being consumed. `mergeSchema` makes column additions
+    * from later appends visible — the read-side half of
+    * `ALLOW_FIELD_ADDITION`. Tables written by pre-manifest layouts are
+    * still readable (plain directory scan). */
+  def read(table: String): DataFrame = {
+    val dir = tableDir(table)
+    TxnLog.current(dir) match {
+      case Some(m) =>
+        require(m.files.nonEmpty, s"$table manifest v${m.version} lists no files")
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", dir.toString) // keeps col=value dirs as partition columns
+          .parquet(m.files.map(f => dir.resolve(f).toString): _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dir.toString)
+    }
+  }
+
+  /** The data files (table-relative) of the current version — the unit
+    * tests' and operators' window into what a snapshot contains. */
+  def currentFiles(table: String): Seq[String] =
+    TxnLog.current(tableDir(table)).map(_.files).getOrElse(Seq.empty)
 
   /** Land `df` into `table` under `policy`. Returns what happened.
     *
-    * Empty batches are skipped (the reference's `df.shape[0] > 0` guard,
-    * `datasources.py:756`) — checked with `isEmpty` (one lazy task), not
-    * `count()`.
+    * Single-pass: the batch is streamed straight into the transaction
+    * directory with an `observe` row-count piggybacked on the write — no
+    * `cache()`/`count()` pre-materialization, so the sink does exactly
+    * one read of the input plan at any scale. Empty batches (the
+    * reference's `df.shape[0] > 0` guard, `datasources.py:756`) are
+    * detected from the same observed metric and skipped: their
+    * transaction directory is discarded and no manifest is committed.
     */
   def load(table: String, df: DataFrame, policy: SinkPolicy): LoadResult = {
-    // one evaluation of the batch plan serves both the empty check and
-    // the landed-rows count (a separate isEmpty would run the plan twice)
-    val cached = df.cache()
-    try {
-      val n = cached.count()
-      if (n == 0) return LoadResult(table, "skipped-empty", 0L)
-      policy match {
-        case SinkPolicy.Append =>
-          write(cached, SaveMode.Append, None, table)
-        case SinkPolicy.Overwrite =>
-          write(cached, SaveMode.Overwrite, None, table)
-        case SinkPolicy.RelandByDate(dateCol) =>
-          // Dynamic mode: only partitions present in df are replaced —
-          // re-landing the same date twice keeps exactly one copy, other
-          // dates are untouched.
-          write(cached, SaveMode.Overwrite, Some(dateCol), table)
+    val dir = tableDir(table)
+    adoptLegacyLayout(dir)
+    val partCols = policy match {
+      case SinkPolicy.RelandByDate(c) =>
+        val cur = TxnLog.current(dir).map(_.partitionCols)
+        require(cur.forall(_ == Seq(c)),
+          s"$table is partitioned by ${cur.get.mkString(",")}, cannot re-land by $c")
+        Seq(c)
+      case SinkPolicy.Append =>
+        TxnLog.current(dir).map(_.partitionCols).getOrElse(Seq.empty)
+      case SinkPolicy.Overwrite => Seq.empty
+    }
+    val (newFiles, n) = writeTxn(dir, df, partCols)
+    if (n == 0) return LoadResult(table, "skipped-empty", 0L)
+    TxnLog.commit(dir) { cur =>
+      val old = cur.map(_.files).getOrElse(Seq.empty)
+      val files = policy match {
+        case SinkPolicy.Append    => old ++ newFiles
+        case SinkPolicy.Overwrite => newFiles
+        case SinkPolicy.RelandByDate(_) =>
+          // dynamic partition replacement: drop every old file living in a
+          // partition the new batch carries, keep the rest, add the batch
+          val replaced = newFiles.flatMap(TxnLog.partitionSegments).toSet
+          old.filterNot(f =>
+            TxnLog.partitionSegments(f).exists(replaced.contains)) ++ newFiles
       }
-      LoadResult(table, policy.toString, n)
-    } finally cached.unpersist()
+      (partCols, files)
+    }
+    LoadResult(table, policy.toString, n)
   }
 
   /** Dedup-on-arrival: keep only rows of `df` not already present in
@@ -118,95 +162,167 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * co-located join discipline for recurring large-table joins at 100 TB
     * (pay the clustering once at write, never shuffle at read). Requires
     * the session catalog (`saveAsTable`), so it lives beside the
-    * path-addressed sinks rather than inside [[load]]. */
+    * manifest-committed sinks rather than inside [[load]]. */
   def loadBucketed(table: String, df: DataFrame, bucketCol: String,
                    nBuckets: Int): LoadResult = {
-    val cached = df.cache()
-    try {
-      val n = cached.count() // landed rows, without re-scanning the table
-      // repartition to the bucket layout first: HashPartitioning matches
-      // the bucket hash, so each task holds exactly one bucket → one file
-      // per bucket. That both avoids small-file explosion and lets readers
-      // trust the per-bucket sort order (multi-file buckets force a
-      // re-sort).
-      cached.repartition(nBuckets, col(bucketCol))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(nBuckets, bucketCol)
-        .sortBy(bucketCol)
-        .option("path", path(table))
-        .saveAsTable(table)
-      LoadResult(table, s"bucketed($bucketCol,$nBuckets)", n)
-    } finally cached.unpersist()
+    val obs = Observation()
+    // repartition to the bucket layout first: HashPartitioning matches
+    // the bucket hash, so each task holds exactly one bucket → one file
+    // per bucket. That both avoids small-file explosion and lets readers
+    // trust the per-bucket sort order (multi-file buckets force a
+    // re-sort).
+    df.observe(obs, count(lit(1)).as("rows"))
+      .repartition(nBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path(table))
+      .saveAsTable(table)
+    LoadResult(table, s"bucketed($bucketCol,$nBuckets)", observedRows(obs))
   }
 
   /** Compaction — the small-file maintenance op every streaming/append
     * warehouse needs at scale: years of micro-batch appends leave
     * thousands of KB-sized part-files, and scan cost becomes file-open
-    * dominated. Rewrites the table into ~`targetBytesPerFile` files
-    * (floor of current on-disk size / target, min 1), PRESERVING a
-    * date/partition layout (partition dirs are detected and the rewrite
-    * re-partitions by the same columns — flattening them would break
-    * RelandByDate and partition discovery). Bucketed CATALOG tables are
-    * refused: their files carry bucket ids the path-level rewrite cannot
-    * reproduce; re-land them with [[loadBucketed]] instead.
-    *
-    * The swap is write-to-temp + two directory renames: readers see the
-    * old layout until the first rename and the new one after the second;
-    * the window in between is not atomic (POSIX offers no two-directory
-    * swap) — run compaction when the table has no concurrent readers.
-    * Crash-safe: leftover temp dirs are cleaned on entry, and a crash
-    * between the renames is recovered on the next call (the displaced
-    * old layout is restored before re-compacting). */
+    * dominated. Rewrites the current snapshot into ~`targetBytesPerFile`
+    * files (floor of current on-disk size / target, min 1), preserving
+    * the table's partition layout (flattening it would break RelandByDate
+    * and partition pruning), then publishes the rewrite as one manifest
+    * commit. Readers pinned to the old version keep their old files —
+    * compaction is invisible to them until [[vacuum]] reclaims space.
+    * Bucketed CATALOG tables are refused: their files carry bucket ids
+    * the path-level rewrite cannot reproduce; re-land them with
+    * [[loadBucketed]] instead. */
   def compact(table: String, targetBytesPerFile: Long = 128L << 20): LoadResult = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     require(!spark.catalog.tableExists(table),
       s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
-    val dir = Paths.get(root, table)
-    val tmp = Paths.get(root, s".compact-$table")
-    val old = Paths.get(root, s".old-$table")
-    // recover from a crash between the two renames of a previous run
-    if (!Files.isDirectory(dir) && Files.isDirectory(old))
-      Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
-    Seq(tmp, old).foreach(p => if (Files.exists(p))
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-    val (bytes, partitionCols) = scala.util.Using.resource(Files.walk(dir)) { st =>
-      val files = st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-      val b = files.filter(_.toString.endsWith(".parquet")).map(Files.size).sum
-      // partition dirs look like  <table>/col=value/...  — recover the
-      // column chain from any leaf file's relative path
-      val cols = files.headOption.map { f =>
-        dir.relativize(f).iterator().asScala.toSeq.dropRight(1)
-          .map(_.toString).takeWhile(_.contains("="))
-          .map(_.split("=", 2)(0))
-      }.getOrElse(Seq.empty)
-      (b, cols)
-    }
+    val dir = tableDir(table)
+    adoptLegacyLayout(dir)
+    val cur = TxnLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
     val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
-    val df = read(table)
-    val writer =
-      if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
-      else df.repartition(nFiles).write.mode(SaveMode.Overwrite)
-    writer.parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    LoadResult(table, s"compacted(${if (partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
+    val snapshot = read(table) // pinned to `cur`'s files
+    val shaped =
+      if (cur.partitionCols.nonEmpty)
+        snapshot.repartition(cur.partitionCols.map(col): _*)
+      else snapshot.repartition(nFiles)
+    val (newFiles, n) = writeTxn(dir, shaped, cur.partitionCols)
+    TxnLog.commit(dir)(_ => (cur.partitionCols, newFiles))
+    LoadResult(table,
+      s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
   }
 
-  private def write(df: DataFrame, mode: SaveMode, partitionCol: Option[String],
-                    table: String): Unit = {
-    val w = df.write.mode(mode)
-    partitionCol match {
-      case Some(c) =>
-        // writer-local option, not a session-conf mutation — concurrent
-        // writers with different policies can't race on global state
-        w.option("partitionOverwriteMode", "dynamic")
-          .partitionBy(c).parquet(path(table))
-      case None => w.parquet(path(table))
+  /** Reclaim space: delete every data file not referenced by the CURRENT
+    * manifest, then drop superseded manifests. Readers still consuming a
+    * pre-vacuum snapshot lose their files — run vacuum on the retention
+    * cadence the deployment's longest reader allows (same contract as
+    * Delta's `VACUUM`). Returns the number of files deleted. */
+  def vacuum(table: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val dir = tableDir(table)
+    TxnLog.current(dir) match {
+      case None => 0
+      case Some(m) =>
+        val keep = m.files.toSet
+        // everything outside _log that the current manifest doesn't
+        // reference is garbage: superseded data files, crashed-write
+        // orphans, and their _SUCCESS/marker droppings
+        val doomed = scala.util.Using.resource(Files.walk(dir)) { st =>
+          st.iterator().asScala.filter { p =>
+            Files.isRegularFile(p) &&
+              !p.startsWith(TxnLog.logDir(dir)) &&
+              !keep.contains(dir.relativize(p).toString)
+          }.toSeq
+        }
+        doomed.foreach(Files.delete)
+        scala.util.Using.resource(Files.list(dir)) { st =>
+          st.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) && p != TxnLog.logDir(dir))
+            .foreach(pruneEmptyDirs)
+        }
+        TxnLog.versions(dir).dropRight(1)
+          .foreach(v => TxnLog.deleteVersion(dir, v))
+        doomed.size
+    }
+  }
+
+  private def path(table: String): String = tableDir(table).toString
+
+  /** Stream `df` into a hidden staging directory with the landed-row
+    * count observed on the same pass, then slot the files into their
+    * final immutable locations — Hive/Delta layout: `col=value` partition
+    * dirs directly under the table root (Spark's partition discovery
+    * requires this; nested per-txn dirs make it see conflicting base
+    * paths), unpartitioned files under `data/`, every file name prefixed
+    * with the txn id so writers never collide. The files stay INVISIBLE
+    * until the caller commits a manifest referencing them. Returns the
+    * new table-relative paths and the observed row count; a zero-row
+    * batch leaves no trace. */
+  private def writeTxn(dir: Path, df: DataFrame,
+                       partCols: Seq[String]): (Seq[String], Long) = {
+    val txn = java.util.UUID.randomUUID().toString.take(8)
+    val staging = dir.resolve(s".staging-$txn")
+    val obs = Observation()
+    val counted = df.observe(obs, count(lit(1)).as("rows"))
+    val w = counted.write.mode(SaveMode.ErrorIfExists)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(staging.toString)
+    val n = observedRows(obs)
+    if (n == 0) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      pruneEmptyDirs(dir)
+      return (Seq.empty, 0L)
+    }
+    val finals = TxnLog.listParquet(staging, staging).map { rel =>
+      val slash = rel.lastIndexOf('/')
+      val (parent, name) =
+        if (slash < 0) ("data", rel) else (rel.take(slash), rel.drop(slash + 1))
+      val target = s"$parent/$txn-$name"
+      Files.createDirectories(dir.resolve(target).getParent)
+      Files.move(staging.resolve(rel), dir.resolve(target))
+      target
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    (finals, n)
+  }
+
+  private def observedRows(obs: Observation): Long =
+    obs.get("rows") match {
+      case l: Long          => l
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalStateException(s"bad rows metric: $other")
+    }
+
+  /** A table written by a pre-manifest layout (plain parquet dir, or an
+    * external writer) is adopted on first touch: its existing files
+    * become version 1, partition columns inferred from their `col=value`
+    * directory chain. Idempotent; no data moves. */
+  private def adoptLegacyLayout(dir: Path): Unit =
+    if (TxnLog.current(dir).isEmpty) {
+      // txn-prefixed names are orphans of a crashed pre-commit write, not
+      // legacy data — never resurrect them
+      val files = TxnLog.listParquet(dir, dir)
+        .filterNot(_.split('/').last.matches("^[0-9a-f]{8}-.*"))
+      if (files.nonEmpty) {
+        val cols = TxnLog.partitionSegments(files.head).map(_.split("=", 2)(0))
+        TxnLog.commit(dir)(_ => (cols, files))
+      }
+    }
+
+  /** Remove empty directories bottom-up under `p` (including `p` itself
+    * if it empties out) — keeps skipped/vacuumed tables from leaving
+    * ghost entries in `listTables`. */
+  private def pruneEmptyDirs(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p)) {
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach { d =>
+          if (Files.isDirectory(d) &&
+              scala.util.Using.resource(Files.list(d))(s => !s.iterator().hasNext))
+            Files.delete(d)
+        }
+      }
     }
   }
 }

@@ -24,19 +24,22 @@ object Tables {
   /** Lazy scan of one fixture table.
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * raw longs (legacy conf) and convert to a microsecond TimestampType —
-    * integer `div` so the 1.7e18-scale nanos never round-trip through a
-    * double. Fixture timestamps are whole microseconds, so this is
-    * lossless and oracle-parity-safe.
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must be
+    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (every entry
+    * point in this repo does — Verify/Bench/Plans/SparkTestBase); the
+    * nanos then arrive as raw longs and are converted to a microsecond
+    * TimestampType here — integer `div` so the 1.7e18-scale nanos never
+    * round-trip through a double. Fixture timestamps are whole
+    * microseconds, so this is lossless and oracle-parity-safe. (No
+    * session-conf mutation in this hot path: a reader that mutates
+    * global conf races against concurrent planners.)
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register every fixture table as a temp view so `spark.sql` works

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** The atomic-commit contract of the versioned-manifest warehouse
+  * ([[TxnLog]]): a reader resolves one manifest and is pinned to that
+  * snapshot — every mutation (append, overwrite, re-land, compaction) is
+  * either invisible or fully visible to it, never a mix; uncommitted
+  * writes are invisible to everyone; version numbers cannot be
+  * double-committed; and vacuum is the only operation that ever deletes
+  * a committed file. This is the engine-side equivalent of the
+  * reference's atomic BigQuery load jobs
+  * (`functions/utils/datasources.py:55-58`, blocking `.result()`). */
+class AtomicCommitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hits(d: String, n: Int) =
+    (1 to n).map(i => (s"u$i", d)).toDF("user", "event_date")
+      .withColumn("event_date", $"event_date".cast("date"))
+
+  test("a reader pinned before a re-land sees the old table; after, the new — never a mix") {
+    val w = Warehouse(spark, tmpDir("at-wh"))
+    val p = SinkPolicy.RelandByDate("event_date")
+    w.load("t", hits("2026-01-01", 3), p)
+    w.load("t", hits("2026-01-02", 4), p)
+    val pinned = w.read("t") // snapshot: file list resolved here
+    // corrected batch replaces the 4-row date with 2 rows
+    w.load("t", hits("2026-01-02", 2), p)
+    // the pinned reader still sees the pre-commit world in full...
+    assert(pinned.count() == 7)
+    assert(pinned.where($"event_date" === "2026-01-02").count() == 4)
+    // ...and a fresh reader sees the post-commit world in full
+    val fresh = w.read("t")
+    assert(fresh.count() == 5)
+    assert(fresh.where($"event_date" === "2026-01-02").count() == 2)
+  }
+
+  test("a reader pinned before compaction keeps its files until vacuum") {
+    val w = Warehouse(spark, tmpDir("at2-wh"))
+    (1 to 5).foreach(i => w.load("t", hits(f"2026-01-$i%02d", 10),
+      SinkPolicy.Append))
+    val pinned = w.read("t")
+    w.compact("t")
+    assert(pinned.count() == 50)          // old files intact post-compact
+    assert(w.read("t").count() == 50)     // new layout has the same data
+    val reclaimed = w.vacuum("t")
+    assert(reclaimed >= 5, s"vacuum deleted only $reclaimed files")
+    // after vacuum only the current version's files and manifest remain
+    val dir = Paths.get(w.root, "t")
+    assert(TxnLog.versions(dir).size == 1)
+    assert(TxnLog.listParquet(dir, dir).toSet ==
+      w.currentFiles("t").toSet)
+    assert(w.read("t").count() == 50)
+  }
+
+  test("uncommitted transaction data is invisible to readers and the catalog") {
+    val w = Warehouse(spark, tmpDir("at3-wh"))
+    w.load("t", hits("2026-01-01", 3), SinkPolicy.Append)
+    // simulate a writer that crashed after writing files, before commit
+    val orphan = Paths.get(w.root, "t", "data", "txn-crashed")
+    hits("2026-01-09", 50).write.parquet(orphan.toString)
+    assert(w.read("t").count() == 3)
+    assert(w.catalog.lastModifiedDate("t").isDefined)
+    // vacuum reclaims the orphaned files
+    assert(w.vacuum("t") >= 1)
+    assert(!Files.exists(orphan))
+    assert(w.read("t").count() == 3)
+  }
+
+  test("a version number cannot be committed twice; first committer wins") {
+    val dir = Paths.get(tmpDir("at4-log"))
+    val first = Manifest(1L, Seq.empty, Seq("data/a/f1.parquet"))
+    val second = Manifest(1L, Seq.empty, Seq("data/b/f2.parquet"))
+    assert(TxnLog.tryCommit(dir, first))
+    assert(!TxnLog.tryCommit(dir, second)) // EEXIST → loser must retry
+    assert(TxnLog.current(dir).get.files == Seq("data/a/f1.parquet"))
+    // the retry path: commit() rebuilds against current and lands v2
+    val m = TxnLog.commit(dir) { cur =>
+      (Seq.empty, cur.get.files :+ "data/b/f2.parquet")
+    }
+    assert(m.version == 2L)
+    assert(TxnLog.current(dir).get.files ==
+      Seq("data/a/f1.parquet", "data/b/f2.parquet"))
+  }
+
+  test("a pre-manifest (legacy) parquet table is adopted on first load") {
+    val root = tmpDir("at5-wh")
+    // external writer left a plain parquet directory — no _log
+    hits("2026-01-01", 4).write.parquet(s"$root/t")
+    val w = Warehouse(spark, root)
+    assert(w.catalog.tableExists("t"))
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Append)
+    assert(w.read("t").count() == 6)       // legacy rows survived adoption
+    assert(TxnLog.versions(Paths.get(root, "t")).size == 2)
+  }
+
+  test("overwrite leaves a pinned reader on the old version until vacuum") {
+    val w = Warehouse(spark, tmpDir("at6-wh"))
+    w.load("t", hits("2026-01-01", 5), SinkPolicy.Overwrite)
+    val pinned = w.read("t")
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Overwrite)
+    assert(pinned.count() == 5)
+    assert(w.read("t").count() == 2)
+  }
+
+  test("a skipped empty batch leaves no table, no ghost dir, no manifest") {
+    val w = Warehouse(spark, tmpDir("at7-wh"))
+    val r = w.load("t", hits("2026-01-01", 1).limit(0), SinkPolicy.Append)
+    assert(r.action == "skipped-empty")
+    assert(!w.catalog.tableExists("t"))
+    assert(w.catalog.listTables().isEmpty)
+  }
+}

@@ -16,14 +16,10 @@ class WarehouseScaleSpec extends SparkTestBase {
     val w = Warehouse(spark, tmpDir("cp-wh"))
     (1 to 8).foreach(i => w.load("t", hits(f"2026-01-$i%02d", 10),
       SinkPolicy.Append))
-    def partFiles: Int = {
-      val d = new java.io.File(w.root + "/t")
-      d.listFiles().count(_.getName.endsWith(".parquet"))
-    }
-    val before = partFiles
+    val before = w.currentFiles("t").size
     assert(before >= 8)
     val r = w.compact("t")
-    assert(partFiles < before)
+    assert(w.currentFiles("t").size < before)
     assert(r.rows == 80L)
     val back = w.read("t")
     assert(back.count() == 80)
@@ -35,10 +31,10 @@ class WarehouseScaleSpec extends SparkTestBase {
     val p = SinkPolicy.RelandByDate("event_date")
     (1 to 4).foreach(i => w.load("t", hits(f"2026-03-$i%02d", 6), p))
     w.compact("t")
-    // partition dirs survive the rewrite
-    val dirs = new java.io.File(w.root + "/t").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
-    assert(dirs.length == 4 && dirs.forall(_.startsWith("event_date=")))
+    // every committed file still lives under an event_date=… partition dir
+    val parts = w.currentFiles("t")
+      .flatMap(TxnLog.partitionSegments).distinct.sorted
+    assert(parts.length == 4 && parts.forall(_.startsWith("event_date=")))
     assert(w.read("t").count() == 24)
     // and the idempotent re-land semantics still hold after compaction
     w.load("t", hits("2026-03-02", 2), p)
