@@ -159,12 +159,15 @@ object TextOps {
 
   /** Exact n-gram Jaccard near-dup detection, shingle-bucketed with a
     * document-frequency cap (see [[DF_CAP]]): explode distinct word-3-
-    * grams, self-join on shingles with df ≤ cap (candidate pairs share
-    * ≥1 rare shingle — never doc×doc, never hot-shingle quadratic),
-    * then count intersections over the FULL shingle sets, Jaccard =
-    * |∩| / (|A|+|B|−|∩|), keep pairs ≥ 0.30. Quantized (floor×1e6) so the
-    * double division is engine-portable. At 100 TB: candidate volume is
-    * bounded per shingle; the intersection join shuffles on doc_id. */
+    * grams, keep shingles with df ≤ cap, and emit each rare shingle's
+    * doc-pair combinations map-side (candidate pairs share ≥1 rare
+    * shingle — never doc×doc, never hot-shingle quadratic, no shingle
+    * self-join), then compute Jaccard = |∩| / (|A|+|B|−|∩|) over the FULL
+    * shingle sets and keep pairs ≥ 0.30. Quantized (floor×1e6) so the
+    * double division is engine-portable. At 100 TB: the shingled corpus
+    * is shuffled exactly once (window df-count and doc-list collection
+    * share one hash partitioning), candidate volume is bounded by
+    * DF_CAP²/2 per shingle, and pair dedup is a two-column distinct. */
   val ngramJaccardNeardup: QueryDef = QueryDef.sql(
     "ngram_jaccard_neardup",
     s"""WITH tok AS (
@@ -204,16 +207,63 @@ object TextOps {
   def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sets = shingleSets(docs).persist() // stage table: read by rare/cand/verify
-    val sh = explodedShingles(sets)
-    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .where($"df" <= DF_CAP).select($"s")
-    val a = sh.toDF("doc_a", "s")
-    val b = sh.toDF("doc_b", "s")
-    val cand = a.join(rare, Seq("s")).join(b, Seq("s"))
-      .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    jaccardVerify(cand, sets)
+    val sets = shingleSets(docs).persist() // stage table: read by cand/verify
+    // 8-byte shingle hashes, not strings, through every shuffle. (A 64-bit
+    // collision could in principle merge two shingles' df counts or link a
+    // spurious candidate; at ~2⁻⁶⁴ per pair the exact-Jaccard verify stage
+    // makes this unobservable.)
+    val sh = explodedShingles(sets).select($"doc_id", xxhash64($"s").as("h"))
+    // ONE shuffle of the shingled corpus: window-count the document
+    // frequency per shingle hash, drop hot shingles, then collect each
+    // rare shingle's ≤DF_CAP doc ids on the SAME hash(h) partitioning —
+    // Catalyst inserts no second exchange. The old formulation self-joined
+    // the exploded corpus (both sides shuffled, the b-side unfiltered) and
+    // deduped with a wide distinct; this never shuffles a shingle twice.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    // stage table (persisted): one window pass computes per-shingle df and
+    // the ≤DF_CAP doc list; read twice below (pair-gen + per-doc rare
+    // counts) without re-shuffling the corpus
+    val docLists = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .where($"df" <= DF_CAP)
+      .groupBy($"h").agg(collect_list($"doc_id").as("ds"))
+      .persist()
+    // pair generation is map-side: each rare shingle's doc list yields its
+    // ordered pairs locally (≤ DF_CAP²/2 per shingle, bounded); the
+    // multiplicity — how many rare shingles a pair shares — is aggregated
+    // on narrow two-column rows AND is the verify prune's input.
+    val pairs = docLists
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_rare"))
+    // Candidate-pair volume is quadratic-ish in df (measured: 1.13M pairs
+    // from 5k fixture docs) but almost all pairs share only a few rare
+    // shingles — nowhere near Jaccard 0.30. Prune with an exact upper
+    // bound before touching any shingle array: |A∩B| ≤ shared_rare +
+    // min(hot_a, hot_b), and J is monotone in |A∩B|, so a pair whose
+    // bound falls below the threshold cannot pass the exact verify. This
+    // collapses the verify join input from every candidate to the
+    // plausible few — the difference between an O(candidates) and an
+    // O(near-dups) verify stage at 100 TB.
+    val nRare = docLists
+      .select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    val stats = sets
+      .select($"doc_id", size($"sset").cast(LongType).as("n"))
+      .join(nRare, Seq("doc_id"), "left")
+      .select($"doc_id", $"n",
+        ($"n" - coalesce($"n_rare", lit(0L))).as("n_hot"))
+    val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
+    val plausible = pairs
+      .join(stats.toDF("doc_a", "na", "nhot_a"), Seq("doc_a"))
+      .join(stats.toDF("doc_b", "nb", "nhot_b"), Seq("doc_b"))
+      .where(ub.cast(DoubleType) / ($"na" + $"nb" - ub) >= 0.30)
+      .select($"doc_a", $"doc_b")
+    jaccardVerify(plausible, sets)
   }
 
   /** Per-document DISTINCT word-3-gram shingle set as an array column:
@@ -245,18 +295,23 @@ object TextOps {
     * generators: join the (small) candidate pair set back to the per-doc
     * shingle arrays and compute |∩| with `array_intersect` — a map-side
     * expression per pair, no intersection shuffle; set sizes come free
-    * from `size(sset)`. Keep Jaccard ≥ 0.30, quantized. */
+    * from the array length. The intersection runs over 8-byte xxhash64
+    * arrays, not the shingle strings — same counts barring a ~2⁻⁶⁴
+    * collision, at a fraction of the per-pair compare cost. Keep
+    * Jaccard ≥ 0.30, quantized. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
+    val hsets = sets.select($"doc_id",
+      expr("transform(sset, s -> xxhash64(s))").as("hs"))
     val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
     cand
-      .join(sets.toDF("doc_a", "sa_set"), Seq("doc_a"))
-      .join(sets.toDF("doc_b", "sb_set"), Seq("doc_b"))
+      .join(hsets.toDF("doc_a", "ha"), Seq("doc_a"))
+      .join(hsets.toDF("doc_b", "hb"), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"sa_set", $"sb_set")).cast(LongType).as("n_both"),
-        size($"sa_set").cast(LongType).as("na"),
-        size($"sb_set").cast(LongType).as("nb"))
+        size(array_intersect($"ha", $"hb")).cast(LongType).as("n_both"),
+        size($"ha").cast(LongType).as("na"),
+        size($"hb").cast(LongType).as("nb"))
       .where(jac >= 0.30)
       .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
   }
