@@ -201,6 +201,64 @@ object Advanced {
         .as("min8_q6"))
   }
 
+  /** Explicit GROUPING SETS with `grouping_id()` — the general form cube
+    * and rollup specialize ((nation) alone is expressible by neither).
+    * One Expand + one aggregation pass, same as cube/rollup; gid
+    * disambiguates which set produced a row when a grouping column is
+    * genuinely NULL. Completes the §2.4 grouping family. */
+  val groupingSetsSales: QueryDef = QueryDef.sql(
+    "grouping_sets_sales",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |  CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), (n.n_name), ())""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "customer").as("c")
+      .join(broadcast(t(s, dir, "nation").as("n")),
+        $"n.n_nationkey" === $"c.c_nationkey")
+      .join(broadcast(t(s, dir, "region").as("r")),
+        $"r.r_regionkey" === $"n.n_regionkey")
+      .select($"r.r_name".as("region"), $"n.n_name".as("nation"), $"c_acctbal")
+      .groupingSets(
+        Seq(Seq($"region", $"nation"), Seq($"region"), Seq($"nation"), Seq.empty),
+        $"region", $"nation")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_cust"), Kit.moneySum($"c_acctbal").as("total_bal"))
+  }
+
+  /** Skew-salted join as a registered query: events (power-law user_id —
+    * the canonical skewed fact) joined to a per-user dimension through
+    * [[SkewJoin.saltedJoin]], so the manual skew killer is measured by
+    * the bench, not just unit-proven. The salt is invisible in the
+    * result (each fact row matches exactly the one replica carrying its
+    * salt), so a plain-join oracle checks it exactly. The post-join
+    * aggregate keys by event_type — compact output at any scale. */
+  val skewSaltedJoin: QueryDef = QueryDef.sql(
+    "skew_salted_join",
+    """WITH d AS (
+      |  SELECT user_id, COUNT(*) AS n_user_events, MIN(ts) AS first_ts
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(d.n_user_events) AS BIGINT) AS sum_user_totals,
+      |  CAST(count_if(e.ts = d.first_ts) AS BIGINT) AS n_first_events
+      |FROM events e JOIN d ON e.user_id = d.user_id
+      |GROUP BY e.event_type""") { (s, dir) =>
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy($"user_id").agg(
+      count(lit(1)).as("n_user_events"), min($"ts").as("first_ts"))
+    SkewJoin.saltedJoin(ev, dim, "user_id", buckets = 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"n_user_events").as("sum_user_totals"),
+        count_if($"ts" === $"first_ts").as("n_first_events"))
+  }
+
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
-    cubeSales, windowRankKit, aggPercentiles, aggArgminmax, arrayKit)
+    cubeSales, windowRankKit, aggPercentiles, aggArgminmax, arrayKit,
+    groupingSetsSales, skewSaltedJoin)
 }

@@ -21,6 +21,26 @@ class SkewJoinSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salting bounds the hot key's largest task input to ~2x the median share") {
+    import org.apache.spark.sql.functions._
+    // without salting, one task owns all 900 hot rows; with salting, the
+    // hot key's input per task is its (k, salt) bucket — assert the
+    // largest bucket is within 2x the median bucket (binomial spread),
+    // i.e. no task sees a disproportionate share of the hot key
+    val hot = (1 to 900).map(_ => (1, "hot")).toDF("k", "payload")
+    val bucketSizes = hot
+      .withColumn("__salt", (rand(seed = 0) * 8).cast("int"))
+      .groupBy("__salt").count()
+      .select("count").as[Long].collect().toSeq.sorted
+    assert(bucketSizes.size == 8, s"expected 8 salt buckets: $bucketSizes")
+    val median = bucketSizes(bucketSizes.size / 2)
+    assert(bucketSizes.max <= 2 * median,
+      s"hot-key buckets still skewed: $bucketSizes")
+    // and the max task input really dropped vs the unsalted single task
+    assert(bucketSizes.max * 2 < 900,
+      s"salting didn't reduce the hot task: $bucketSizes")
+  }
+
   test("hot key rows spread across multiple salt buckets") {
     val facts = (1 to 1000).map(_ => (1, "x")).toDF("k", "v")
     val spread = facts
