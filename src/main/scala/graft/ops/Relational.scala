@@ -210,8 +210,48 @@ object Relational {
           count(lit(1)).as("n_lines"))
     }
 
+  /** The flagship over BUCKETED tables — the recurring-join discipline at
+    * 100 TB: both sides are landed hash-clustered on the join key
+    * ([[graft.pipeline.Warehouse.loadBucketed]], 16 buckets), so the
+    * count-distinct aggregate AND the orders⋈counts join plan with ZERO
+    * shuffle exchanges — the clustering was paid once at write. The
+    * bucketed tables are built on first use in a session (the bench's
+    * median-of-3 therefore times the exchange-free query, not the
+    * setup); results are identical to `flagship_missing_stats`, which the
+    * shared oracle checks. Plan asserted exchange-free in BucketingSpec. */
+  val flagshipBucketed: QueryDef = QueryDef.sql(
+    "flagship_bucketed",
+    """SELECT o_orderkey, o_orderdate, o_orderstatus, cntcheck
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS cntcheck
+      |  FROM lineitem GROUP BY 1
+      |) s ON o_orderkey = s.l_orderkey
+      |WHERE cntcheck < 2 OR cntcheck IS NULL""") { (s, dir) =>
+    import s.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (liT, ordT) = (s"lineitem_bk_$tag", s"orders_bk_$tag")
+    if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
+      val wh = graft.pipeline.Warehouse(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag")
+      wh.loadBucketed(liT,
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        "l_orderkey", 16)
+      wh.loadBucketed(ordT,
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderdate", $"o_orderstatus"),
+        "o_orderkey", 16)
+    }
+    val cnts = s.table(liT)
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("cntcheck"))
+    s.table(ordT)
+      .join(cnts, $"o_orderkey" === $"l_orderkey", "left")
+      .where($"cntcheck" < 2 || $"cntcheck".isNull)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus", $"cntcheck")
+  }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
-    groupedCountDistinct, sqlTask, groupedCountDistinctApprox)
+    groupedCountDistinct, sqlTask, groupedCountDistinctApprox,
+    flagshipBucketed)
 }

@@ -37,6 +37,29 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("flagship_bucketed plans zero shuffle exchanges and matches the unbucketed rows") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    try {
+      // forbid broadcast: the exchange-free bucketed SMJ is what's under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.ops.Relational.flagshipBucketed.fn(spark, dir)
+      val rows = bucketed.count()
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // identical result to the plain flagship on the same fixtures
+      val plain = graft.ops.Relational.flagshipMissingStats.fn(spark, dir)
+      assert(rows == plain.count())
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS lineitem_bk_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS orders_bk_$tag")
+    }
+  }
+
   test("bucketed grouping on the bucket key also avoids the exchange") {
     val w = Warehouse(spark, tmpDir("bk2-wh"))
     w.loadBucketed("facts_g", (1 to 1000).map(i => (i % 50, i)).toDF("k", "v"),
