@@ -6,10 +6,13 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 /** One committed table version: the ordered list of data files (paths
-  * relative to the table directory) that constitute the table, plus the
-  * partition-column chain its layout is keyed by. */
+  * relative to the table directory) that constitute the table, the
+  * partition-column chain its layout is keyed by, and — for commits made
+  * by an idempotent writer (streaming micro-batches) — the writer
+  * transaction id `app:batchId` that produced it. */
 final case class Manifest(version: Long, partitionCols: Seq[String],
-                          files: Seq[String])
+                          files: Seq[String],
+                          txnId: Option[String] = None)
 
 /** Minimal versioned-manifest commit log — the atomicity layer under
   * [[Warehouse]]. The reference lands batches through BigQuery load jobs,
@@ -72,13 +75,20 @@ object TxnLog {
       case "" => Seq.empty
       case s  => s.split(",").toSeq
     }
-    Manifest(version, partitionCols, lines.drop(2))
+    val txn = lines(2).stripPrefix("txn=") match {
+      case "" => None
+      case s  => Some(s)
+    }
+    Manifest(version, partitionCols, lines.drop(3), txn)
   }
 
-  /** Commit time of the current version (mtime of its manifest file). */
+  /** Commit time of one version (mtime of its manifest file). */
+  def commitTime(tableDir: Path, version: Long): java.time.Instant =
+    Files.getLastModifiedTime(manifestPath(tableDir, version)).toInstant
+
+  /** Commit time of the current version. */
   def lastCommitTime(tableDir: Path): Option[java.time.Instant] =
-    versions(tableDir).lastOption.map(v =>
-      Files.getLastModifiedTime(manifestPath(tableDir, v)).toInstant)
+    versions(tableDir).lastOption.map(commitTime(tableDir, _))
 
   /** Try to publish `m` as version `m.version`. Returns true on success,
     * false if another committer won that version (caller re-resolves the
@@ -88,7 +98,9 @@ object TxnLog {
   def tryCommit(tableDir: Path, m: Manifest): Boolean = {
     val ld = logDir(tableDir)
     Files.createDirectories(ld)
-    val body = (Seq(Magic, s"partition=${m.partitionCols.mkString(",")}") ++
+    val body = (Seq(Magic,
+      s"partition=${m.partitionCols.mkString(",")}",
+      s"txn=${m.txnId.getOrElse("")}") ++
       m.files).mkString("\n")
     val tmp = Files.createTempFile(ld, ".tmp-", ".manifest")
     try {
@@ -106,17 +118,25 @@ object TxnLog {
     * until the publish wins. `build` receives the current manifest (None
     * for a first commit) and returns (partitionCols, files) for the next
     * version. Returns the committed manifest. */
-  def commit(tableDir: Path)
+  def commit(tableDir: Path, txnId: Option[String] = None)
             (build: Option[Manifest] => (Seq[String], Seq[String])): Manifest = {
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
       val cur = current(tableDir)
       val (cols, files) = build(cur)
-      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), cols, files)
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), cols, files, txnId)
       if (tryCommit(tableDir, next)) committed = Some(next)
     }
     committed.get
   }
+
+  /** Has a writer transaction id already been committed? Walks the log
+    * newest-first — an idempotent writer (streaming micro-batch replay
+    * after a crash) calls this to skip a batch that already landed.
+    * O(retained versions); vacuum keeps the walk short. */
+  def txnCommitted(tableDir: Path, txnId: String): Boolean =
+    versions(tableDir).reverse.exists(v =>
+      readVersion(tableDir, v).txnId.contains(txnId))
 
   /** Drop one superseded manifest (vacuum's log-pruning half). */
   def deleteVersion(tableDir: Path, version: Long): Unit =

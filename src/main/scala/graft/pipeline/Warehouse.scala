@@ -35,6 +35,10 @@ object SinkPolicy {
 /** One landed batch, for the pipeline run report. */
 final case class LoadResult(source: String, action: String, rows: Long)
 
+/** One entry of a table's commit history ([[Warehouse.history]]). */
+final case class CommitInfo(version: Long, committedAt: java.time.Instant,
+                            nFiles: Int, txnId: Option[String])
+
 /** A parquet warehouse rooted at `root`: land/read/catalog in one place,
   * with ATOMIC commits via a versioned-manifest log (see [[TxnLog]]).
   *
@@ -85,6 +89,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def currentFiles(table: String): Seq[String] =
     TxnLog.current(tableDir(table)).map(_.files).getOrElse(Seq.empty)
 
+  /** TIME TRAVEL: read a specific committed version — free with the
+    * manifest log (every version is just a file list), valid until
+    * [[vacuum]] reclaims the files it references. The debugging/audit
+    * primitive the reference's BigQuery tables got from snapshot decorators. */
+  def readVersion(table: String, version: Long): DataFrame = {
+    val dir = tableDir(table)
+    val m = TxnLog.readVersion(dir, version)
+    require(m.files.nonEmpty, s"$table v$version lists no files")
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", dir.toString)
+      .parquet(m.files.map(f => dir.resolve(f).toString): _*)
+  }
+
+  /** The commit history of a table, oldest first: version, commit time,
+    * file count, and the writer transaction id for streaming commits. */
+  def history(table: String): Seq[CommitInfo] = {
+    val dir = tableDir(table)
+    TxnLog.versions(dir).map { v =>
+      val m = TxnLog.readVersion(dir, v)
+      CommitInfo(v, TxnLog.commitTime(dir, v), m.files.size, m.txnId)
+    }
+  }
+
   /** Land `df` into `table` under `policy`. Returns what happened.
     *
     * Single-pass: the batch is streamed straight into the transaction
@@ -95,9 +123,14 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * detected from the same observed metric and skipped: their
     * transaction directory is discarded and no manifest is committed.
     */
-  def load(table: String, df: DataFrame, policy: SinkPolicy): LoadResult = {
+  def load(table: String, df: DataFrame, policy: SinkPolicy,
+           txnId: Option[String] = None): LoadResult = {
     val dir = tableDir(table)
     adoptLegacyLayout(dir)
+    // idempotent-writer replay guard: a micro-batch that already committed
+    // (crash between sink commit and checkpoint advance) must not land twice
+    if (txnId.exists(TxnLog.txnCommitted(dir, _)))
+      return LoadResult(table, "skipped-duplicate-txn", 0L)
     val partCols = policy match {
       case SinkPolicy.RelandByDate(c) =>
         val cur = TxnLog.current(dir).map(_.partitionCols)
@@ -110,7 +143,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     val (newFiles, n) = writeTxn(dir, df, partCols)
     if (n == 0) return LoadResult(table, "skipped-empty", 0L)
-    TxnLog.commit(dir) { cur =>
+    TxnLog.commit(dir, txnId) { cur =>
       val old = cur.map(_.files).getOrElse(Seq.empty)
       val files = policy match {
         case SinkPolicy.Append    => old ++ newFiles

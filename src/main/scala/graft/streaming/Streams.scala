@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.pipeline.{SinkPolicy, Warehouse}
+
 /** Shared drain mechanics for the streaming paths: append the stream to
   * a checkpointed parquet sink and block until `Trigger.AvailableNow`
   * has consumed everything pending (the incremental-batch deployment
@@ -16,6 +18,31 @@ object Streams {
       .option("path", tableDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drain the stream into a WAREHOUSE table through the atomic manifest
+    * commit path: each micro-batch lands via [[Warehouse.load]] under the
+    * given policy, tagged `appId:batchId`. Readers therefore see whole
+    * micro-batches or nothing (the parquet file-sink above has no such
+    * contract for external readers), and the txn tag makes replay safe:
+    * if the process dies between the sink commit and the checkpoint
+    * advance, the re-delivered batch is recognized in the log and
+    * skipped — exactly-once LANDING, not just exactly-once reading.
+    * `appId` must be stable across restarts of the same logical pipeline
+    * (it scopes batchIds, which restart from the checkpoint). */
+  def drainInto(stream: DataFrame, wh: Warehouse, table: String,
+                policy: SinkPolicy, checkpointDir: String,
+                appId: String): StreamingQuery = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        wh.load(table, batch, policy, txnId = Some(s"$appId:$batchId"))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

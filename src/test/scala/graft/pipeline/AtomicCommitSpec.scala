@@ -105,6 +105,35 @@ class AtomicCommitSpec extends SparkTestBase {
     assert(w.read("t").count() == 2)
   }
 
+  test("time travel: any committed version stays readable until vacuum") {
+    val w = Warehouse(spark, tmpDir("at8-wh"))
+    w.load("t", hits("2026-01-01", 3), SinkPolicy.Append)
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Append)
+    w.load("t", hits("2026-02-01", 1), SinkPolicy.Overwrite)
+    val h = w.history("t")
+    assert(h.map(_.version) == Seq(1L, 2L, 3L))
+    assert(w.readVersion("t", 1).count() == 3)
+    assert(w.readVersion("t", 2).count() == 5)
+    assert(w.readVersion("t", 3).count() == 1)
+    assert(w.read("t").count() == 1) // current == latest version
+  }
+
+  test("a replayed writer txn id is recognized and not landed twice") {
+    val w = Warehouse(spark, tmpDir("at9-wh"))
+    val r1 = w.load("t", hits("2026-01-01", 4), SinkPolicy.Append,
+      txnId = Some("pipe:0"))
+    assert(r1.rows == 4)
+    // crash-replay of the same micro-batch: same txn id, must be a no-op
+    val r2 = w.load("t", hits("2026-01-01", 4), SinkPolicy.Append,
+      txnId = Some("pipe:0"))
+    assert(r2.action == "skipped-duplicate-txn")
+    assert(w.read("t").count() == 4)
+    assert(w.history("t").flatMap(_.txnId) == Seq("pipe:0"))
+    // the next batch id lands normally
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Append, txnId = Some("pipe:1"))
+    assert(w.read("t").count() == 6)
+  }
+
   test("a skipped empty batch leaves no table, no ghost dir, no manifest") {
     val w = Warehouse(spark, tmpDir("at7-wh"))
     val r = w.load("t", hits("2026-01-01", 1).limit(0), SinkPolicy.Append)
