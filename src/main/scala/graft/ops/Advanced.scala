@@ -153,6 +153,22 @@ object Advanced {
       max($"l_quantity").as("max_qty"))
   }
 
+  /** The 100 TB form of exact percentiles: `approx_percentile` keeps a
+    * fixed-size mergeable quantile sketch per group instead of sorting
+    * the group — no per-group sort, sketches combine map-side, memory is
+    * O(accuracy) regardless of group size. Sketch internals are
+    * engine-specific, so (like the HLL row) this is rows-only for the
+    * driver; the accuracy contract vs the exact sort-based percentiles
+    * is unit-tested instead (ApproxPercentileSpec). */
+  val aggPercentilesApprox: QueryDef =
+    QueryDef.rowsOnly("agg_percentiles_approx") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
+        count(lit(1)).as("n_lines"))
+    }
+
   /** Argmin/argmax + conditional aggregates: which order carries the
     * max price per priority (`max_by` / DuckDB `arg_max`), conditional
     * counts and boolean aggregation — one shuffle, all map-side
@@ -259,6 +275,6 @@ object Advanced {
   }
 
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
-    cubeSales, windowRankKit, aggPercentiles, aggArgminmax, arrayKit,
-    groupingSetsSales, skewSaltedJoin)
+    cubeSales, windowRankKit, aggPercentiles, aggPercentilesApprox,
+    aggArgminmax, arrayKit, groupingSetsSales, skewSaltedJoin)
 }
