@@ -12,8 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); set once at session build
-      // (Tables.load's defensive set stays, but is no longer relied on —
-      // conf mutation inside a reader is racy under concurrent queries).
+      // (the ONLY place — Tables.load deliberately performs no session-conf
+      // mutation, which would race under concurrent planners).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,18 +26,14 @@ final case class Catalog(root: String) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
-  private def parquetFiles[A](dir: Path)(f: Iterator[Path] => A): A =
-    Using.resource(Files.walk(dir)) { stream =>
-      f(stream.iterator().asScala.filter(p =>
-        p.toString.endsWith(".parquet") && Files.isRegularFile(p)))
-    }
-
   /** S3: does the table exist (any committed version, or — for a
-    * pre-manifest legacy layout — any parquet data present)? */
+    * pre-manifest legacy layout — any externally-written parquet data)?
+    * Crashed-commit artifacts (staging dirs, txn-prefixed orphans) do
+    * NOT count: an uncommitted write must be invisible here too. */
   def tableExists(table: String): Boolean = {
     val dir = tableDir(table)
     Files.isDirectory(dir) &&
-      (TxnLog.current(dir).isDefined || parquetFiles(dir)(_.nonEmpty))
+      (TxnLog.current(dir).isDefined || TxnLog.legacyFiles(dir).nonEmpty)
   }
 
   /** All table names present in the warehouse (the `__TABLES__` scan). */
@@ -55,10 +51,11 @@ final case class Catalog(root: String) {
   def lastModified(table: String): Option[Instant] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) None
-    else TxnLog.lastCommitTime(dir).orElse(parquetFiles(dir) { files =>
-      val times = files.map(p => Files.getLastModifiedTime(p).toInstant).toSeq
+    else TxnLog.lastCommitTime(dir).orElse {
+      val times = TxnLog.legacyFiles(dir)
+        .map(f => Files.getLastModifiedTime(dir.resolve(f)).toInstant)
       if (times.isEmpty) None else Some(times.max)
-    })
+    }
   }
 
   /** S4 as the reference consumes it: the last-modified *date*

@@ -21,7 +21,10 @@ final case class Manifest(version: Long, partitionCols: Seq[String],
   * path-addressed parquet warehouse has no such contract, so this module
   * supplies it the way Delta/Iceberg do, scaled down to one file:
   *
-  *   - data files are IMMUTABLE and write-once, under `<table>/data/<txn>/`
+  *   - data files are IMMUTABLE and write-once: `col=value` partition
+  *     dirs directly under the table root (or `data/` when
+  *     unpartitioned), every file name carrying its writer's txn prefix
+  *     (`<hex8>-part-…`) so writers never collide
   *   - each commit is one manifest file `<table>/_log/v<N>.manifest`
   *     listing every file of the new version — published with an atomic
   *     link(2), so a manifest is either absent or complete, never partial
@@ -156,4 +159,37 @@ object TxnLog {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .map(p => tableDir.relativize(p).toString).toSeq.sorted
     }
+
+  /** Could this relative path be a crashed pre-commit writer's leftover?
+    * True for in-progress staging dirs (dot-prefixed) and txn-prefixed
+    * file names — everything the commit protocol writes before a
+    * manifest references it. Legacy adoption, legacy reads, and catalog
+    * existence checks must all skip these, or an uncommitted write
+    * becomes visible through the no-manifest fallback path. */
+  def isUncommittedArtifact(relPath: String): Boolean = {
+    val segs = relPath.split('/')
+    segs.exists(_.startsWith(".")) || segs.last.matches("^[0-9a-f]{8}-.*")
+  }
+
+  /** The pre-manifest (externally written) data files of a table dir:
+    * every parquet file that is NOT a commit-protocol artifact. */
+  def legacyFiles(tableDir: Path): Seq[String] =
+    listParquet(tableDir, tableDir).filterNot(isUncommittedArtifact)
+
+  /** Merge a REWRITE (compaction) into a log head it may have raced
+    * with: `rewritten` are the files the rewrite consumed, `cur` the
+    * current head's files, `newFiles` the rewrite's output. Commits that
+    * only ADDED files since the rewrite's snapshot merge cleanly (their
+    * files are kept alongside the rewrite); if any rewritten file was
+    * REMOVED concurrently (a re-land, overwrite, or second compaction),
+    * the rewrite's output would resurrect deleted rows — that is a true
+    * conflict and returns None (caller aborts and re-runs). Pure and
+    * unit-tested; this is what keeps an optimistic compact from
+    * silently discarding a concurrent append (lost update). */
+  def mergeRewrite(rewritten: Seq[String], cur: Seq[String],
+                   newFiles: Seq[String]): Option[Seq[String]] = {
+    val rw = rewritten.toSet
+    if (rw.subsetOf(cur.toSet)) Some(cur.filterNot(rw) ++ newFiles)
+    else None
+  }
 }

@@ -43,8 +43,9 @@ final case class CommitInfo(version: Long, committedAt: java.time.Instant,
   * with ATOMIC commits via a versioned-manifest log (see [[TxnLog]]).
   *
   * Every mutation — append, truncate-replace, re-land, compaction —
-  * writes immutable files to a fresh `data/<txn>/` directory and then
-  * publishes one manifest; a reader resolves the manifest once and is
+  * writes immutable txn-prefixed files (staged hidden, slotted into
+  * partition dirs or `data/`) and then publishes one manifest; a reader
+  * resolves the manifest once and is
   * pinned to that snapshot, so it sees the table before the commit or
   * after it, never a mix. This is the engine-side equivalent of the
   * reference's atomic BigQuery load jobs (`datasources.py:55-58`).
@@ -73,14 +74,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = {
     val dir = tableDir(table)
     TxnLog.current(dir) match {
-      case Some(m) =>
-        require(m.files.nonEmpty, s"$table manifest v${m.version} lists no files")
-        spark.read
-          .option("mergeSchema", "true")
-          .option("basePath", dir.toString) // keeps col=value dirs as partition columns
-          .parquet(m.files.map(f => dir.resolve(f).toString): _*)
+      case Some(m) => readSnapshot(dir, table, m.version, m.files)
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(dir.toString)
+        // pre-manifest layout: read only files an external writer left —
+        // never a crashed commit's txn-prefixed orphans (those are
+        // uncommitted and must stay invisible until vacuum)
+        val legacy = TxnLog.legacyFiles(dir)
+        require(legacy.nonEmpty, s"no such table: $table (no committed "
+          + s"manifest and no legacy parquet under $dir)")
+        readSnapshot(dir, table, 0L, legacy)
     }
   }
 
@@ -96,11 +98,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def readVersion(table: String, version: Long): DataFrame = {
     val dir = tableDir(table)
     val m = TxnLog.readVersion(dir, version)
-    require(m.files.nonEmpty, s"$table v$version lists no files")
+    readSnapshot(dir, table, version, m.files)
+  }
+
+  /** The one snapshot-reading code path (current read, time travel,
+    * legacy fallback): an explicit pinned file list with `basePath` so
+    * `col=value` dirs stay partition columns, `mergeSchema` for field
+    * addition. */
+  private def readSnapshot(dir: Path, table: String, version: Long,
+                           files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, s"$table v$version lists no files")
     spark.read
       .option("mergeSchema", "true")
       .option("basePath", dir.toString)
-      .parquet(m.files.map(f => dir.resolve(f).toString): _*)
+      .parquet(files.map(f => dir.resolve(f).toString): _*)
   }
 
   /** The commit history of a table, oldest first: version, commit time,
@@ -241,31 +252,53 @@ final case class Warehouse(spark: SparkSession, root: String) {
         snapshot.repartition(cur.partitionCols.map(col): _*)
       else snapshot.repartition(nFiles)
     val (newFiles, n) = writeTxn(dir, shaped, cur.partitionCols)
-    TxnLog.commit(dir)(_ => (cur.partitionCols, newFiles))
+    // merge against whatever committed while we rewrote: concurrent
+    // APPENDS are kept alongside the compacted files; a concurrent
+    // removal of a rewritten file (re-land/overwrite/compact) would make
+    // this rewrite resurrect deleted rows — abort instead of losing data
+    // (the orphaned rewrite files are reclaimed by vacuum)
+    TxnLog.commit(dir) { now =>
+      val head = now.map(_.files).getOrElse(Seq.empty)
+      val merged = TxnLog.mergeRewrite(cur.files, head, newFiles).getOrElse(
+        throw new java.util.ConcurrentModificationException(
+          s"$table changed incompatibly during compaction " +
+            "(a rewritten file was removed concurrently); re-run compact"))
+      (cur.partitionCols, merged)
+    }
     LoadResult(table,
       s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
   }
 
   /** Reclaim space: delete every data file not referenced by the CURRENT
-    * manifest, then drop superseded manifests. Readers still consuming a
-    * pre-vacuum snapshot lose their files — run vacuum on the retention
-    * cadence the deployment's longest reader allows (same contract as
-    * Delta's `VACUUM`). Returns the number of files deleted. */
-  def vacuum(table: String): Int = {
+    * manifest, then drop superseded manifests — but ONLY artifacts older
+    * than `retention`. The retention window is what keeps vacuum safe
+    * against everything in flight (same contract as Delta's `VACUUM`):
+    * a concurrent writer's already-moved-but-not-yet-committed files, a
+    * reader still consuming a pre-vacuum snapshot, and a streaming
+    * replay that must still find its txn id in a superseded manifest all
+    * live inside the window. Size it to the deployment's longest
+    * reader/replay; `Duration.ZERO` force-reclaims everything and is
+    * only safe with no concurrent activity. Returns files deleted. */
+  def vacuum(table: String,
+             retention: java.time.Duration = java.time.Duration.ofHours(24)): Int = {
     import scala.jdk.CollectionConverters._
     val dir = tableDir(table)
+    val cutoff = java.time.Instant.now().minus(retention)
+    def oldEnough(p: Path): Boolean =
+      !Files.getLastModifiedTime(p).toInstant.isAfter(cutoff)
     TxnLog.current(dir) match {
       case None => 0
       case Some(m) =>
         val keep = m.files.toSet
         // everything outside _log that the current manifest doesn't
-        // reference is garbage: superseded data files, crashed-write
-        // orphans, and their _SUCCESS/marker droppings
+        // reference is garbage once past retention: superseded data
+        // files, crashed-write orphans, their _SUCCESS/marker droppings
         val doomed = scala.util.Using.resource(Files.walk(dir)) { st =>
           st.iterator().asScala.filter { p =>
             Files.isRegularFile(p) &&
               !p.startsWith(TxnLog.logDir(dir)) &&
-              !keep.contains(dir.relativize(p).toString)
+              !keep.contains(dir.relativize(p).toString) &&
+              oldEnough(p)
           }.toSeq
         }
         doomed.foreach(Files.delete)
@@ -275,6 +308,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
             .foreach(pruneEmptyDirs)
         }
         TxnLog.versions(dir).dropRight(1)
+          .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff))
           .foreach(v => TxnLog.deleteVersion(dir, v))
         doomed.size
     }
@@ -298,9 +332,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val staging = dir.resolve(s".staging-$txn")
     val obs = Observation()
     val counted = df.observe(obs, count(lit(1)).as("rows"))
-    val w = counted.write.mode(SaveMode.ErrorIfExists)
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(staging.toString)
+    try {
+      val w = counted.write.mode(SaveMode.ErrorIfExists)
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(staging.toString)
+    } catch {
+      case e: Throwable =>
+        // a failed write must leave no trace: without this, the staging
+        // dir makes a never-committed table look existent to the catalog
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        pruneEmptyDirs(dir)
+        throw e
+    }
     val n = observedRows(obs)
     if (n == 0) {
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
@@ -333,10 +376,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * directory chain. Idempotent; no data moves. */
   private def adoptLegacyLayout(dir: Path): Unit =
     if (TxnLog.current(dir).isEmpty) {
-      // txn-prefixed names are orphans of a crashed pre-commit write, not
-      // legacy data — never resurrect them
-      val files = TxnLog.listParquet(dir, dir)
-        .filterNot(_.split('/').last.matches("^[0-9a-f]{8}-.*"))
+      // txn-prefixed names and staging dirs are leftovers of a crashed
+      // pre-commit write, not legacy data — never resurrect them
+      val files = TxnLog.legacyFiles(dir)
       if (files.nonEmpty) {
         val cols = TxnLog.partitionSegments(files.head).map(_.split("=", 2)(0))
         TxnLog.commit(dir)(_ => (cols, files))

@@ -45,7 +45,11 @@ class AtomicCommitSpec extends SparkTestBase {
     w.compact("t")
     assert(pinned.count() == 50)          // old files intact post-compact
     assert(w.read("t").count() == 50)     // new layout has the same data
-    val reclaimed = w.vacuum("t")
+    // fresh artifacts survive the default retention window (in-flight
+    // writer safety); only a forced ZERO-retention vacuum reclaims now
+    assert(w.vacuum("t") == 0)
+    assert(pinned.count() == 50)
+    val reclaimed = w.vacuum("t", retention = java.time.Duration.ZERO)
     assert(reclaimed >= 5, s"vacuum deleted only $reclaimed files")
     // after vacuum only the current version's files and manifest remain
     val dir = Paths.get(w.root, "t")
@@ -63,10 +67,45 @@ class AtomicCommitSpec extends SparkTestBase {
     hits("2026-01-09", 50).write.parquet(orphan.toString)
     assert(w.read("t").count() == 3)
     assert(w.catalog.lastModifiedDate("t").isDefined)
-    // vacuum reclaims the orphaned files
-    assert(w.vacuum("t") >= 1)
+    // vacuum reclaims the orphaned files (forced retention: this test's
+    // orphans are seconds old)
+    assert(w.vacuum("t", retention = java.time.Duration.ZERO) >= 1)
     assert(!Files.exists(orphan))
     assert(w.read("t").count() == 3)
+  }
+
+  test("a crashed FIRST commit's txn-prefixed orphans stay invisible (no-manifest path)") {
+    val root = tmpDir("at10-wh")
+    val w = Warehouse(spark, root)
+    val dir = Paths.get(root, "t")
+    // production crash shape: files already slotted into their final
+    // txn-prefixed names, but no manifest was ever committed
+    Files.createDirectories(dir.resolve("data"))
+    hits("2026-01-01", 7).coalesce(1).write.parquet(s"$root/.tmp-orphan")
+    val part = TxnLog.listParquet(Paths.get(root, ".tmp-orphan"),
+      Paths.get(root, ".tmp-orphan")).head
+    Files.move(Paths.get(root, ".tmp-orphan", part),
+      dir.resolve(s"data/deadbeef-$part"))
+    // invisible everywhere: catalog, read, and legacy adoption
+    assert(!w.catalog.tableExists("t"))
+    intercept[IllegalArgumentException](w.read("t"))
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Append)
+    assert(w.read("t").count() == 2) // the orphan's 7 rows were NOT adopted
+  }
+
+  test("mergeRewrite: concurrent appends merge, concurrent removals conflict") {
+    val rewritten = Seq("data/a1.parquet", "data/a2.parquet")
+    val out = Seq("data/c1.parquet")
+    // no concurrent commit: rewrite replaces its snapshot exactly
+    assert(TxnLog.mergeRewrite(rewritten, rewritten, out).contains(out))
+    // concurrent APPEND: the appended file rides along with the rewrite
+    assert(TxnLog.mergeRewrite(rewritten,
+      rewritten :+ "data/b1.parquet", out)
+      .contains(Seq("data/b1.parquet") ++ out))
+    // concurrent REMOVAL of a rewritten file (re-land/overwrite): the
+    // rewrite would resurrect deleted rows — must be refused
+    assert(TxnLog.mergeRewrite(rewritten,
+      Seq("data/a1.parquet", "data/b1.parquet"), out).isEmpty)
   }
 
   test("a version number cannot be committed twice; first committer wins") {
