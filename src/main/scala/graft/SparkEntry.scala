@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every operator the engine exposes, in registration order. */
   def defs: Seq[QueryDef] =
     Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all ++
-      Similarity.all ++ Windowed.all ++ Advanced.all ++ RangeJoin.all
+      Similarity.all ++ Windowed.all ++ Advanced.all ++ RangeJoin.all ++
+      Clustering.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kit
+import graft.sources.Tables
+
+/** Distributed k-means over the embedding corpus — the training-data
+  * curation primitive behind IVF coarse quantizers, diversity sampling,
+  * and cluster-balanced dataset mixes. Pure DataFrame expressions, no
+  * UDFs, and DETERMINISTIC BY CONSTRUCTION:
+  *
+  *   - vectors are the engine's quantized int64 form (floor(x·1e6));
+  *     distances are exact integer arithmetic via the native codegen'd
+  *     dot product (d² = |x|² − 2x·c + |c|², never a float sum)
+  *   - centroid updates are element-wise INTEGER sums (associative →
+  *     order-independent across any partitioning) with integer division;
+  *     a double-average would make centroids depend on partition order
+  *   - init is the k lowest vec_ids — reproducible, no RNG
+  *
+  * Per Lloyd iteration: one broadcast of k centroids out, one shuffle of
+  * map-side-combined (cluster, position) partial sums back — k·dim rows
+  * per partition, independent of corpus size. The corpus itself is
+  * scanned once per iteration and never shuffled. This is the plan
+  * Spark MLlib's KMeans runs, expressed in the engine's own operator
+  * vocabulary (broadcast + partial aggregation), at any scale.
+  */
+object Clustering {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Squared L2 distance from quantized vector column `qe` (with cached
+    * squared norm `nrm`) to a literal centroid. */
+  private def dist2(qe: Column, nrm: Column, centroid: Seq[Long]): Column = {
+    val c = typedLit(centroid)
+    val cNorm = centroid.map(v => v * v).sum
+    nrm - lit(2L) * Kit.dotI64(qe, c) + lit(cNorm)
+  }
+
+  /** Index (0-based) of the nearest of `centroids` for each row. Ties
+    * break to the lowest index (array_position finds the first min). */
+  private def nearest(qe: Column, nrm: Column,
+                      centroids: Seq[Seq[Long]]): Column = {
+    val ds = array(centroids.map(c => dist2(qe, nrm, c)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Run `iters` Lloyd iterations over (vec_id, qe) rows; returns the
+    * final centroids. `quantized` must carry int64 vectors of equal
+    * dimension. */
+  def kmeansCentroids(quantized: DataFrame, k: Int,
+                      iters: Int): Seq[Seq[Long]] = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    val base = quantized
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+      .persist() // scanned once per iteration; never recomputed
+    try {
+      // deterministic farthest-first init (no RNG): seed with the lowest
+      // vec_id, then k−1 times take the point farthest from its nearest
+      // chosen centroid, ties to the lowest vec_id. Spreads seeds across
+      // the data's modes — k-lowest-ids would drop every seed into
+      // whatever cluster sorts first and Lloyd may never escape it.
+      var centroids: Seq[Seq[Long]] = Seq(
+        base.orderBy($"vec_id").limit(1).select($"qe").as[Seq[Long]].head())
+      while (centroids.size < k) {
+        val next = base
+          .select($"vec_id", $"qe",
+            array_min(array(centroids.map(c =>
+              dist2($"qe", $"nrm", c)): _*)).as("d"))
+          .orderBy($"d".desc, $"vec_id".asc).limit(1)
+          .select($"qe").as[Seq[Long]].head()
+        centroids = centroids :+ next
+      }
+      for (_ <- 1 to iters) {
+        // one narrow shuffle: (cluster, pos, value) partial-sums map-side
+        // to ≤ k·dim rows per partition before moving
+        val sums = base
+          .select(nearest($"qe", $"nrm", centroids).as("cl"),
+            posexplode($"qe").as(Seq("pos", "v")))
+          .groupBy($"cl", $"pos")
+          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .groupBy($"cl")
+          .agg(array_sort(collect_list(struct($"pos", ($"sv" / $"n")
+            .cast("long").as("cv")))).as("vec"))
+          .select($"cl", expr("transform(vec, x -> x.cv)").as("centroid"))
+          .as[(Int, Seq[Long])].collect().toMap
+        // empty clusters keep their previous centroid
+        centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally { base.unpersist(); () }
+  }
+
+  /** Assign every vector to its final cluster. */
+  def kmeansAssign(quantized: DataFrame,
+                   centroids: Seq[Seq[Long]]): DataFrame = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    quantized
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+      .select($"vec_id", nearest($"qe", $"nrm", centroids).as("cluster"))
+  }
+
+  /** Registered form: k=8, 3 iterations over the embeddings fixture;
+    * output is the per-cluster population histogram (compact at any
+    * scale). Deterministic, but k-means has no ANSI-SQL oracle — DuckDB
+    * cannot express the iteration — so this is a rows-only row, with the
+    * convergence/determinism contract unit-tested (ClusteringSpec). */
+  val kmeansHistogram: QueryDef =
+    QueryDef.rowsOnly("kmeans_histogram") { (s, dir) =>
+      import s.implicits._
+      val q = t(s, dir, "embeddings").select($"vec_id",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qe"))
+        .persist()
+      val centroids = kmeansCentroids(q, k = 8, iters = 3)
+      kmeansAssign(q, centroids)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"))
+    }
+
+  val all: Seq[QueryDef] = Seq(kmeansHistogram)
+}
