@@ -7,12 +7,23 @@ import scala.util.Using
 
 /** One committed table version: the ordered list of data files (paths
   * relative to the table directory) that constitute the table, the
-  * partition-column chain its layout is keyed by, and — for commits made
+  * partition-column chain its layout is keyed by, — for commits made
   * by an idempotent writer (streaming micro-batches) — the writer
-  * transaction id `app:batchId` that produced it. */
+  * transaction id `app:batchId` that produced it, and the table's
+  * ZONE-MAP column with per-file min/max values (as cast-to-string,
+  * cast-back-exactly values; files without an entry are never pruned). */
 final case class Manifest(version: Long, partitionCols: Seq[String],
                           files: Seq[String],
-                          txnId: Option[String] = None)
+                          txnId: Option[String] = None,
+                          statsCol: Option[String] = None,
+                          fileStats: Map[String, (String, String)] = Map.empty)
+
+/** What a commit publishes (everything of a [[Manifest]] but the version,
+  * which the log assigns). */
+final case class ManifestData(partitionCols: Seq[String],
+                              files: Seq[String],
+                              statsCol: Option[String] = None,
+                              fileStats: Map[String, (String, String)] = Map.empty)
 
 /** Minimal versioned-manifest commit log — the atomicity layer under
   * [[Warehouse]]. The reference lands batches through BigQuery load jobs,
@@ -82,7 +93,17 @@ object TxnLog {
       case "" => None
       case s  => Some(s)
     }
-    Manifest(version, partitionCols, lines.drop(3), txn)
+    val statsCol = lines(3).stripPrefix("stats=") match {
+      case "" => None
+      case s  => Some(s)
+    }
+    // file lines: `path` or `path\tmin\tmax` (zone-map entry)
+    val entries = lines.drop(4).map(_.split('\t'))
+    val files = entries.map(_.head)
+    val stats = entries.collect {
+      case Array(p, mn, mx) => p -> (mn, mx)
+    }.toMap
+    Manifest(version, partitionCols, files, txn, statsCol, stats)
   }
 
   /** Commit time of one version (mtime of its manifest file). */
@@ -101,10 +122,17 @@ object TxnLog {
   def tryCommit(tableDir: Path, m: Manifest): Boolean = {
     val ld = logDir(tableDir)
     Files.createDirectories(ld)
+    val fileLines = m.files.map { f =>
+      m.fileStats.get(f) match {
+        case Some((mn, mx)) => s"$f\t$mn\t$mx"
+        case None           => f
+      }
+    }
     val body = (Seq(Magic,
       s"partition=${m.partitionCols.mkString(",")}",
-      s"txn=${m.txnId.getOrElse("")}") ++
-      m.files).mkString("\n")
+      s"txn=${m.txnId.getOrElse("")}",
+      s"stats=${m.statsCol.getOrElse("")}") ++
+      fileLines).mkString("\n")
     val tmp = Files.createTempFile(ld, ".tmp-", ".manifest")
     try {
       Using.resource(java.nio.channels.FileChannel.open(tmp,
@@ -122,12 +150,16 @@ object TxnLog {
     * for a first commit) and returns (partitionCols, files) for the next
     * version. Returns the committed manifest. */
   def commit(tableDir: Path, txnId: Option[String] = None)
-            (build: Option[Manifest] => (Seq[String], Seq[String])): Manifest = {
+            (build: Option[Manifest] => ManifestData): Manifest = {
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
       val cur = current(tableDir)
-      val (cols, files) = build(cur)
-      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), cols, files, txnId)
+      val d = build(cur)
+      val present = d.files.toSet
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
+        d.partitionCols, d.files, txnId, d.statsCol,
+        // never carry stats for files not in this version
+        d.fileStats.filter(kv => present(kv._1)))
       if (tryCommit(tableDir, next)) committed = Some(next)
     }
     committed.get

@@ -101,6 +101,75 @@ final case class Warehouse(spark: SparkSession, root: String) {
     readSnapshot(dir, table, version, m.files)
   }
 
+  /** ZONE-MAP pruned range read: resolve the current snapshot, drop every
+    * file whose recorded [min, max] on the table's stats column cannot
+    * intersect [lo, hi], scan only the survivors, and apply the exact
+    * predicate as a residual filter. Files without stats (landed before
+    * the stats column was declared, or all-NULL) are never pruned. This
+    * is file skipping on a NON-partition column — at 100 TB a point/range
+    * query on an append-ordered column (timestamps, monotonic ids) opens
+    * a handful of files instead of the table. `lo`/`hi` are literal
+    * strings cast to the column's type, exactly as the stats were
+    * recorded (cast-to-string round-trips losslessly for numeric, date,
+    * and timestamp types). */
+  def readBetween(table: String, column: String,
+                  lo: String, hi: String): DataFrame = {
+    val dir = tableDir(table)
+    val m = TxnLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val survivors = prunedFiles(m, table, column, lo, hi)
+    val dt = colType(dir, table, m, column)
+    readSnapshot(dir, table, m.version, survivors)
+      .where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
+  }
+
+  /** The file-skipping half of [[readBetween]], exposed for plan/test
+    * introspection: which files of `m` can contain a row with `column`
+    * in [lo, hi]? */
+  def prunedFiles(m: Manifest, table: String, column: String,
+                  lo: String, hi: String): Seq[String] = {
+    require(m.statsCol.contains(column),
+      s"$table carries no zone map for $column (stats column: ${m.statsCol})")
+    val dir = tableDir(table)
+    val dt = colType(dir, table, m, column)
+    import spark.implicits._
+    val entries = m.files.map(f => (f, m.fileStats.get(f)))
+    val withStats = entries.collect { case (f, Some((mn, mx))) => (f, mn, mx) }
+    val withoutStats = entries.collect { case (f, None) => f }
+    val kept =
+      if (withStats.isEmpty) Seq.empty
+      else withStats.toDF("f", "mn", "mx")
+        .where(!($"mx".cast(dt) < lit(lo).cast(dt) ||
+          $"mn".cast(dt) > lit(hi).cast(dt)))
+        .select($"f").as[String].collect().toSeq
+    kept ++ withoutStats
+  }
+
+  private def colType(dir: Path, table: String, m: Manifest,
+                      column: String): org.apache.spark.sql.types.DataType =
+    readSnapshot(dir, table, m.version, m.files).schema(column).dataType
+
+  /** Per-file (min, max) of `column` over freshly written files — one
+    * aggregation pass over only the new data, grouped by physical file.
+    * Values are stored as strings (lossless round-trip casts). NULL-only
+    * files get no entry and are therefore never pruned. */
+  private def collectStats(dir: Path, files: Seq[String],
+                           column: String): Map[String, (String, String)] = {
+    val rows = readSnapshot(dir, "<stats>", -1L, files)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(column)).cast("string").as("mn"),
+        max(col(column)).cast("string").as("mx"))
+      .collect()
+    rows.flatMap { r =>
+      val uri = r.getString(0)
+      val rel = files.find(f => uri.endsWith("/" + f) || uri.endsWith(f))
+      (rel, Option(r.getString(1)), Option(r.getString(2))) match {
+        case (Some(f), Some(mn), Some(mx)) => Some(f -> (mn, mx))
+        case _                             => None
+      }
+    }.toMap
+  }
+
   /** The one snapshot-reading code path (current read, time travel,
     * legacy fallback): an explicit pinned file list with `basePath` so
     * `col=value` dirs stay partition columns, `mergeSchema` for field
@@ -135,13 +204,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * transaction directory is discarded and no manifest is committed.
     */
   def load(table: String, df: DataFrame, policy: SinkPolicy,
-           txnId: Option[String] = None): LoadResult = {
+           txnId: Option[String] = None,
+           statsCol: Option[String] = None): LoadResult = {
     val dir = tableDir(table)
     adoptLegacyLayout(dir)
     // idempotent-writer replay guard: a micro-batch that already committed
     // (crash between sink commit and checkpoint advance) must not land twice
     if (txnId.exists(TxnLog.txnCommitted(dir, _)))
       return LoadResult(table, "skipped-duplicate-txn", 0L)
+    // zone-map column: explicit wins, else inherit the table's — so one
+    // load declaring it makes every later append carry file stats too
+    val effStats = statsCol.orElse(
+      TxnLog.current(dir).flatMap(_.statsCol))
     val partCols = policy match {
       case SinkPolicy.RelandByDate(c) =>
         val cur = TxnLog.current(dir).map(_.partitionCols)
@@ -154,6 +228,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     val (newFiles, n) = writeTxn(dir, df, partCols)
     if (n == 0) return LoadResult(table, "skipped-empty", 0L)
+    val newStats = effStats
+      .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
     TxnLog.commit(dir, txnId) { cur =>
       val old = cur.map(_.files).getOrElse(Seq.empty)
       val files = policy match {
@@ -166,7 +242,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
           old.filterNot(f =>
             TxnLog.partitionSegments(f).exists(replaced.contains)) ++ newFiles
       }
-      (partCols, files)
+      ManifestData(partCols, files, effStats,
+        cur.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
     }
     LoadResult(table, policy.toString, n)
   }
@@ -257,13 +334,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // removal of a rewritten file (re-land/overwrite/compact) would make
     // this rewrite resurrect deleted rows — abort instead of losing data
     // (the orphaned rewrite files are reclaimed by vacuum)
+    val newStats = cur.statsCol
+      .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
     TxnLog.commit(dir) { now =>
       val head = now.map(_.files).getOrElse(Seq.empty)
       val merged = TxnLog.mergeRewrite(cur.files, head, newFiles).getOrElse(
         throw new java.util.ConcurrentModificationException(
           s"$table changed incompatibly during compaction " +
             "(a rewritten file was removed concurrently); re-run compact"))
-      (cur.partitionCols, merged)
+      ManifestData(cur.partitionCols, merged, cur.statsCol,
+        now.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
     }
     LoadResult(table,
       s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
@@ -381,7 +461,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       val files = TxnLog.legacyFiles(dir)
       if (files.nonEmpty) {
         val cols = TxnLog.partitionSegments(files.head).map(_.split("=", 2)(0))
-        TxnLog.commit(dir)(_ => (cols, files))
+        TxnLog.commit(dir)(_ => ManifestData(cols, files))
       }
     }
 

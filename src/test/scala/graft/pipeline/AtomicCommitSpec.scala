@@ -117,7 +117,7 @@ class AtomicCommitSpec extends SparkTestBase {
     assert(TxnLog.current(dir).get.files == Seq("data/a/f1.parquet"))
     // the retry path: commit() rebuilds against current and lands v2
     val m = TxnLog.commit(dir) { cur =>
-      (Seq.empty, cur.get.files :+ "data/b/f2.parquet")
+      ManifestData(Seq.empty, cur.get.files :+ "data/b/f2.parquet")
     }
     assert(m.version == 2L)
     assert(TxnLog.current(dir).get.files ==

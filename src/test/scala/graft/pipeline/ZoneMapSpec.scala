@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+
+import graft.SparkTestBase
+
+/** Zone maps (per-file min/max in the manifest): a range read on a
+  * NON-partition column opens only the files whose recorded range can
+  * intersect the query's — with identical rows to a full scan+filter. */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def batch(lo: Long, n: Int) =
+    (lo until lo + n).map(i => (i, s"r$i")).toDF("k", "payload")
+
+  test("range read prunes files by min/max and matches the full scan") {
+    val w = Warehouse(spark, tmpDir("zm-wh"))
+    // four appends with disjoint, append-ordered key ranges — the natural
+    // shape of a monotonic column accumulating over time
+    Seq(0L, 100L, 200L, 300L).foreach(lo =>
+      w.load("t", batch(lo, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCol.contains("k"))
+    assert(m.fileStats.size == m.files.size) // every file carries stats
+
+    // a range inside one batch touches exactly one file
+    assert(w.prunedFiles(m, "t", "k", "120", "180").size == 1)
+    // a range spanning a boundary touches exactly two
+    assert(w.prunedFiles(m, "t", "k", "190", "210").size == 2)
+
+    val pruned = w.readBetween("t", "k", "190", "210")
+      .select("k").as[Long].collect().sorted.toSeq
+    val full = w.read("t").where($"k" >= 190 && $"k" <= 210)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(pruned == full && full.size == 21)
+  }
+
+  test("appends inherit the stats column; pre-stats files are never pruned") {
+    val w = Warehouse(spark, tmpDir("zm2-wh"))
+    // first land predates the zone map — its file has no stats entry
+    w.load("t", batch(0, 50).coalesce(1), SinkPolicy.Append)
+    w.load("t", batch(100, 50).coalesce(1), SinkPolicy.Append,
+      statsCol = Some("k"))
+    w.load("t", batch(200, 50).coalesce(1), SinkPolicy.Append) // inherits
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCol.contains("k"))
+    // query far outside the stats-less file's range: it must still be
+    // scanned (no stats → unprunable), plus the one matching file
+    val files = w.prunedFiles(m, "t", "k", "210", "220")
+    assert(files.size == 2, s"expected stats-less + matching file: $files")
+    assert(w.readBetween("t", "k", "210", "220").count() == 11)
+  }
+
+  test("compaction recomputes stats for the rewritten files") {
+    val w = Warehouse(spark, tmpDir("zm3-wh"))
+    Seq(0L, 100L, 200L, 300L).foreach(lo =>
+      w.load("t", batch(lo, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    w.compact("t", targetBytesPerFile = 1L << 40) // collapse to one file
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.files.size == 1 && m.fileStats.size == 1)
+    val (mn, mx) = m.fileStats(m.files.head)
+    assert(mn.toLong == 0L && mx.toLong == 399L)
+    assert(w.readBetween("t", "k", "10", "20").count() == 11)
+  }
+}
