@@ -98,40 +98,81 @@ object TextOps {
       when(enHits >= 2, "en").otherwise("unknown").as("lang_guess"))
   }
 
+  /** The quality-score expression shared by `quality_filter` and
+    * `corpus_curation` — Spark and (string) DuckDB forms defined ONCE so
+    * the two queries can never drift. Three independent heuristics vote:
+    * document length in a sane band, alphabetic character ratio, mean
+    * word length in the natural-language band. Integer arithmetic
+    * throughout so the score is engine-exact. */
+  private val SCORE_SQL: String =
+    """CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
+      |         >= length(text) * 60 THEN 1 ELSE 0 END
+      |  + CASE WHEN length(text) <= 12 * len(string_split(text, ' '))
+      |         AND length(text) >= 3 * len(string_split(text, ' '))
+      |         THEN 1 ELSE 0 END""".stripMargin
+
+  private def qualityScore(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val lenOk = when(length(text).between(100, 20000), 1).otherwise(0)
+    val alphaOk = when(
+      length(regexp_replace(lower(text), "[^a-z]", "")) * 100 >=
+        length(text) * 60, 1).otherwise(0)
+    val nTok = size(split(text, " ", -1))
+    val wordLenOk = when(
+      length(text) <= nTok * 12 && length(text) >= nTok * 3, 1)
+      .otherwise(0)
+    (lenOk + alphaOk + wordLenOk).cast(IntegerType)
+  }
+
   /** Composite quality score + keep/drop decision — the filter stage of a
-    * training-data pipeline. Three independent heuristics vote: document
-    * length in a sane band, alphabetic character ratio, and mean word
-    * length in the natural-language band. Integer/quantized arithmetic
-    * throughout so the score is engine-exact; the decision is a plain
-    * CASE, so downstream `WHERE keep` pushes into the scan at scale. */
+    * training-data pipeline. The decision is a plain CASE, so downstream
+    * `WHERE keep` pushes into the scan at scale. */
   val qualityFilter: QueryDef = QueryDef.sql(
     "quality_filter",
-    """SELECT doc_id,
-      |  CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
-      |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
-      |         >= length(text) * 60 THEN 1 ELSE 0 END
-      |  + CASE WHEN length(text) <= 12 * len(string_split(text, ' '))
-      |         AND length(text) >= 3 * len(string_split(text, ' '))
-      |         THEN 1 ELSE 0 END AS quality_score,
-      |  CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
-      |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
-      |         >= length(text) * 60 THEN 1 ELSE 0 END
-      |  + CASE WHEN length(text) <= 12 * len(string_split(text, ' '))
-      |         AND length(text) >= 3 * len(string_split(text, ' '))
-      |         THEN 1 ELSE 0 END >= 2 AS keep
+    s"""SELECT doc_id,
+      |  $SCORE_SQL AS quality_score,
+      |  $SCORE_SQL >= 2 AS keep
       |FROM documents""") { (s, dir) =>
     import s.implicits._
-    val lenOk = when(length($"text").between(100, 20000), 1).otherwise(0)
-    val alphaOk = when(
-      length(regexp_replace(lower($"text"), "[^a-z]", "")) * 100 >=
-        length($"text") * 60, 1).otherwise(0)
-    val nTok = size(split($"text", " ", -1))
-    val wordLenOk = when(
-      length($"text") <= nTok * 12 && length($"text") >= nTok * 3, 1)
-      .otherwise(0)
-    val score = (lenOk + alphaOk + wordLenOk).cast(IntegerType)
+    val score = qualityScore($"text")
     t(s, dir, "documents").select(
       $"doc_id", score.as("quality_score"), (score >= 2).as("keep"))
+  }
+
+  /** END-TO-END CORPUS CURATION — the composed form a training-data user
+    * actually runs: quality-gate the raw corpus, exact-dedup survivors on
+    * the normalized fingerprint keeping the LOWEST doc_id per content
+    * (deterministic winner), annotate with token counts. One scan, one
+    * 16-byte-hash shuffle for the dedup, one semi join back on doc_id —
+    * document bodies are never shuffled. The pattern scales unchanged:
+    * at 100 TB the fp groupBy is the only wide stage and it moves
+    * hashes, not text. */
+  val corpusCuration: QueryDef = QueryDef.sql(
+    "corpus_curation",
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+      |    $SCORE_SQL AS q
+      |  FROM documents),
+      |kept AS (SELECT * FROM scored WHERE q >= 2),
+      |winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
+      |SELECT k.doc_id, k.lang,
+      |  CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens,
+      |  k.q AS quality_score
+      |FROM kept k JOIN winners w ON k.doc_id = w.doc_id""") { (s, dir) =>
+    import s.implicits._
+    val kept = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9 ]", "")).as("fp"),
+        qualityScore($"text").as("q"))
+      .where($"q" >= 2)
+    val winners = kept.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    kept
+      .join(winners.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ", -1)).cast(LongType).as("n_tokens"),
+        $"q".as("quality_score"))
   }
 
   /** Document fingerprint: md5 over the normalized text (lower + strip
@@ -510,6 +551,6 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, langHistogram, langIdHeuristic,
-    qualityFilter, docFingerprint, ngramJaccardNeardup, minhashLshNeardup,
-    simhashNeardup)
+    qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
+    minhashLshNeardup, simhashNeardup)
 }
