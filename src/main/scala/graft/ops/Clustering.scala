@@ -54,9 +54,14 @@ object Clustering {
                       iters: Int): Seq[Seq[Long]] = {
     val s = quantized.sparkSession
     import s.implicits._
-    val base = quantized
-      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
-      .persist() // scanned once per iteration; never recomputed
+    // reuse the caller's cached (vec_id, qe, nrm) frame if it has one —
+    // re-persisting a superset here would double-cache the corpus
+    val base0 =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    val ownCache =
+      base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base = if (ownCache) base0.persist() else base0
     try {
       // deterministic farthest-first init (no RNG): seed with the lowest
       // vec_id, then k−1 times take the point farthest from its nearest
@@ -91,7 +96,7 @@ object Clustering {
         centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
       }
       centroids
-    } finally { base.unpersist(); () }
+    } finally { if (ownCache) base.unpersist(); () }
   }
 
   /** Assign every vector to its final cluster. */
@@ -99,9 +104,10 @@ object Clustering {
                    centroids: Seq[Seq[Long]]): DataFrame = {
     val s = quantized.sparkSession
     import s.implicits._
-    quantized
-      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
-      .select($"vec_id", nearest($"qe", $"nrm", centroids).as("cluster"))
+    val base =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    base.select($"vec_id", nearest($"qe", $"nrm", centroids).as("cluster"))
   }
 
   /** Registered form: k=8, 3 iterations over the embeddings fixture;
@@ -112,9 +118,13 @@ object Clustering {
   val kmeansHistogram: QueryDef =
     QueryDef.rowsOnly("kmeans_histogram") { (s, dir) =>
       import s.implicits._
+      // ONE cached frame (with norms) shared by training and assignment —
+      // the harness clearCache()s it after the query, like every other
+      // persisted stage table in this repo
       val q = t(s, dir, "embeddings").select($"vec_id",
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qe"))
+        .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
         .persist()
       val centroids = kmeansCentroids(q, k = 8, iters = 3)
       kmeansAssign(q, centroids)

@@ -55,7 +55,10 @@ final case class ManifestData(partitionCols: Seq[String],
   */
 object TxnLog {
 
-  private val Magic = "graft-manifest-v1"
+  // v2: added the stats= header line. The magic is the FORMAT version —
+  // a reader of this code refuses a manifest written by another format
+  // outright instead of misparsing its header lines as file paths.
+  private val Magic = "graft-manifest-v2"
   private val NameRe = raw"v(\d{12})\.manifest".r
 
   def logDir(tableDir: Path): Path = tableDir.resolve("_log")
@@ -200,7 +203,10 @@ object TxnLog {
     * becomes visible through the no-manifest fallback path. */
   def isUncommittedArtifact(relPath: String): Boolean = {
     val segs = relPath.split('/')
-    segs.exists(_.startsWith(".")) || segs.last.matches("^[0-9a-f]{8}-.*")
+    // the full shape our writer produces — `<hex8>-part-…` — not any
+    // 8-leading-hex name (a date-stamped external file like
+    // `20260131-batch.parquet` must still count as legacy data)
+    segs.exists(_.startsWith(".")) || segs.last.matches("^[0-9a-f]{8}-part-.*")
   }
 
   /** The pre-manifest (externally written) data files of a table dir:

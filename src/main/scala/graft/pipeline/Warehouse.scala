@@ -125,29 +125,39 @@ final case class Warehouse(spark: SparkSession, root: String) {
 
   /** The file-skipping half of [[readBetween]], exposed for plan/test
     * introspection: which files of `m` can contain a row with `column`
-    * in [lo, hi]? */
+    * in [lo, hi]? Pure driver-side manifest-string comparison — pruning
+    * must never itself launch a job over the files it exists to skip. */
   def prunedFiles(m: Manifest, table: String, column: String,
                   lo: String, hi: String): Seq[String] = {
     require(m.statsCol.contains(column),
       s"$table carries no zone map for $column (stats column: ${m.statsCol})")
-    val dir = tableDir(table)
-    val dt = colType(dir, table, m, column)
-    import spark.implicits._
-    val entries = m.files.map(f => (f, m.fileStats.get(f)))
-    val withStats = entries.collect { case (f, Some((mn, mx))) => (f, mn, mx) }
-    val withoutStats = entries.collect { case (f, None) => f }
-    val kept =
-      if (withStats.isEmpty) Seq.empty
-      else withStats.toDF("f", "mn", "mx")
-        .where(!($"mx".cast(dt) < lit(lo).cast(dt) ||
-          $"mn".cast(dt) > lit(hi).cast(dt)))
-        .select($"f").as[String].collect().toSeq
-    kept ++ withoutStats
+    val dt = colType(tableDir(table), table, m, column)
+    import org.apache.spark.sql.types._
+    // stats values are the per-type string casts; compare with the
+    // type's own order (ISO date/timestamp strings order lexically)
+    def cmp(a: String, b: String): Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _: DecimalType =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      case _ => a.compareTo(b) // DateType / TimestampType ISO forms
+    }
+    m.files.filter { f =>
+      m.fileStats.get(f) match {
+        case None           => true // unknown range: never prune
+        case Some((mn, mx)) => !(cmp(mx, lo) < 0 || cmp(mn, hi) > 0)
+      }
+    }
   }
 
+  /** Column type from ONE file's footer (+ partition discovery) — never
+    * a schema-merge over the whole table just to learn a type. */
   private def colType(dir: Path, table: String, m: Manifest,
                       column: String): org.apache.spark.sql.types.DataType =
-    readSnapshot(dir, table, m.version, m.files).schema(column).dataType
+    readSnapshot(dir, table, m.version, m.files.take(1))
+      .schema(column).dataType
 
   /** Per-file (min, max) of `column` over freshly written files — one
     * aggregation pass over only the new data, grouped by physical file.
@@ -161,8 +171,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
         max(col(column)).cast("string").as("mx"))
       .collect()
     rows.flatMap { r =>
+      // input_file_name() is a URI — decode before matching the raw
+      // relative path (a partition value with a space is %20 in the URI)
       val uri = r.getString(0)
-      val rel = files.find(f => uri.endsWith("/" + f) || uri.endsWith(f))
+      val path = try java.net.URI.create(uri).getPath
+        catch { case _: IllegalArgumentException => uri }
+      val rel = files.find(f => path.endsWith("/" + f))
       (rel, Option(r.getString(1)), Option(r.getString(2))) match {
         case (Some(f), Some(mn), Some(mx)) => Some(f -> (mn, mx))
         case _                             => None
@@ -216,6 +230,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // load declaring it makes every later append carry file stats too
     val effStats = statsCol.orElse(
       TxnLog.current(dir).flatMap(_.statsCol))
+    effStats.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"zone-map column $c has type $dt — only numeric/date/timestamp " +
+          "are supported (their cast-to-string forms are delimiter-free " +
+          "and order-preserving; arbitrary strings could smuggle the " +
+          "manifest's own delimiters)")
+    }
     val partCols = policy match {
       case SinkPolicy.RelandByDate(c) =>
         val cur = TxnLog.current(dir).map(_.partitionCols)
@@ -242,8 +266,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
           old.filterNot(f =>
             TxnLog.partitionSegments(f).exists(replaced.contains)) ++ newFiles
       }
-      ManifestData(partCols, files, effStats,
-        cur.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
+      // inherited per-file stats are only valid if they were computed for
+      // the SAME column — after a stats-column switch, old files simply
+      // carry no stats (never pruned) until rewritten
+      val inherited = cur.filter(_.statsCol == effStats)
+        .map(_.fileStats).getOrElse(Map.empty)
+      ManifestData(partCols, files, effStats, inherited ++ newStats)
     }
     LoadResult(table, policy.toString, n)
   }
@@ -349,49 +377,63 @@ final case class Warehouse(spark: SparkSession, root: String) {
       s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
   }
 
-  /** Reclaim space: delete every data file not referenced by the CURRENT
-    * manifest, then drop superseded manifests — but ONLY artifacts older
-    * than `retention`. The retention window is what keeps vacuum safe
-    * against everything in flight (same contract as Delta's `VACUUM`):
-    * a concurrent writer's already-moved-but-not-yet-committed files, a
-    * reader still consuming a pre-vacuum snapshot, and a streaming
-    * replay that must still find its txn id in a superseded manifest all
-    * live inside the window. Size it to the deployment's longest
-    * reader/replay; `Duration.ZERO` force-reclaims everything and is
-    * only safe with no concurrent activity. Returns files deleted. */
+  /** Reclaim space. The retention window (same contract as Delta's
+    * `VACUUM`) is keyed on the COMMIT LOG, which is what actually governs
+    * visibility: a data file survives as long as any manifest committed
+    * inside the window (or the current one) references it — so a reader
+    * pinned to any retained version, a time-travel read, and a streaming
+    * replay that must find its txn id all stay safe; a never-committed
+    * file (crashed or in-flight writer) is reclaimed by its own age
+    * instead, since no manifest will ever govern it. Size `retention` to
+    * the deployment's longest reader/replay; `Duration.ZERO`
+    * force-reclaims everything and is only safe with no concurrent
+    * activity. Returns files deleted. */
   def vacuum(table: String,
              retention: java.time.Duration = java.time.Duration.ofHours(24)): Int = {
     import scala.jdk.CollectionConverters._
     val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return 0
     val cutoff = java.time.Instant.now().minus(retention)
     def oldEnough(p: Path): Boolean =
       !Files.getLastModifiedTime(p).toInstant.isAfter(cutoff)
-    TxnLog.current(dir) match {
-      case None => 0
-      case Some(m) =>
-        val keep = m.files.toSet
-        // everything outside _log that the current manifest doesn't
-        // reference is garbage once past retention: superseded data
-        // files, crashed-write orphans, their _SUCCESS/marker droppings
-        val doomed = scala.util.Using.resource(Files.walk(dir)) { st =>
-          st.iterator().asScala.filter { p =>
-            Files.isRegularFile(p) &&
-              !p.startsWith(TxnLog.logDir(dir)) &&
-              !keep.contains(dir.relativize(p).toString) &&
-              oldEnough(p)
-          }.toSeq
-        }
-        doomed.foreach(Files.delete)
-        scala.util.Using.resource(Files.list(dir)) { st =>
-          st.iterator().asScala.toSeq
-            .filter(p => Files.isDirectory(p) && p != TxnLog.logDir(dir))
-            .foreach(pruneEmptyDirs)
-        }
-        TxnLog.versions(dir).dropRight(1)
-          .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff))
-          .foreach(v => TxnLog.deleteVersion(dir, v))
-        doomed.size
+    val versions = TxnLog.versions(dir)
+    // Retention is keyed on MANIFEST commit times, not data-file mtimes:
+    // a file is reclaimable once NO manifest inside the retention window
+    // (nor the current one) references it — that is when the last reader
+    // able to resolve it through the log has aged out. A file's own mtime
+    // only governs never-referenced artifacts (crashed or in-flight
+    // writers), whose manifest hasn't appeared yet.
+    val retained = versions.lastOption.toSet ++
+      versions.filter(v => TxnLog.commitTime(dir, v).isAfter(cutoff))
+    val referencedRetained = retained.toSeq
+      .flatMap(v => TxnLog.readVersion(dir, v).files).toSet
+    val everReferenced = versions
+      .flatMap(v => TxnLog.readVersion(dir, v).files).toSet
+    // On a table with NO commit history, only the commit protocol's own
+    // leftovers are reclaimable — unreferenced plain-named parquet there
+    // is pre-adoption legacy data, not garbage.
+    val neverRefDeletable: String => Boolean =
+      if (versions.isEmpty) TxnLog.isUncommittedArtifact else _ => true
+    val doomed = scala.util.Using.resource(Files.walk(dir)) { st =>
+      st.iterator().asScala.filter { p =>
+        val rel = dir.relativize(p).toString
+        Files.isRegularFile(p) &&
+          !p.startsWith(TxnLog.logDir(dir)) &&
+          !referencedRetained.contains(rel) &&
+          (everReferenced.contains(rel) ||
+            (neverRefDeletable(rel) && oldEnough(p)))
+      }.toSeq
     }
+    doomed.foreach(Files.delete)
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p != TxnLog.logDir(dir))
+        .foreach(pruneEmptyDirs)
+    }
+    versions.dropRight(1)
+      .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff))
+      .foreach(v => TxnLog.deleteVersion(dir, v))
+    doomed.size
   }
 
   private def path(table: String): String = tableDir(table).toString
@@ -419,9 +461,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
     } catch {
       case e: Throwable =>
         // a failed write must leave no trace: without this, the staging
-        // dir makes a never-committed table look existent to the catalog
-        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-        pruneEmptyDirs(dir)
+        // dir makes a never-committed table look existent to the catalog.
+        // Cleanup failures must not mask the real sink failure.
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+          pruneEmptyDirs(dir)
+        } catch { case c: Throwable => e.addSuppressed(c) }
         throw e
     }
     val n = observedRows(obs)

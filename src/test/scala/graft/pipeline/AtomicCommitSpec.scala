@@ -93,6 +93,39 @@ class AtomicCommitSpec extends SparkTestBase {
     assert(w.read("t").count() == 2) // the orphan's 7 rows were NOT adopted
   }
 
+  test("vacuum on a manifest-less table reclaims crash orphans but never legacy data") {
+    val root = tmpDir("at11-wh")
+    val w = Warehouse(spark, root)
+    val dir = Paths.get(root, "t")
+    // legacy data (external writer) + a crashed first commit's orphan
+    hits("2026-01-01", 4).coalesce(1).write.parquet(dir.toString)
+    hits("2026-01-02", 3).coalesce(1).write.parquet(s"$root/.tmp-o")
+    val part = TxnLog.listParquet(Paths.get(root, ".tmp-o"),
+      Paths.get(root, ".tmp-o")).head
+    Files.createDirectories(dir.resolve("data"))
+    Files.move(Paths.get(root, ".tmp-o", part),
+      dir.resolve(s"data/deadbeef-$part"))
+    // reclaims the orphan (and dot-prefixed checksum droppings — Hadoop
+    // simply skips verification when a .crc is absent), never the data
+    assert(w.vacuum("t", retention = java.time.Duration.ZERO) >= 1)
+    assert(!Files.exists(dir.resolve(s"data/deadbeef-$part")))
+    // the legacy table is intact and adoptable
+    assert(w.read("t").count() == 4)
+  }
+
+  test("default-retention vacuum keeps every file a retained manifest references") {
+    val w = Warehouse(spark, tmpDir("at12-wh"))
+    w.load("t", hits("2026-01-01", 5), SinkPolicy.Overwrite)
+    val pinned = w.read("t")
+    w.load("t", hits("2026-01-02", 2), SinkPolicy.Overwrite)
+    // v1's manifest is inside the (default 24h) retention window, so its
+    // files must survive even though the current manifest dropped them —
+    // the pinned reader and readVersion(1) both still resolve
+    assert(w.vacuum("t") == 0)
+    assert(pinned.count() == 5)
+    assert(w.readVersion("t", 1).count() == 5)
+  }
+
   test("mergeRewrite: concurrent appends merge, concurrent removals conflict") {
     val rewritten = Seq("data/a1.parquet", "data/a2.parquet")
     val out = Seq("data/c1.parquet")

@@ -52,6 +52,31 @@ class ZoneMapSpec extends SparkTestBase {
     assert(w.readBetween("t", "k", "210", "220").count() == 11)
   }
 
+  test("switching the stats column drops the old column's per-file stats") {
+    val w = Warehouse(spark, tmpDir("zm4-wh"))
+    val data = (0 until 50).map(i => (i.toLong, (1000L - i))).toDF("k", "v")
+    w.load("t", data.coalesce(1), SinkPolicy.Append, statsCol = Some("k"))
+    // new loads declare a DIFFERENT stats column: the first file's k-stats
+    // must not masquerade as v-stats (k and v order oppositely here, so
+    // stale stats would prune the wrong files)
+    w.load("t", (50 until 100).map(i => (i.toLong, (1000L - i)))
+      .toDF("k", "v").coalesce(1), SinkPolicy.Append, statsCol = Some("v"))
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCol.contains("v"))
+    assert(m.fileStats.size == 1) // only the v-stats file carries stats
+    // the stats-less first file is always scanned, so rows with v in
+    // range from BOTH files are found
+    assert(w.readBetween("t", "v", "940", "960").count() == 21)
+  }
+
+  test("non-orderable stats column types are refused up front") {
+    val w = Warehouse(spark, tmpDir("zm5-wh"))
+    val data = (0 until 5).map(i => (i.toLong, s"s$i")).toDF("k", "payload")
+    intercept[IllegalArgumentException] {
+      w.load("t", data, SinkPolicy.Append, statsCol = Some("payload"))
+    }
+  }
+
   test("compaction recomputes stats for the rewritten files") {
     val w = Warehouse(spark, tmpDir("zm3-wh"))
     Seq(0L, 100L, 200L, 300L).foreach(lo =>
