@@ -1,0 +1,357 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond dedup/similarity: the
+  * quality-filtering, decontamination, sampling, and batch-shaping stages
+  * a large-scale training-data pipeline runs between "raw crawl" and
+  * "training batches". All metrics use exact integer arithmetic (counts,
+  * integer division, quantized fractions) so every query is
+  * hash-checkable against the DuckDB oracle and reproducible across any
+  * partitioning — no RNG, no float accumulation across rows.
+  *
+  * Scale notes per operator are on each def; the common theme: every
+  * per-document metric here is map-side only (array expressions over the
+  * token list, no explode→shuffle), so the 100 TB plan is "scan, project,
+  * filter" with zero exchanges until an explicit aggregate.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // Repetition-based quality metrics (Gopher-style)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition metrics: top-unigram fraction (what share of
+    * tokens is the single most frequent token) and duplicate-bigram
+    * fraction (what share of bigrams is a repeat). High values flag the
+    * boilerplate/keyword-stuffing documents that length or alpha-ratio
+    * heuristics miss. Thresholds (top-unigram ≤ 14%, dup-bigram ≤ 6%) sit
+    * at ≈p90 of the fixture corpus so the filter visibly bites.
+    *
+    * Everything is computed with array expressions over the split token
+    * list — one projection, no explode, no shuffle; fractions are
+    * quantized to integers (×1e6, integer division) so the oracle
+    * comparison is exact. At 100 TB this is a pure map stage whose cost
+    * is O(tokens·distinct) per document, pipelined into the scan.
+    */
+  val repetitionQuality: QueryDef = QueryDef.sql(
+    "repetition_quality",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS n_tok,
+      |    CAST(list_max(list_transform(list_distinct(ts),
+      |           x -> len(list_filter(ts, y -> y = x)))) AS BIGINT) AS top_c,
+      |    CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_bg,
+      |    CAST(CASE WHEN len(ts) >= 2
+      |      THEN len(list_distinct(list_transform(range(1, len(ts)),
+      |             i -> ts[i] || ' ' || ts[i+1])))
+      |      ELSE 0 END AS BIGINT) AS n_dbg
+      |  FROM tok)
+      |SELECT doc_id, n_tok,
+      |  top_c * 1000000 // n_tok AS top_token_q6,
+      |  CASE WHEN n_bg > 0 THEN (n_bg - n_dbg) * 1000000 // n_bg
+      |       ELSE 0 END AS dup_bigram_q6,
+      |  (top_c * 100 <= n_tok * 14
+      |    AND (n_bg - n_dbg) * 100 <= n_bg * 6) AS keep
+      |FROM m""") { (s, dir) =>
+    repetitionMetrics(t(s, dir, "documents"))
+  }
+
+  /** The repetition detector over ANY (doc_id, text) frame — see
+    * [[repetitionQuality]] for semantics and thresholds. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split(lower($"text"), " ", -1).as("ts"))
+      .select(
+        $"doc_id",
+        size($"ts").cast(LongType).as("n_tok"),
+        expr("array_max(transform(array_distinct(ts), x -> size(filter(ts, y -> y = x))))")
+          .cast(LongType).as("top_c"),
+        greatest(size($"ts") - 1, lit(0)).cast(LongType).as("n_bg"),
+        when(size($"ts") >= 2,
+          expr("size(array_distinct(transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))))"))
+          .otherwise(0).cast(LongType).as("n_dbg"))
+      .select(
+        $"doc_id", $"n_tok",
+        expr("top_c * 1000000L div n_tok").as("top_token_q6"),
+        when($"n_bg" > 0, expr("(n_bg - n_dbg) * 1000000L div n_bg"))
+          .otherwise(0L).as("dup_bigram_q6"),
+        ($"top_c" * 100 <= $"n_tok" * 14 &&
+          ($"n_bg" - $"n_dbg") * 100 <= $"n_bg" * 6).as("keep"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Benchmark contamination detection
+  // ---------------------------------------------------------------------
+
+  /** Sources whose documents play the "held-out benchmark" role in the
+    * contamination check (fixture sources are uniform src0..src19, so
+    * these two hold 10% of the corpus). */
+  private val BenchSources = Seq("src0", "src1")
+
+  /** Contamination threshold: a corpus document sharing ≥ this many
+    * distinct 4-grams with the benchmark set is flagged. Calibrated on
+    * the fixture (31-token vocabulary): 4-grams leave most documents at
+    * 0–2 incidental hits while near-copies score 80+. */
+  private val ContamMinHits = 3
+
+  /** Benchmark-contamination report: for every non-benchmark document,
+    * how many of its distinct word-4-grams also occur anywhere in the
+    * benchmark sources, and a contaminated flag at ≥ [[ContamMinHits]].
+    * This is the eval-decontamination stage every serious training
+    * pipeline runs (n-gram collision against held-out eval sets).
+    *
+    * Plan at scale: the 4-gram arrays are computed and de-duplicated
+    * per-document map-side (array_distinct BEFORE explode — the exploded
+    * stream carries no within-doc repeats); the benchmark n-gram set is
+    * aggregated small and BROADCAST, so the corpus-side stream joins
+    * without a shuffle; the only exchange is the final per-doc count
+    * (re-aggregating by doc_id). The gram stage is persisted so the
+    * interpreted array transform is evaluated once per document, not once
+    * per exploded output row. */
+  val contaminationCheck: QueryDef = QueryDef.sql(
+    "contamination_check",
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, source,
+      |    UNNEST(list_distinct(CASE WHEN len(ts) >= 4
+      |      THEN list_transform(range(1, len(ts) - 2),
+      |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+      |      ELSE [] END)) AS g
+      |  FROM tok),
+      |bench AS (
+      |  SELECT DISTINCT g FROM gr
+      |  WHERE source IN ('${BenchSources.mkString("','")}')),
+      |corp AS (
+      |  SELECT doc_id, g FROM gr
+      |  WHERE source NOT IN ('${BenchSources.mkString("','")}'))
+      |SELECT c.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(b.g) AS BIGINT) AS n_hits,
+      |  COUNT(b.g) >= $ContamMinHits AS contaminated
+      |FROM corp c LEFT JOIN bench b ON c.g = b.g
+      |GROUP BY c.doc_id""") { (s, dir) =>
+    contaminationReport(t(s, dir, "documents"), BenchSources, ContamMinHits)
+  }
+
+  /** The contamination detector over ANY (doc_id, source, text) frame —
+    * see [[contaminationCheck]] for semantics. */
+  def contaminationReport(docs: DataFrame, benchSources: Seq[String],
+                          minHits: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // stage table (persisted): the interpreted 4-gram transform must not
+    // re-evaluate per exploded row (measured pathology — see TextOps);
+    // harness clearCache() drops it after the query
+    val grams = docs
+      .select($"doc_id", $"source", split(lower($"text"), " ", -1).as("ts"))
+      .select($"doc_id", $"source",
+        when(size($"ts") >= 4,
+          expr("""array_distinct(transform(sequence(0, size(ts) - 4),
+                 |  i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2], ' ', ts[i+3])))""".stripMargin))
+          .otherwise(expr("array()")).as("gs"))
+      .persist()
+    val exploded = grams.select($"doc_id", $"source", explode($"gs").as("g"))
+    val bench = exploded
+      .where($"source".isin(benchSources: _*))
+      .select($"g").distinct()
+      .withColumn("hit", lit(1))
+    exploded
+      .where(!$"source".isin(benchSources: _*))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count($"hit").as("n_hits"),
+        (count($"hit") >= minHits).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic sampling
+  // ---------------------------------------------------------------------
+
+  /** Per-language keep rate in basis points (of 10000) for
+    * [[stratifiedSample]]: downsample the head language hard, the second
+    * one mildly, keep the tail. */
+  private val RateBp: Map[String, Int] = Map("en" -> 2500, "fr" -> 5000)
+  private val DefaultRateBp = 10000
+
+  /** Hash bucket in [0, 10000) from the doc id — md5-prefix → integer,
+    * identical hex in Spark and DuckDB, so the sample is reproducible
+    * across engines, runs, and partitionings (no RNG, no sample()). */
+  private def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 10000
+
+  /** Stratified downsampling: keep a per-language deterministic rate of
+    * documents (en 25%, fr 50%, rest 100%) by hash-bucketing the doc id.
+    * The standard head-language rebalance before training-mix assembly.
+    * Pure map-side filter — pushes into the scan, zero shuffles, and the
+    * SAME rows survive on 1 executor or 1000. */
+  val stratifiedSample: QueryDef = QueryDef.sql(
+    "stratified_sample",
+    s"""SELECT doc_id, lang, source,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 10000 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 10000
+      |  < CASE lang WHEN 'en' THEN ${RateBp("en")}
+      |              WHEN 'fr' THEN ${RateBp("fr")}
+      |              ELSE $DefaultRateBp END""") { (s, dir) =>
+    import s.implicits._
+    val rate = RateBp.foldLeft(when(lit(false), DefaultRateBp)) {
+      case (acc, (l, bp)) => acc.when($"lang" === l, bp)
+    }.otherwise(DefaultRateBp)
+    t(s, dir, "documents")
+      .withColumn("bucket", hashBucket($"doc_id"))
+      .where($"bucket" < rate)
+      .select($"doc_id", $"lang", $"source", $"bucket")
+  }
+
+  /** Exact-size uniform sample: precisely k documents per language,
+    * chosen by ranking on the doc-id hash (a deterministic stand-in for
+    * reservoir sampling — same marginal distribution, reproducible).
+    * One shuffle on lang; rank is a per-group window. At 100 TB with few
+    * giant strata you'd pre-filter with [[hashBucket]] < ~(4k/stratum
+    * size) first so the window sees a small candidate set — noted here,
+    * unnecessary at fixture scale. */
+  val sampleExactK: QueryDef = QueryDef.sql(
+    "sample_exact_k",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, lang, rn FROM r WHERE rn <= 20""") { (s, dir) =>
+    import s.implicits._
+    val hv = conv(substring(md5($"doc_id".cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    val w = Window.partitionBy($"lang").orderBy($"hv", $"doc_id")
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", hv.as("hv"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 20)
+      .select($"doc_id", $"lang", $"rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Training-batch shaping
+  // ---------------------------------------------------------------------
+
+  /** Token budget per packed training sequence. */
+  private val SeqBudget = 512L
+
+  /** Sequence packing: concatenate documents (in stable doc_id order,
+    * within lang×source groups) and cut the stream every [[SeqBudget]]
+    * tokens — the concat-then-chunk batch assembly step of an LLM data
+    * pipeline. A document starting before a boundary is assigned to the
+    * sequence where it starts (floor(cumulative-tokens-before / budget)),
+    * so assignment is a running-sum window — exact integers, no floats.
+    *
+    * Partitioning by (lang, source) is the scale design: packing is
+    * embarrassingly parallel across group keys (100 here, millions at
+    * crawl scale with source = domain), each group's window sorts only
+    * its own documents, and sequences never span groups (you don't want
+    * cross-domain bleed inside one training sequence anyway). */
+  val sequencePacking: QueryDef = QueryDef.sql(
+    "sequence_packing",
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, source, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS cum_before
+      |  FROM tok)
+      |SELECT lang, source, CAST(cum_before // $SeqBudget AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM cum
+      |GROUP BY lang, source, cum_before // $SeqBudget""") { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ", -1)).cast(LongType).as("n_tok"))
+      .withColumn("cum_before", sum($"n_tok").over(w) - $"n_tok")
+      .groupBy($"lang", $"source",
+        expr(s"cum_before div $SeqBudget").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+  }
+
+  /** Domain-mixing weights: per-language token counts and the integer
+    * repeat factor (×1e6) that equalizes every language's token share —
+    * the "how many epochs of each subset" table a training-mix planner
+    * emits. All integer arithmetic (total·1e6 // (n_langs·lang_tokens)),
+    * so the result is engine-exact; the global total comes from an
+    * unpartitioned window over the ALREADY-AGGREGATED per-lang frame
+    * (5 rows — safe at any corpus scale because the window input is one
+    * row per language, not per document). */
+  val domainMixing: QueryDef = QueryDef.sql(
+    "domain_mixing",
+    """WITH per AS (
+      |  SELECT lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT lang, n_docs, lang_tokens,
+      |    SUM(lang_tokens) OVER () AS total_tokens,
+      |    COUNT(*) OVER () AS n_langs
+      |  FROM per)
+      |SELECT lang, n_docs, lang_tokens,
+      |  CAST(total_tokens * 1000000 // (n_langs * lang_tokens) AS BIGINT)
+      |    AS mix_epochs_q6,
+      |  CAST(lang_tokens * (total_tokens * 1000000 // (n_langs * lang_tokens))
+      |    // 1000000 AS BIGINT) AS planned_tokens
+      |FROM tot""") { (s, dir) =>
+    import s.implicits._
+    val per = t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ", -1)).cast(LongType)).as("lang_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("total_tokens", sum($"lang_tokens").over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .select(
+        $"lang", $"n_docs", $"lang_tokens",
+        expr("total_tokens * 1000000L div (n_langs * lang_tokens)")
+          .as("mix_epochs_q6"),
+        expr("""lang_tokens * (total_tokens * 1000000L div (n_langs * lang_tokens))
+               |  div 1000000L""".stripMargin).as("planned_tokens"))
+  }
+
+  /** Registration order for SparkEntry. */
+  val all: Seq[QueryDef] = Seq(
+    repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
+    sequencePacking, domainMixing)
+}
