@@ -431,30 +431,38 @@ object TextOps {
       // under the explode re-evaluates per OUTPUT row (shingle), not per
       // document — a ~50x recompute (measured 8s of a 9s query at sf0.1)
       val sets = shingleSets(docs).persist()
-      val sh = explodedShingles(sets)
-      val hs = sh.select($"doc_id",
-        expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
-          .as("h"))
-      val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
-      }
-      // persist = stage materialization: both sides of the banded
-      // self-join read the signature table instead of recomputing the
-      // 16-column aggregate per side (at 100 TB this is a written stage
-      // table). The Verify/Bench harness clears the cache between queries.
-      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
-      val bandStructs = (0 until MH_BANDS).map { bd =>
-        struct(lit(bd).as("band"),
-          concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
-      }
-      val bands = sig
-        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.k".as("k"))
+      val bands = minhashBands(sets)
       val cand = bands.toDF("doc_a", "band", "k")
         .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
         .where($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
       jaccardVerify(cand, sets)
+  }
+
+  /** (doc_id, band, k) LSH bucket keys from the per-doc shingle sets —
+    * the shared signature stage of [[minhashNeardupPairs]] and
+    * [[incrementalNeardup]]. The 16-slot signature aggregate is persisted
+    * (stage-table materialization: every band consumer reads it instead
+    * of recomputing; at 100 TB this is a written table that INCREMENTAL
+    * loads extend batch-by-batch rather than rebuild). */
+  private[ops] def minhashBands(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    val sh = explodedShingles(sets)
+    val hs = sh.select($"doc_id",
+      expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
+        .as("h"))
+    val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
+    }
+    val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    val bandStructs = (0 until MH_BANDS).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
+    }
+    sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.k".as("k"))
   }
 
   /** SimHash parameters: 48-bit fingerprints (the md5-prefix hash width),
@@ -549,8 +557,115 @@ object TextOps {
         .where($"hamming" <= SH_HAMMING_MAX)
   }
 
+  /** Sources whose documents play the "incoming batch" role in
+    * [[incrementalNeardup]] (fixture sources are uniform, so this is 10%
+    * of the corpus arriving against the other 90%). */
+  private val IncSources = Seq("src2", "src3")
+
+  /** Incremental dedup-on-ingest — the production shape of near-dedup: an
+    * INCOMING batch is checked against the EXISTING corpus (plus earlier
+    * rows of its own batch, so batch-internal dups also resolve to one
+    * survivor) instead of re-deduping the world. Per incoming document:
+    * how many existing/earlier docs it near-dups (MinHash-banded
+    * candidates, exact-Jaccard ≥ 0.30 verified), the id it duplicates
+    * (lowest match), and an is_new keep flag.
+    *
+    * At 100 TB the corpus side of the band join reads the PERSISTED
+    * signature stage ([[minhashBands]] — a written table that each load
+    * extends), so ingest cost scales with the batch, not the corpus: only
+    * incoming documents are shingled and hashed, and the join touches
+    * only buckets an incoming signature lands in. */
+  val incrementalNeardup: QueryDef = {
+    val sigColsSql = MH_AB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $MH_P) AS m$i"
+    }.mkString(",\n      |    ")
+    val bandsSql = (0 until MH_BANDS).map { bd =>
+      s"SELECT doc_id, $bd AS band, concat_ws('_', m${2 * bd}, m${2 * bd + 1}) AS k FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    QueryDef.sql(
+      "incremental_neardup",
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $MH_P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigColsSql
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  $bandsSql),
+        |src AS (
+        |  SELECT doc_id, source IN ('${IncSources.mkString("','")}') AS is_inc
+        |  FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN src sa ON sa.doc_id = a.doc_id AND sa.is_inc
+        |  JOIN bands b ON b.band = a.band AND b.k = a.k
+        |    AND b.doc_id <> a.doc_id
+        |  JOIN src sb ON sb.doc_id = b.doc_id
+        |  WHERE (NOT sb.is_inc) OR b.doc_id < a.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS n_both
+        |  FROM cand
+        |  JOIN sh fa ON fa.doc_id = doc_a
+        |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+        |  GROUP BY doc_a, doc_b),
+        |ver AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30),
+        |dups AS (
+        |  SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+        |    MIN(doc_b) AS dup_of
+        |  FROM ver GROUP BY doc_a)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+        |  dup_of, dup_of IS NULL AS is_new
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE source IN ('${IncSources.mkString("','")}')) d
+        |LEFT JOIN dups ON dups.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      incrementalNeardupReport(t(s, dir, "documents"), IncSources)
+    }
+  }
+
+  /** The dedup-on-ingest detector over ANY (doc_id, source, text) frame;
+    * rows whose source is in `incomingSources` form the batch, the rest
+    * the existing corpus. */
+  def incrementalNeardupReport(docs: DataFrame,
+                               incomingSources: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sets = shingleSets(docs).persist()
+    val isInc = $"source".isin(incomingSources: _*)
+    val bands = minhashBands(sets)
+      .join(docs.select($"doc_id", isInc.as("is_inc")), Seq("doc_id"))
+    val cand = bands.where($"is_inc")
+      .select($"doc_id".as("doc_a"), $"band", $"k")
+      .join(bands.select($"doc_id".as("doc_b"), $"band", $"k",
+        $"is_inc".as("b_inc")), Seq("band", "k"))
+      .where($"doc_b" =!= $"doc_a" && (!$"b_inc" || $"doc_b" < $"doc_a"))
+      .select($"doc_a", $"doc_b").distinct()
+    val dups = jaccardVerify(cand, sets)
+      .groupBy($"doc_a".as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min($"doc_b").as("dup_of"))
+    docs.where(isInc).select($"doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_dup_matches", lit(0L)).as("n_dup_matches"),
+        $"dup_of", $"dup_of".isNull.as("is_new"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
-    minhashLshNeardup, simhashNeardup)
+    minhashLshNeardup, simhashNeardup, incrementalNeardup)
 }

@@ -53,4 +53,23 @@ class NeardupCascadeSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(sets == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
+
+  test("incremental dedup-on-ingest: batch vs corpus and within-batch") {
+    val other = (1 to 60).map(i => s"q${(i * 41) % 103}")
+    val staged = Seq(
+      (1L, "corpus", baseWords.mkString(" ")),                 // existing
+      (2L, "corpus", other.mkString(" ")),                     // existing
+      (10L, "batch", baseWords.updated(7, "NEW").mkString(" ")), // dups corpus 1
+      (11L, "batch", (1 to 60).map(i => s"f${(i * 59) % 89}").mkString(" ")), // fresh
+      (12L, "batch", (1 to 60).map(i => s"f${(i * 59) % 89}").mkString(" ")) // dup of 11 within batch
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.incrementalNeardupReport(staged, Seq("batch"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(10L, 11L, 12L)) // only the batch is reported
+    assert(!r(10L).getAs[Boolean]("is_new"))
+    assert(r(10L).getAs[Long]("dup_of") === 1L)
+    assert(r(11L).getAs[Boolean]("is_new")) // first of the pair survives
+    assert(!r(12L).getAs[Boolean]("is_new")) // second resolves to the first
+    assert(r(12L).getAs[Long]("dup_of") === 11L)
+  }
 }
