@@ -297,6 +297,86 @@ final case class Warehouse(spark: SparkSession, root: String) {
       df.join(existing.select(shared.map(existing(_)): _*), cond, "left_anti")
     }
 
+  /** Keyed UPSERT — `MERGE INTO table USING df ON keys WHEN MATCHED
+    * UPDATE WHEN NOT MATCHED INSERT`, latest-wins per key. The reference
+    * never needed this (BigQuery WRITE_APPEND/WRITE_TRUNCATE only,
+    * `datasources.py:55-58`) but every dimension/state table does.
+    *
+    * COPY-ON-WRITE AT FILE GRANULARITY: a key-probe pass (column-pruned —
+    * only the key columns are read) finds which data files actually
+    * contain a matched key; ONLY those files are rewritten (their
+    * unmatched rows survive alongside the batch), every other file
+    * carries over by reference in one atomic manifest commit. At 100 TB
+    * a batch touching one partition's worth of keys rewrites that
+    * partition's files, not the table. Time travel keeps the pre-merge
+    * snapshot; readers see the merge all-or-nothing.
+    *
+    * Key matching is NULL-SAFE (`<=>`, same rationale as
+    * [[newRowsOnly]]). Duplicate keys WITHIN the batch are refused, like
+    * Delta's MERGE — "latest" is undefined inside one unordered batch.
+    * SERIALIZABLE: any commit that lands between snapshot resolution and
+    * publish aborts this merge (a concurrent append could carry matched
+    * keys the rewrite would silently miss) — re-run on conflict. */
+  def upsert(table: String, df: DataFrame, keyCols: Seq[String]): LoadResult = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val dir = tableDir(table)
+    adoptLegacyLayout(dir)
+    val curOpt = TxnLog.current(dir)
+    if (curOpt.isEmpty) return load(table, df, SinkPolicy.Append)
+    val cur = curOpt.get
+    val batch = df.persist() // read 4×: dup check, probe, anti-join, land
+    try {
+      require(keyCols.forall(batch.columns.contains),
+        s"batch lacks key column(s) ${keyCols.filterNot(batch.columns.contains).mkString(",")}")
+      val batchKeys = batch.select(keyCols.map(col): _*)
+      require(batchKeys.groupBy(keyCols.map(col): _*)
+        .count().where($"count" > 1).isEmpty,
+        s"batch has duplicate keys on (${keyCols.mkString(",")}) — " +
+          "latest-wins is undefined within one batch")
+      val existing = read(table) // pinned to `cur`
+      require(keyCols.forall(existing.columns.contains),
+        s"$table lacks key column(s) ${keyCols.filterNot(existing.columns.contains).mkString(",")}")
+      def keyCond(l: DataFrame, r: DataFrame) =
+        keyCols.map(c => l(c) <=> r(c)).reduce(_ && _)
+      // probe: which CURRENT files hold a matched key (reads keys only)
+      val probed = existing.select((keyCols.map(col) :+
+        input_file_name().as("__file")): _*)
+      val affectedRel = probed
+        .join(batchKeys, keyCond(probed, batchKeys), "left_semi")
+        .select($"__file").distinct().collect().map(_.getString(0))
+        .map { abs =>
+          val p = scala.util.Try(Paths.get(new java.net.URI(abs)))
+            .getOrElse(Paths.get(abs))
+          dir.relativize(p).toString
+        }.toSeq
+      // survivors: unmatched rows of ONLY the affected files
+      val survivors =
+        if (affectedRel.isEmpty) None
+        else {
+          val aff = readSnapshot(dir, table, cur.version, affectedRel)
+          Some(aff.join(batchKeys, keyCond(aff, batchKeys), "left_anti"))
+        }
+      val toWrite = survivors
+        .map(_.unionByName(batch, allowMissingColumns = true))
+        .getOrElse(batch)
+      val (newFiles, n) = writeTxn(dir, toWrite, cur.partitionCols)
+      if (n == 0) return LoadResult(table, "skipped-empty", 0L)
+      val newStats = cur.statsCol
+        .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
+      TxnLog.commit(dir) { now =>
+        if (now.map(_.version) != Some(cur.version))
+          throw new java.util.ConcurrentModificationException(
+            s"$table changed during upsert (v${cur.version} -> " +
+              s"v${now.map(_.version).getOrElse(0L)}); re-run")
+        val files = TxnLog.mergeRewrite(affectedRel, cur.files, newFiles).get
+        ManifestData(cur.partitionCols, files, cur.statsCol,
+          (cur.fileStats -- affectedRel) ++ newStats)
+      }
+      LoadResult(table, s"upserted(rewrote=${affectedRel.size} files)", n)
+    } finally batch.unpersist()
+  }
+
   /** S2-style secret lookup: `SELECT API_KEY FROM <keysTable> WHERE
     * TBL_NM = '<forTable>'` (`functions/utils/pipeline.py:28-29`). */
   def secret(keysTable: String, forTable: String): Option[String] =
