@@ -297,6 +297,45 @@ final case class Warehouse(spark: SparkSession, root: String) {
       df.join(existing.select(shared.map(existing(_)): _*), cond, "left_anti")
     }
 
+  /** File-level diff between two committed versions: (added, removed)
+    * table-relative paths. Free with the manifest log — no data read. */
+  def changedFiles(table: String, fromVersion: Long,
+                   toVersion: Long): (Seq[String], Seq[String]) = {
+    val dir = tableDir(table)
+    val a = TxnLog.readVersion(dir, fromVersion).files.toSet
+    val b = TxnLog.readVersion(dir, toVersion).files.toSet
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** CHANGE DATA CAPTURE for append-only history: the rows landed after
+    * `fromVersion` up to and including `toVersion` — what an incremental
+    * consumer (downstream table, search index, signature stage) reads
+    * instead of re-scanning the table. Exact by construction: appended
+    * rows live in appended files, so the diff of the two manifests IS the
+    * change set, and no data outside the new files is touched.
+    *
+    * REFUSES non-additive history: if any file was removed between the
+    * two versions (overwrite, re-land, upsert, compaction), file-level
+    * diffing can no longer distinguish "new row" from "old row in a
+    * rewritten file", and a silent answer would double-feed consumers.
+    * Such tables need a consumer checkpoint on a key/timestamp column
+    * instead — the caller learns that here rather than in production. */
+  def readAppendedBetween(table: String, fromVersion: Long,
+                          toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val (added, removed) = changedFiles(table, fromVersion, toVersion)
+    require(removed.isEmpty,
+      s"$table history v$fromVersion..v$toVersion is not append-only " +
+        s"(${removed.size} file(s) were removed by overwrite/re-land/" +
+        "upsert/compact); file-level CDC would be wrong — consume via a " +
+        "key or timestamp checkpoint instead")
+    if (added.isEmpty) {
+      // schema from the current snapshot, zero rows
+      read(table).limit(0)
+    } else readSnapshot(tableDir(table), table, toVersion, added)
+  }
+
   /** Keyed UPSERT — `MERGE INTO table USING df ON keys WHEN MATCHED
     * UPDATE WHEN NOT MATCHED INSERT`, latest-wins per key. The reference
     * never needed this (BigQuery WRITE_APPEND/WRITE_TRUNCATE only,
@@ -422,7 +461,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * Bucketed CATALOG tables are refused: their files carry bucket ids
     * the path-level rewrite cannot reproduce; re-land them with
     * [[loadBucketed]] instead. */
-  def compact(table: String, targetBytesPerFile: Long = 128L << 20): LoadResult = {
+  def compact(table: String, targetBytesPerFile: Long = 128L << 20,
+              clusterBy: Option[String] = None): LoadResult = {
     require(!spark.catalog.tableExists(table),
       s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
     val dir = tableDir(table)
@@ -432,10 +472,25 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
     val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
     val snapshot = read(table) // pinned to `cur`'s files
+    // clusterBy = Z-ORDER's 1-D case: range-partition + sort on the
+    // column so each rewritten file covers a DISJOINT value range, which
+    // is what turns the zone-map min/max stats from "every file
+    // intersects every predicate" (append order interleaves values) into
+    // real file skipping. Defaults to the table's stats column when one
+    // is declared — compaction is exactly when clustering is cheap.
+    val cluster = clusterBy.orElse(cur.statsCol)
+    cluster.foreach(c => require(snapshot.columns.contains(c),
+      s"cluster column $c not in $table"))
     val shaped =
-      if (cur.partitionCols.nonEmpty)
-        snapshot.repartition(cur.partitionCols.map(col): _*)
-      else snapshot.repartition(nFiles)
+      if (cur.partitionCols.nonEmpty) {
+        val base = snapshot.repartition(cur.partitionCols.map(col): _*)
+        cluster.map(c => base.sortWithinPartitions(
+          (cur.partitionCols :+ c).map(col): _*)).getOrElse(base)
+      } else cluster match {
+        case Some(c) =>
+          snapshot.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+        case None => snapshot.repartition(nFiles)
+      }
     val (newFiles, n) = writeTxn(dir, shaped, cur.partitionCols)
     // merge against whatever committed while we rewrote: concurrent
     // APPENDS are kept alongside the compacted files; a concurrent

@@ -89,4 +89,34 @@ class ZoneMapSpec extends SparkTestBase {
     assert(mn.toLong == 0L && mx.toLong == 399L)
     assert(w.readBetween("t", "k", "10", "20").count() == 11)
   }
+
+  test("clustered compaction turns interleaved appends into prunable files") {
+    val w = Warehouse(spark, tmpDir("zm6-wh"))
+    // interleaved appends: every file spans nearly the FULL key range, so
+    // zone maps can prune nothing — the shape hash-distributed or
+    // arrival-ordered data naturally has
+    (0 until 4).foreach { i =>
+      val rows = (0 until 100).map(j => (j * 4L + i, s"r$i-$j"))
+        .toDF("k", "payload")
+      w.load("t", rows.coalesce(1), SinkPolicy.Append, statsCol = Some("k"))
+    }
+    val dir = Paths.get(w.root, "t")
+    val before = TxnLog.current(dir).get
+    assert(w.prunedFiles(before, "t", "k", "10", "20").size ==
+      before.files.size) // narrow range still opens every file
+    // compact with range clustering (clusterBy defaults to the stats col)
+    val bytes = before.files
+      .map(f => java.nio.file.Files.size(dir.resolve(f))).sum
+    w.compact("t", targetBytesPerFile = bytes / 4)
+    val after = TxnLog.current(dir).get
+    assert(after.files.size >= 2, "need multiple files to show pruning")
+    assert(after.fileStats.size == after.files.size)
+    // disjoint per-file ranges: the same narrow read now skips most files
+    assert(w.prunedFiles(after, "t", "k", "10", "20").size <= 2)
+    val pruned = w.readBetween("t", "k", "10", "20")
+      .select("k").as[Long].collect().toSet
+    val full = w.read("t").where($"k" >= 10 && $"k" <= 20)
+      .select("k").as[Long].collect().toSet
+    assert(pruned == full && full.size == 11)
+  }
 }
