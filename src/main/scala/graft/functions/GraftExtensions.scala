@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` hook: registers the native
+  * expressions under SQL names so `spark.sql("SELECT dot_i64(a, b)")`
+  * and the DataFrame API share one codegen'd implementation. Two entry
+  * points, same registration:
+  *
+  *   - builder-time (cluster deployments, every session gets it):
+  *     `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  *     `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *   - runtime (an already-built session, notebooks):
+  *     `GraftExtensions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type FunctionDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Every SQL-exposed native function. One list so builder-time and
+    * runtime registration can never drift. */
+  val functions: Seq[FunctionDescriptor] = Seq(
+    (FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_i64 takes 2 arguments, got ${children.size}")
+        DotProductI64(children.head, children(1))
+      }))
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+}

@@ -356,13 +356,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * SERIALIZABLE: any commit that lands between snapshot resolution and
     * publish aborts this merge (a concurrent append could carry matched
     * keys the rewrite would silently miss) — re-run on conflict. */
-  def upsert(table: String, df: DataFrame, keyCols: Seq[String]): LoadResult = {
+  def upsert(table: String, df: DataFrame, keyCols: Seq[String],
+             txnId: Option[String] = None): LoadResult = {
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val dir = tableDir(table)
     adoptLegacyLayout(dir)
+    // same idempotent-writer replay guard as [[load]]: a merge whose
+    // commit landed but whose caller died before checkpointing must not
+    // apply twice (it WOULD be value-idempotent, but each replay would
+    // burn a version and rewrite files for nothing)
+    if (txnId.exists(TxnLog.txnCommitted(dir, _)))
+      return LoadResult(table, "skipped-duplicate-txn", 0L)
     val curOpt = TxnLog.current(dir)
-    if (curOpt.isEmpty) return load(table, df, SinkPolicy.Append)
+    if (curOpt.isEmpty) return load(table, df, SinkPolicy.Append, txnId)
     val cur = curOpt.get
     val batch = df.persist() // read 4×: dup check, probe, anti-join, land
     try {
@@ -403,7 +410,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       if (n == 0) return LoadResult(table, "skipped-empty", 0L)
       val newStats = cur.statsCol
         .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
-      TxnLog.commit(dir) { now =>
+      TxnLog.commit(dir, txnId) { now =>
         if (now.map(_.version) != Some(cur.version))
           throw new java.util.ConcurrentModificationException(
             s"$table changed during upsert (v${cur.version} -> " +

@@ -9,6 +9,25 @@ import graft.SparkTestBase
 class DotProductI64Spec extends SparkTestBase {
   import spark.implicits._
 
+  test("SQL name via extensions: dot_i64 callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].collect().head
+    assert(viaSql === 32L)
+    // builder-time hook is the same list — a fresh session constructed
+    // with the extensions class resolves the function during analysis
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    // getOrCreate may return the existing session; registration either
+    // way must make the function resolvable
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT dot_i64(array(2L), array(3L)) AS d")
+      .collect().head.getLong(0) === 6L)
+  }
+
   test("matches the aggregate/zip_with formulation on random vectors") {
     val df = (1 to 100).map { i =>
       ((1 to 64).map(j => (i * 31 + j * 7 % 97).toLong),
