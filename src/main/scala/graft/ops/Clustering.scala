@@ -63,21 +63,39 @@ object Clustering {
       base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val base = if (ownCache) base0.persist() else base0
     try {
-      // deterministic farthest-first init (no RNG): seed with the lowest
-      // vec_id, then k−1 times take the point farthest from its nearest
-      // chosen centroid, ties to the lowest vec_id. Spreads seeds across
-      // the data's modes — k-lowest-ids would drop every seed into
-      // whatever cluster sorts first and Lloyd may never escape it.
-      var centroids: Seq[Seq[Long]] = Seq(
-        base.orderBy($"vec_id").limit(1).select($"qe").as[Seq[Long]].head())
-      while (centroids.size < k) {
-        val next = base
-          .select($"vec_id", $"qe",
-            array_min(array(centroids.map(c =>
-              dist2($"qe", $"nrm", c)): _*)).as("d"))
-          .orderBy($"d".desc, $"vec_id".asc).limit(1)
-          .select($"qe").as[Seq[Long]].head()
-        centroids = centroids :+ next
+      // deterministic farthest-first init (no RNG), TWO passes total
+      // regardless of k: seed with the lowest vec_id, then ONE scan
+      // collects the 16·k points farthest from the seed (ties to lowest
+      // vec_id) as a candidate pool, and the remaining k−1 seeds are
+      // chosen by exact greedy farthest-first over that pool DRIVER-SIDE
+      // (≤ 16·k tiny vectors — local arithmetic). Spreads seeds across
+      // the data's modes like the classic k−1-scan farthest-first, but
+      // init cost no longer multiplies the corpus scan by k (at 100 TB,
+      // 2 scans instead of k+1). When the corpus is smaller than the
+      // pool — every unit-test fixture — the pool IS the corpus and the
+      // result is exact farthest-first, unchanged.
+      val seed: Seq[Long] =
+        base.orderBy($"vec_id").limit(1).select($"qe").as[Seq[Long]].head()
+      val pool: Seq[(Long, Seq[Long])] = base
+        .select($"vec_id", $"qe", dist2($"qe", $"nrm", seed).as("d"))
+        .orderBy($"d".desc, $"vec_id".asc).limit(16 * k)
+        .select($"vec_id", $"qe").as[(Long, Seq[Long])].collect().toSeq
+      def sqDist(a: Seq[Long], b: Seq[Long]): Long = {
+        var acc = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      var centroids: Seq[Seq[Long]] = Seq(seed)
+      while (centroids.size < k && pool.nonEmpty) {
+        // the pool point farthest from its nearest chosen centroid,
+        // ties to the lowest vec_id — the same rule the per-scan
+        // farthest-first applied
+        val next = pool
+          .map { case (id, v) => (centroids.map(sqDist(v, _)).min, id, v) }
+          .reduceLeft((x, y) =>
+            if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)
+        centroids = centroids :+ next._3
       }
       for (_ <- 1 to iters) {
         // one narrow shuffle: (cluster, pos, value) partial-sums map-side
