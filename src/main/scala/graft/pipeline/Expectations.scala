@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Each rule compiles to a conditional COUNT over the same scan —
   * checking ten rules costs one pass, not ten (at 100 TB the batch is
   * read once; map-side partial aggregation reduces each partition to one
-  * row of counters). Uniqueness is the exception: it needs its own
-  * groupBy, and is counted as (rows − distinct keys).
+  * row of counters). Uniqueness rules fold into the SAME aggregate as
+  * `rows − count_distinct(struct(keys))`: Catalyst plans the mixed
+  * distinct/plain aggregate as one Expand (rows multiplied logically,
+  * per distinct key set), but the batch is still scanned once — there is
+  * no per-rule extra pass.
   */
 object Expectations {
 
@@ -40,8 +43,7 @@ object Expectations {
 
   /** Violation counts per rule name (0 = satisfied), plus "rows". */
   def check(df: DataFrame, rules: Seq[Rule]): Map[String, Long] = {
-    val (uniques, rowRules) = rules.partition(_.isInstanceOf[Unique])
-    val counters: Seq[Column] = count(lit(1)).as("rows") +: rowRules.map {
+    val counters: Seq[Column] = count(lit(1)).as("rows") +: rules.map {
       case NotNull(c) =>
         count(when(col(c).isNull, 1)).as(s"not_null($c)")
       case InRange(c, lo, hi) =>
@@ -49,17 +51,14 @@ object Expectations {
       case Matches(c, re) =>
         count(when(col(c).isNotNull && !col(c).rlike(re), 1)).as(s"matches($c)")
       case Holds(n, p) => count(when(!coalesce(p, lit(false)), 1)).as(n)
-      case u: Unique => throw new IllegalStateException(u.name) // partitioned out
+      case u @ Unique(cols @ _*) =>
+        // struct() is non-null even over null fields, so every row counts
+        // and null keys compare equal — same semantics as distinct()
+        (count(lit(1)) - count_distinct(struct(cols.map(col): _*))).as(u.name)
     }
     val row = df.agg(counters.head, counters.tail: _*).collect()(0)
-    val base = row.schema.fieldNames.zipWithIndex
+    row.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> row.getLong(i) }.toMap
-    val uniq = uniques.collect { case u @ Unique(cols @ _*) =>
-      val dups = base("rows") -
-        df.select(cols.map(col): _*).distinct().count()
-      u.name -> dups
-    }
-    base ++ uniq
   }
 
   /** True iff every rule has zero violations. */

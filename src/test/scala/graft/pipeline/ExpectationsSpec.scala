@@ -2,8 +2,8 @@ package graft.pipeline
 
 import graft.SparkTestBase
 
-/** One-pass data-quality expectations: per-rule violation counts, the
-  * uniqueness special case, and the pass/fail gate. */
+/** One-pass data-quality expectations: per-rule violation counts,
+  * uniqueness folded into the same aggregate, and the pass/fail gate. */
 class ExpectationsSpec extends SparkTestBase {
   import spark.implicits._
   import Expectations._
@@ -50,5 +50,21 @@ class ExpectationsSpec extends SparkTestBase {
     val df = Seq(Some(5), None).toDF("v")
     val report = check(df, Seq(Holds("v_positive", $"v" > 0)))
     assert(report("v_positive") == 1L) // the NULL row is not proven
+  }
+
+  test("Unique counts NULL keys as equal (two null ids = one duplicate)") {
+    val df = Seq(Some(1), None, None).toDF("id")
+    val report = check(df, Seq(Unique("id")))
+    assert(report("unique(id)") == 1L)
+  }
+
+  test("multiple Unique rules still evaluate in one job") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("id", "name")
+    val report = check(df, Seq(Unique("id"), Unique("name"),
+      Unique("id", "name"), NotNull("name")))
+    assert(report("unique(id)") == 1L)
+    assert(report("unique(name)") == 1L)
+    assert(report("unique(id,name)") == 0L)
+    assert(report("not_null(name)") == 0L)
   }
 }
