@@ -54,19 +54,42 @@ object Bench {
       }
       (d.name, runs.sorted.apply(REPS / 2), runs)
     }
-    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
+    val total = results.map(_._2).sum
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full-precision medians + all per-run values go to the file.
+    val fullQs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val perRun = results.map { case (k, _, rs) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","queries":$qs,"runs":$perRun,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    // Raw FD write: immune to any stdout wrapping the launcher installs.
+    Files.writeString(
+      Paths.get("bench_result.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","queries":$fullQs,"runs":$perRun,"sf":"$sfDir"}""" + "\n")
+    // The stdout line MUST fit, with room for sbt's trailing "[success]"
+    // line, inside the driver's 2000-char output-tail window — round 3's
+    // 6 KB line (full precision + per-run arrays) was clipped mid-line and
+    // recorded as parsed:null. Millisecond precision for the per-query map,
+    // and if future growth still overflows the budget, drop the fastest
+    // queries first (the timing signal lives in the slow ones) and say so.
+    val budget = 1800
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$REPS","queries":$m$om,"sf":"$sfDir"}"""
+    }
+    val bySlow = results.map { case (k, med, _) => (k, med) }
+      .sortBy(-_._2)
+    var keep = bySlow.length
+    while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep).length > budget)
+      keep -= 1
+    val json = line(bySlow.take(keep), bySlow.length - keep)
+    spark.stop()
+    // Raw FD write after spark.stop(): immune to any stdout wrapping the
+    // launcher installs, and nothing logs after it.
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(json)
-    spark.stop()
   }
 }

@@ -105,9 +105,12 @@ object Clustering {
             posexplode($"qe").as(Seq("pos", "v")))
           .groupBy($"cl", $"pos")
           .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          // `div` is exact integer division — `/` on two longs is DOUBLE
+          // division then truncation, which rounds for |sv| > 2^53 and
+          // would break the all-integer determinism contract above
           .groupBy($"cl")
-          .agg(array_sort(collect_list(struct($"pos", ($"sv" / $"n")
-            .cast("long").as("cv")))).as("vec"))
+          .agg(array_sort(collect_list(struct($"pos",
+            expr("sv div n").as("cv")))).as("vec"))
           .select($"cl", expr("transform(vec, x -> x.cv)").as("centroid"))
           .as[(Int, Seq[Long])].collect().toMap
         // empty clusters keep their previous centroid

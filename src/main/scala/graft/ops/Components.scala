@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Connected components over a pair graph — the step that turns near-dup
+  * PAIR detection into near-dup GROUPS: transitively-linked documents
+  * form one cluster, and exactly one canonical survivor per cluster is
+  * kept (the reference's dedup surface stops at pairwise `drop_duplicates`
+  * — `transform_functions.py` has no transitive grouping — but any real
+  * corpus dedup needs it: A~B and B~C must not keep both A and C).
+  *
+  * Algorithm: iterative min-label propagation WITH pointer jumping, pure
+  * DataFrame ops. Each round does (1) a neighbor step — every vertex
+  * takes the min of its own label and its neighbors' — and (2) a pointer
+  * jump — every vertex then takes its label's label (well-defined: a
+  * label is always some vertex's id, and labels only ever decrease). The
+  * neighbor step alone needs O(diameter) rounds (a 10⁶-long chain of
+  * near-dups would need 10⁶ shuffles); the jump collapses label chains
+  * geometrically, giving O(log n) rounds on any graph shape — the same
+  * doubling idea as the large-star/small-star MapReduce CC algorithm.
+  * Per round: one shuffle of the edge list joined with labels (O(E)),
+  * one label aggregation (O(V+E)), one label-to-label join (O(V)) — no
+  * step ever materializes a component's member list on one node, so a
+  * cluster of any size (the pathological "same boilerplate 10⁸ times"
+  * case) is never a hotspot.
+  */
+object Components {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Connected components of the undirected graph given by `edges` (two
+    * id columns; direction ignored). Returns (id, cluster_id) for every
+    * vertex that appears in some edge, where cluster_id is the MINIMUM
+    * vertex id of the component — deterministic at any partitioning.
+    * Empty edge sets return an empty frame with that schema. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 40): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.toDF("src", "dst")
+    // undirected: propagate both ways; persisted — read every round
+    val sym = e.union(e.select($"dst", $"src")).persist()
+    // Every round ends in localCheckpoint(eager): the pointer-jump
+    // SELF-join references the round's plan twice, so without lineage
+    // truncation the logical plan doubles per round — exponential plan
+    // size that OOMs the driver before any data moves. Checkpointing
+    // pins each round's labels (O(V), the only state) and restarts the
+    // plan from it; superseded rounds are reclaimed by the context
+    // cleaner once unreferenced. On a real cluster this is the same
+    // discipline at executor-memory scale (or `checkpoint()` to
+    // reliable storage for fault tolerance across rounds).
+    var labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("cluster_id")).localCheckpoint(true)
+    var converged = sym.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // (1) neighbor step: min over own + neighbors' labels. Formulated
+      // as aggregate-then-join rather than union-then-aggregate: the
+      // map-side-combined neighbor min shuffles ≤ one row per vertex
+      // (not one per edge), and a Union whose branches share the
+      // checkpointed frame's attributes trips Catalyst's union
+      // constraint rewriting.
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"cluster_id")
+        .groupBy($"id").agg(min($"cluster_id").as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least($"cluster_id", coalesce($"nbr", $"cluster_id")).as("cluster_id"))
+      // (2) pointer jump: label := label(label). The joined row always
+      // exists (labels covers every vertex id, and every label IS a
+      // vertex id), and its label is ≤ ours by min-monotonicity.
+      val next = stepped.as("x")
+        .join(stepped.select($"id".as("cluster_id"),
+          $"cluster_id".as("jump")).as("y"), "cluster_id")
+        .select($"id", $"jump".as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where($"cluster_id" =!= $"prev").count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxIters rounds " +
+        "(doubling reaches 2^40 vertices — this indicates a bug, not scale)")
+    labels
+  }
+
+  /** Registered form: MinHash-LSH near-dup pairs over `documents` →
+    * components → per-doc cluster assignment with the cluster's member
+    * count and the keep/drop verdict (keep = the cluster's minimum
+    * doc_id — deterministic canonical survivor). The oracle reuses the
+    * pair query's CTE chain verbatim and closes it transitively with a
+    * recursive min-label CTE — same fixpoint, so Spark's iterative
+    * propagation is checked end-to-end against an independent
+    * formulation. */
+  val neardupClusters: QueryDef =
+    QueryDef.sql(
+      "neardup_clusters",
+      s"""WITH RECURSIVE ${TextOps.mhPairsCteSql},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id, cs.n_members,
+        |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cc JOIN cs USING (cluster_id)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = TextOps.minhashNeardupPairs(t(s, dir, "documents"))
+        .select($"doc_a", $"doc_b")
+      val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      val sizes = cc.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"n_members",
+          when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("keep"))
+    }
+
+  val all: Seq[QueryDef] = Seq(neardupClusters)
+}

@@ -377,51 +377,60 @@ object TextOps {
     * Exact Jaccard over full shingle sets then verifies the 0.30
     * threshold, so reported pairs are never false positives; banding only
     * bounds recall (by design, mirrored exactly in the oracle). */
-  val minhashLshNeardup: QueryDef = {
+  /** The MinHash candidate + exact-verify pipeline as a DuckDB CTE chain
+    * ending in `pairs(doc_a, doc_b, jaccard_q6)` — shared verbatim by the
+    * pair query's oracle and the cluster query's (so the two oracles can
+    * never drift apart on what a near-dup pair is). */
+  private[ops] val mhPairsCteSql: String = {
     val sigColsSql = MH_AB.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * h + $b) % $MH_P) AS m$i"
-    }.mkString(",\n      |    ")
+    }.mkString(",\n    ")
     val bandsSql = (0 until MH_BANDS).map { bd =>
       s"SELECT doc_id, $bd AS band, concat_ws('_', m${2 * bd}, m${2 * bd + 1}) AS k FROM sig"
-    }.mkString("\n      |  UNION ALL ")
+    }.mkString("\n  UNION ALL ")
+    s"""tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $MH_P AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigColsSql
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  $bandsSql),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.k = b.k
+      |    AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS n_both
+      |  FROM cand
+      |  JOIN sh fa ON fa.doc_id = doc_a
+      |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+      |  GROUP BY doc_a, doc_b),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT) AS jaccard_q6
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30)""".stripMargin
+  }
+
+  val minhashLshNeardup: QueryDef =
     QueryDef.sql(
       "minhash_lsh_neardup",
-      s"""WITH tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-        |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $MH_P AS h
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    $sigColsSql
-        |  FROM hs GROUP BY doc_id),
-        |bands AS (
-        |  $bandsSql),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a
-        |  JOIN bands b ON a.band = b.band AND a.k = b.k
-        |    AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT doc_a, doc_b, COUNT(*) AS n_both
-        |  FROM cand
-        |  JOIN sh fa ON fa.doc_id = doc_a
-        |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
-        |  GROUP BY doc_a, doc_b)
-        |SELECT doc_a, doc_b,
-        |  CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT) AS jaccard_q6
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30""".stripMargin) { (s, dir) =>
+      s"""WITH $mhPairsCteSql
+        |SELECT doc_a, doc_b, jaccard_q6 FROM pairs""".stripMargin) { (s, dir) =>
       minhashNeardupPairs(t(s, dir, "documents"))
     }
-  }
 
   /** MinHash-banded near-dup detector over ANY (doc_id, text) frame. */
   def minhashNeardupPairs(docs: DataFrame): DataFrame = {

@@ -67,6 +67,13 @@ object TxnLog {
   private def manifestPath(tableDir: Path, version: Long): Path =
     logDir(tableDir).resolve(f"v$version%012d.manifest")
 
+  private def claimPath(tableDir: Path, version: Long): Path =
+    logDir(tableDir).resolve(f"v$version%012d.claim")
+
+  /** How long a fallback-path claim may sit unpublished before another
+    * committer takes it over as a crashed writer's leftover. */
+  private[pipeline] val ClaimGraceMillis = 300000L
+
   /** All committed versions, ascending (empty if the table has no log). */
   def versions(tableDir: Path): Seq[Long] = {
     val ld = logDir(tableDir)
@@ -144,8 +151,47 @@ object TxnLog {
         ch.force(true) // durable before it can become visible
       }
       try { Files.createLink(manifestPath(tableDir, m.version), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // hard links are a LOCAL-POSIX feature; object-store FUSE mounts,
+        // exFAT, and some NFS configs refuse them — fall back to the
+        // claim-then-move protocol with the same observable contract
+        case _: UnsupportedOperationException =>
+          publishWithoutLink(tableDir, m.version, tmp)
+      }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Fallback publication for filesystems WITHOUT hard links: atomically
+    * CLAIM the version by creating `v<N>.claim` with create-exclusive
+    * semantics (single winner, same EEXIST race-resolution as link(2)),
+    * then move the fsynced temp onto the manifest name. Readers resolve
+    * only `.manifest` names, so the claim file is invisible to them and
+    * the manifest still appears all-at-once where ATOMIC_MOVE is
+    * supported. A claim whose writer crashed before publishing is taken
+    * over after [[ClaimGraceMillis]]; the residual hazard — a live writer
+    * pausing longer than the grace mid-commit and then racing its
+    * usurper — is documented and accepted, matching the pragmatics of
+    * commit protocols on rename-only stores. */
+  private[pipeline] def publishWithoutLink(tableDir: Path, version: Long,
+                                           tmp: Path): Boolean = {
+    val target = manifestPath(tableDir, version)
+    if (Files.exists(target)) return false
+    val claim = claimPath(tableDir, version)
+    if (Files.exists(claim) && System.currentTimeMillis() -
+        Files.getLastModifiedTime(claim).toMillis > ClaimGraceMillis)
+      Files.deleteIfExists(claim) // crashed claimant: manifest never appeared
+    try Files.createFile(claim)
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    if (Files.exists(target)) return false // claimant of a replayed version
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // the claim already guarantees a single writer; non-atomic
+        // visibility is the floor such a filesystem can offer
+        Files.move(tmp, target)
+    }
+    true
   }
 
   /** Commit loop: rebuild the manifest against the latest committed state
@@ -176,9 +222,12 @@ object TxnLog {
     versions(tableDir).reverse.exists(v =>
       readVersion(tableDir, v).txnId.contains(txnId))
 
-  /** Drop one superseded manifest (vacuum's log-pruning half). */
-  def deleteVersion(tableDir: Path, version: Long): Unit =
+  /** Drop one superseded manifest (vacuum's log-pruning half), plus any
+    * fallback-path claim file it left behind. */
+  def deleteVersion(tableDir: Path, version: Long): Unit = {
     Files.deleteIfExists(manifestPath(tableDir, version))
+    Files.deleteIfExists(claimPath(tableDir, version))
+  }
 
   /** The `col=value` directory segments of a relative file path — the
     * partition identity used for dynamic-partition replacement. */

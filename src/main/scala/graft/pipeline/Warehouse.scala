@@ -119,8 +119,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"no such table: $table"))
     val survivors = prunedFiles(m, table, column, lo, hi)
     val dt = colType(dir, table, m, column)
-    readSnapshot(dir, table, m.version, survivors)
-      .where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
+    val pred = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+    // pruning everything is a legitimate answer (query range outside every
+    // file's [min,max]): the result is an EMPTY frame with the table
+    // schema, not a failed read
+    if (survivors.isEmpty) readSnapshot(dir, table, m.version, m.files)
+      .limit(0).where(pred)
+    else readSnapshot(dir, table, m.version, survivors).where(pred)
   }
 
   /** The file-skipping half of [[readBetween]], exposed for plan/test
@@ -153,11 +158,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Column type from ONE file's footer (+ partition discovery) — never
-    * a schema-merge over the whole table just to learn a type. */
+    * a schema-merge over the whole table just to learn a type. The probe
+    * file is one that RECORDED STATS for the column: after schema
+    * evolution the oldest file may predate the column entirely (and
+    * `m.files` is sorted, so `take(1)` would hit exactly that file), but
+    * a file with a zone-map entry certainly carries it. Only when no file
+    * has stats (all-NULL table, or stats freshly declared) does this fall
+    * back to the merged snapshot schema — the one case where pruning
+    * retains everything anyway. */
   private def colType(dir: Path, table: String, m: Manifest,
-                      column: String): org.apache.spark.sql.types.DataType =
-    readSnapshot(dir, table, m.version, m.files.take(1))
-      .schema(column).dataType
+                      column: String): org.apache.spark.sql.types.DataType = {
+    val probe = m.files.find(m.fileStats.contains)
+      .map(Seq(_)).getOrElse(m.files)
+    readSnapshot(dir, table, m.version, probe).schema(column).dataType
+  }
 
   /** Per-file (min, max) of `column` over freshly written files — one
     * aggregation pass over only the new data, grouped by physical file.
@@ -419,7 +433,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
         ManifestData(cur.partitionCols, files, cur.statsCol,
           (cur.fileStats -- affectedRel) ++ newStats)
       }
-      LoadResult(table, s"upserted(rewrote=${affectedRel.size} files)", n)
+      // rows = rows the CALLER merged (same contract as load's landed-row
+      // count), not the rewrite volume — the carried-over survivors of
+      // affected files are an implementation detail of copy-on-write.
+      // Cheap: `batch` is persisted and already materialized above.
+      LoadResult(table, s"upserted(rewrote=${affectedRel.size} files)",
+        batch.count())
     } finally batch.unpersist()
   }
 

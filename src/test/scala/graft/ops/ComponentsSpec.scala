@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Connected components: min-label correctness on awkward topologies —
+  * long chains (the shape plain neighbor-propagation is slowest on, so
+  * it exercises the pointer jumping), multiple components, direction
+  * independence, and the empty graph. */
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a long chain collapses to its minimum id") {
+    // path 0-1-2-...-63: diameter 63, but doubling must finish well
+    // inside the 40-round guard (log2(64) neighbor+jump rounds)
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == 64)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("separate components keep separate minimum labels") {
+    val got = cc(Seq((5L, 3L), (3L, 9L), (20L, 21L), (22L, 21L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("edge direction and duplication do not matter") {
+    val a = cc(Seq((1L, 2L), (3L, 2L)))
+    val b = cc(Seq((2L, 1L), (2L, 3L), (1L, 2L), (3L, 2L)))
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+
+  test("an empty edge set yields an empty assignment, not an error") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+}

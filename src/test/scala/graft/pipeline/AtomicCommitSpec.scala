@@ -37,6 +37,36 @@ class AtomicCommitSpec extends SparkTestBase {
     assert(fresh.where($"event_date" === "2026-01-02").count() == 2)
   }
 
+  test("link-free publication keeps exclusive versions and all-at-once manifests") {
+    // the fallback commit path for filesystems without hard links
+    // (object-store FUSE, exFAT, some NFS): claim-then-move must resolve
+    // a version race to exactly one winner, publish a complete manifest,
+    // and leave the loser's temp intact for its retry
+    val dir = Paths.get(tmpDir("lf-wh"), "t")
+    Files.createDirectories(TxnLog.logDir(dir))
+    def tmpManifest(tag: String) = {
+      val p = Files.createTempFile(TxnLog.logDir(dir), ".tmp-", ".manifest")
+      Files.writeString(p,
+        Seq("graft-manifest-v2", "partition=", "txn=", "stats=",
+          s"data/$tag.parquet").mkString("\n"))
+      p
+    }
+    val (a, b) = (tmpManifest("a"), tmpManifest("b"))
+    assert(TxnLog.publishWithoutLink(dir, 1L, a))
+    assert(!TxnLog.publishWithoutLink(dir, 1L, b)) // lost the race
+    assert(Files.exists(b))                        // loser's temp untouched
+    assert(TxnLog.readVersion(dir, 1L).files == Seq("data/a.parquet"))
+    // the loser retries at the next version and wins it
+    assert(TxnLog.publishWithoutLink(dir, 2L, b))
+    assert(TxnLog.versions(dir) == Seq(1L, 2L))
+    // deleteVersion clears the claim too, so the log dir doesn't accrete
+    TxnLog.deleteVersion(dir, 1L)
+    assert(scala.util.Using.resource(Files.list(TxnLog.logDir(dir))) { st =>
+      import scala.jdk.CollectionConverters._
+      !st.iterator().asScala.exists(_.getFileName.toString == "v000000000001.claim")
+    })
+  }
+
   test("a reader pinned before compaction keeps its files until vacuum") {
     val w = Warehouse(spark, tmpDir("at2-wh"))
     (1 to 5).foreach(i => w.load("t", hits(f"2026-01-$i%02d", 10),

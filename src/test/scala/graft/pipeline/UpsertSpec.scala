@@ -47,6 +47,18 @@ class UpsertSpec extends SparkTestBase {
       Map(1L -> "A!", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("rows reports the batch rows merged, not the copy-on-write volume") {
+    val w = Warehouse(spark, tmpDir("up7-wh"))
+    // one 5-row file; a 2-row batch matching 1 key rewrites the file
+    // carrying 4 survivors + 2 batch rows = 6 written — but the CALLER
+    // landed 2, same contract as load's landed-row count
+    w.load("t", (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      SinkPolicy.Append)
+    val r = w.upsert("t", Seq((3L, "V3"), (9L, "v9")).toDF("k", "v"), Seq("k"))
+    assert(r.rows === 2L)
+    assert(w.read("t").count() === 6)
+  }
+
   test("upsert on a missing table is a plain append") {
     val w = Warehouse(spark, tmpDir("up3-wh"))
     w.upsert("fresh", Seq((1L, "x")).toDF("k", "v"), Seq("k"))

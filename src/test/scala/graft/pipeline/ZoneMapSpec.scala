@@ -69,6 +69,34 @@ class ZoneMapSpec extends SparkTestBase {
     assert(w.readBetween("t", "v", "940", "960").count() == 21)
   }
 
+  test("a range outside every file's stats is an empty result, not an error") {
+    val w = Warehouse(spark, tmpDir("zm7-wh"))
+    Seq(0L, 100L).foreach(lo =>
+      w.load("t", batch(lo, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(w.prunedFiles(m, "t", "k", "5000", "6000").isEmpty)
+    val out = w.readBetween("t", "k", "5000", "6000")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "payload")) // schema survives
+  }
+
+  test("zone map stays usable when the stats column was added by evolution") {
+    val w = Warehouse(spark, tmpDir("zm8-wh"))
+    // oldest file PREDATES the k2 column entirely — colType must not
+    // probe it (m.files is sorted, so a naive take(1) would)
+    w.load("t", (0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "payload")
+      .coalesce(1), SinkPolicy.Append)
+    w.load("t", (0 until 50).map(i => (i.toLong, s"s$i", i * 10L))
+      .toDF("k", "payload", "k2").coalesce(1), SinkPolicy.Append,
+      statsCol = Some("k2"))
+    assert(w.readBetween("t", "k2", "100", "200").count() == 11)
+    // and pruning still fires: a range outside the evolved file's stats
+    // opens only the stats-less legacy file
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(w.prunedFiles(m, "t", "k2", "90000", "99999").size == 1)
+  }
+
   test("non-orderable stats column types are refused up front") {
     val w = Warehouse(spark, tmpDir("zm5-wh"))
     val data = (0 until 5).map(i => (i.toLong, s"s$i")).toDF("k", "payload")
