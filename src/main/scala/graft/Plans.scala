@@ -71,7 +71,24 @@ object Plans {
         "salt, the dimension is exploded once per salt value, and the " +
         "join key becomes (user_id, salt) — a hot user's rows spread " +
         "over 8 tasks instead of one. The salt never escapes: the " +
-        "result multiset is identical to the plain join (oracle-checked)."))
+        "result multiset is identical to the plain join (oracle-checked)."),
+    "tfidf_top_terms" ->
+      ("Term frequencies are the only pass over the token corpus (one " +
+        "map-side-combined groupBy); document frequencies reduce that to " +
+        "vocabulary size and return as a BroadcastHashJoin (vocabulary ≪ " +
+        "corpus always); N is a broadcast scalar; the top-3 window " +
+        "partitions by doc_id — no global sort. The explain shows the " +
+        "tf stage read from InMemoryTableScan by both consumers instead " +
+        "of being recomputed."),
+    "neardup_clusters" ->
+      ("Connected components shown as its FINAL round's plan (earlier " +
+        "rounds are severed behind localCheckpoint scans — that lineage " +
+        "cut is itself the scale property: the plan stays O(1) per round " +
+        "while the pointer-jump self-join would otherwise double it). " +
+        "Per round: one O(E) edges⋈labels shuffle, one map-side-combined " +
+        "neighbor-min, one O(V) label-to-label join; no component member " +
+        "list ever materializes on one node, so a 10⁸-copy boilerplate " +
+        "cluster is not a hotspot. O(log n) rounds by pointer doubling."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

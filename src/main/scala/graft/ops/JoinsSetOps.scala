@@ -70,6 +70,66 @@ object JoinsSetOps {
       .select($"o_orderkey", $"o_orderdate")
   }
 
+  /** Full-outer reconciliation — the audit/diff join completing the join
+    * family: rows present on either side survive, tagged by which side
+    * they came from. Both sides are AGGREGATED/FILTERED before the join
+    * (the shuffle carries keys+one row each, like the flagship); at
+    * scale this is the standard "ledger vs detail" consistency check. */
+  val fullOuterReconcile: QueryDef = QueryDef.sql(
+    "full_outer_reconcile",
+    """WITH o AS (
+      |  SELECT o_orderkey AS orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |  FROM orders WHERE year(o_orderdate) = 1997),
+      |l AS (
+      |  SELECT l_orderkey AS orderkey,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT COALESCE(o.orderkey, l.orderkey) AS orderkey,
+      |  o.totalprice, l.sum_qty,
+      |  CASE WHEN o.orderkey IS NULL THEN 'line_only'
+      |       WHEN l.orderkey IS NULL THEN 'order_only'
+      |       ELSE 'both' END AS src
+      |FROM o FULL OUTER JOIN l ON o.orderkey = l.orderkey""") { (s, dir) =>
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .where(year($"o_orderdate") === 1997)
+      .select($"o_orderkey".as("o_key"),
+        Kit.money($"o_totalprice").cast(DoubleType).as("totalprice"))
+    val l = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey".as("l_key"))
+      .agg(sum(Kit.money($"l_quantity")).cast(DoubleType).as("sum_qty"))
+    o.join(l, $"o_key" === $"l_key", "full_outer")
+      .select(coalesce($"o_key", $"l_key").as("orderkey"),
+        $"totalprice", $"sum_qty",
+        when($"o_key".isNull, "line_only")
+          .when($"l_key".isNull, "order_only")
+          .otherwise("both").as("src"))
+  }
+
+  /** Latest-per-key dedup — the "current snapshot" operator every
+    * mutable-entity feed needs (reduce an append-only history to each
+    * key's newest record). Window rank partitioned BY KEY with a total
+    * tie-break chain, filtered to 1: Spark plans a WindowGroupLimit
+    * (per-partition top-1 heaps before the single per-key sort), so no
+    * global sort and no driver involvement at any scale. */
+  val latestPerKey: QueryDef = QueryDef.sql(
+    "latest_per_key",
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1""") { (s, dir) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+  }
+
   /** Semi join — suppliers that shipped at least one line (EXISTS). */
   val semiJoinActive: QueryDef = QueryDef.sql(
     "semi_join_active",
@@ -178,6 +238,7 @@ object JoinsSetOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    leftJoinAgg, antiJoinNewRows, semiJoinActive, unionDistinct,
+    leftJoinAgg, antiJoinNewRows, semiJoinActive, fullOuterReconcile,
+    latestPerKey, unionDistinct,
     symmetricDifference, dedupDistinct, crossJoinFanout, bagSetOps)
 }

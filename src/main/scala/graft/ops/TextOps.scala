@@ -56,6 +56,74 @@ object TextOps {
         .cast(LongType).as("n_spaces"))
   }
 
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * extraction operator. Plan shape at 100 TB: term frequencies are ONE
+    * map-side-combined groupBy over the exploded tokens (the only pass
+    * that touches the token corpus); document frequencies reduce that to
+    * vocabulary size and come back as a BROADCAST join (a vocabulary is
+    * always ≪ corpus); N is a broadcast scalar; per-doc top-3 is a
+    * window partitioned by doc_id — no global sort anywhere. Scores are
+    * quantized (floor·1e6) before the rank so the oracle compare and the
+    * tie-break (then by term) are exact across engines. */
+  val tfidfTopTerms: QueryDef = QueryDef.sql(
+    "tfidf_top_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS tfidf_q6
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf_q6 DESC, term ASC) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf_q6, rnk
+      |FROM ranked WHERE rnk <= 3""") { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .persist() // read twice: df aggregation + the scored join
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf_q6".desc, $"term".asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        floor($"tf" * log($"n".cast(DoubleType) / $"df") * 1e6)
+          .cast(LongType).as("tfidf_q6"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf_q6",
+        $"rnk".cast(LongType).as("rnk"))
+  }
+
+  /** Global heavy hitters: the top-50 corpus terms by occurrence count
+    * (ties to the lexically first term). Different top-k plan shape from
+    * the per-group window: a global ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject — each partition keeps a 50-element heap and
+    * only those heaps move, so the vocabulary-sized aggregate is never
+    * globally sorted. */
+  val heavyHittersTerms: QueryDef = QueryDef.sql(
+    "heavy_hitters_terms",
+    """SELECT term, COUNT(*) AS n_occ
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+      |      FROM documents)
+      |GROUP BY term
+      |ORDER BY n_occ DESC, term ASC LIMIT 50""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"term".asc).limit(50)
+  }
+
   /** Language histogram with exact integer stats (A-style rollup on the
     * declared lang column). */
   val langHistogram: QueryDef = QueryDef.sql(
@@ -674,7 +742,8 @@ object TextOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExactDocs, textStats, langHistogram, langIdHeuristic,
+    dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
+    langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     minhashLshNeardup, simhashNeardup, incrementalNeardup)
 }
