@@ -306,6 +306,38 @@ object TextOps {
     jaccardNeardupPairs(t(s, dir, "documents"))
   }
 
+  /** Containment near-dup (registered form of
+    * [[containmentNeardupPairs]]): subset duplication that Jaccard
+    * thresholds miss by construction. */
+  val containmentNeardup: QueryDef = QueryDef.sql(
+    "containment_neardup",
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+      |rare AS (
+      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $DF_CAP),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.s = r.s
+      |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS n_both
+      |  FROM cand
+      |  JOIN sh fa ON fa.doc_id = doc_a
+      |  JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
+      |  CAST(FLOOR(CAST(n_both AS DOUBLE) / least(sa.n, sb.n) * 1000000) AS BIGINT) AS containment_q6
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_both AS DOUBLE) / least(sa.n, sb.n) >= 0.80""".stripMargin) { (s, dir) =>
+    containmentNeardupPairs(t(s, dir, "documents"))
+  }
+
   /** The exact-Jaccard near-dup detector over ANY (doc_id, text) frame —
     * unit-testable on literal documents; the registered query applies it
     * to the fixture table. NOTE (all three detectors): the shingle/
@@ -314,6 +346,45 @@ object TextOps {
     * long-lived callers should `spark.catalog.clearCache()` (or accept
     * the cached stage as reusable state) after materializing results. */
   def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (cand, sets) = rareShingleCandidates(docs)
+    // |A∩B| ≤ shared_rare + min(hot_a, hot_b); Jaccard is monotone in
+    // |A∩B|, so pairs whose bound misses 0.30 cannot pass exact verify
+    val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
+    val plausible = cand
+      .where(ub.cast(DoubleType) / ($"na" + $"nb" - ub) >= 0.30)
+      .select($"doc_a", $"doc_b")
+    jaccardVerify(plausible, sets)
+  }
+
+  /** CONTAINMENT near-dup detection — |A∩B| / min(|A|,|B|) ≥ 0.80: the
+    * subset-duplication case (a document quoted or re-published inside a
+    * larger one). Jaccard-family detectors underweight exactly these
+    * pairs (a small doc inside a big one has low |∩|/|∪|), so this is
+    * its own family, not a threshold tweak: same bounded rare-shingle
+    * candidate stage, but the prune bound and the verified score divide
+    * by the SMALLER set. */
+  def containmentNeardupPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (cand, sets) = rareShingleCandidates(docs)
+    val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
+    val plausible = cand
+      .where(ub.cast(DoubleType) / least($"na", $"nb") >= 0.80)
+      .select($"doc_a", $"doc_b")
+    val contain = $"n_both".cast(DoubleType) / least($"na", $"nb")
+    intersectionSizes(plausible, sets)
+      .where(contain >= 0.80)
+      .select($"doc_a", $"doc_b", Kit.quantize(contain, 6).as("containment_q6"))
+  }
+
+  /** The shared candidate stage of the exact near-dup family: bounded
+    * rare-shingle pair generation plus the per-doc size/hot-count stats
+    * every upper-bound prune needs. Returns (candidates with columns
+    * doc_a, doc_b, shared_rare, na, nhot_a, nb, nhot_b; persisted
+    * shingle-set stage table). */
+  private def rareShingleCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val sets = shingleSets(docs).persist() // stage table: read by cand/verify
@@ -366,13 +437,10 @@ object TextOps {
       .join(nRare, Seq("doc_id"), "left")
       .select($"doc_id", $"n",
         ($"n" - coalesce($"n_rare", lit(0L))).as("n_hot"))
-    val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
-    val plausible = pairs
+    (pairs
       .join(stats.toDF("doc_a", "na", "nhot_a"), Seq("doc_a"))
-      .join(stats.toDF("doc_b", "nb", "nhot_b"), Seq("doc_b"))
-      .where(ub.cast(DoubleType) / ($"na" + $"nb" - ub) >= 0.30)
-      .select($"doc_a", $"doc_b")
-    jaccardVerify(plausible, sets)
+      .join(stats.toDF("doc_b", "nb", "nhot_b"), Seq("doc_b")),
+      sets)
   }
 
   /** Per-document DISTINCT word-3-gram shingle set as an array column:
@@ -411,9 +479,20 @@ object TextOps {
   private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
+    val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
+    intersectionSizes(cand, sets)
+      .where(jac >= 0.30)
+      .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
+  }
+
+  /** (doc_a, doc_b, n_both, na, nb) for each candidate pair — the exact
+    * set-overlap numbers every verify metric (Jaccard, containment) is a
+    * formula over. */
+  private def intersectionSizes(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
     val hsets = sets.select($"doc_id",
       expr("transform(sset, s -> xxhash64(s))").as("hs"))
-    val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
     cand
       .join(hsets.toDF("doc_a", "ha"), Seq("doc_a"))
       .join(hsets.toDF("doc_b", "hb"), Seq("doc_b"))
@@ -421,8 +500,6 @@ object TextOps {
         size(array_intersect($"ha", $"hb")).cast(LongType).as("n_both"),
         size($"ha").cast(LongType).as("na"),
         size($"hb").cast(LongType).as("nb"))
-      .where(jac >= 0.30)
-      .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
   }
 
   /** MinHash-LSH parameters: 16 hash functions = 8 bands × 2 rows over a
@@ -745,5 +822,6 @@ object TextOps {
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
+    containmentNeardup,
     minhashLshNeardup, simhashNeardup, incrementalNeardup)
 }

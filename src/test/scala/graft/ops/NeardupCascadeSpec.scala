@@ -45,6 +45,24 @@ class NeardupCascadeSpec extends SparkTestBase {
     assert(h13 == 0L) // identical text → identical fingerprint
   }
 
+  test("containment finds subset duplication that Jaccard misses") {
+    // doc 6 = doc 5 verbatim plus 4× more unrelated text: containment of
+    // 5 in 6 is ~1.0 while Jaccard is ~|A|/|B| ≈ 0.2 < 0.30 — the case
+    // that motivates the containment family existing at all
+    val small = (1 to 40).map(i => s"w${(i * 37) % 101}")
+    val filler = (1 to 160).map(i => s"f${(i * 59) % 211}")
+    val subsetDocs = Seq(
+      (5L, small.mkString(" ")),
+      (6L, (small ++ filler).mkString(" ")),
+      (7L, (1 to 40).map(i => s"z${(i * 53) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(pairs(TextOps.containmentNeardupPairs(subsetDocs)) == Set((5L, 6L)))
+    assert(pairs(TextOps.jaccardNeardupPairs(subsetDocs)).isEmpty)
+    // and on the standard planted corpus it agrees with the other
+    // detectors (near-identical docs contain each other)
+    assert(pairs(TextOps.containmentNeardupPairs(docs)) == dupPairs)
+  }
+
   test("shingleSets: fewer than 3 tokens yields an empty set, 3 yields one") {
     val tiny = Seq((1L, "one two"), (2L, "one two three"), (3L, "a"))
       .toDF("doc_id", "text")
