@@ -62,26 +62,33 @@ object Components {
       // map-side-combined neighbor min shuffles ≤ one row per vertex
       // (not one per edge), and a Union whose branches share the
       // checkpointed frame's attributes trips Catalyst's union
-      // constraint rewriting.
+      // constraint rewriting. The pre-step label rides along as `prev`
+      // so convergence is an `observe` metric on the same pass that
+      // materializes the round — no separate compare-join job.
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"cluster_id")
         .groupBy($"id").agg(min($"cluster_id").as("nbr"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
+        .select($"id", $"cluster_id".as("prev"),
           least($"cluster_id", coalesce($"nbr", $"cluster_id")).as("cluster_id"))
       // (2) pointer jump: label := label(label). The joined row always
       // exists (labels covers every vertex id, and every label IS a
       // vertex id), and its label is ≤ ours by min-monotonicity.
+      val obs = org.apache.spark.sql.Observation()
       val next = stepped.as("x")
         .join(stepped.select($"id".as("cluster_id"),
           $"cluster_id".as("jump")).as("y"), "cluster_id")
-        .select($"id", $"jump".as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where($"cluster_id" =!= $"prev").count()
-      labels = next
+        .select($"id", $"jump".as("cluster_id"), $"x.prev".as("prev"))
+        .observe(obs, sum(when($"cluster_id" =!= $"prev", 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true) // eager: the observed action of this round
+      val changed = obs.get("changed") match {
+        case l: Long           => l
+        case l: java.lang.Long => l.longValue()
+        case other => throw new IllegalStateException(s"bad metric: $other")
+      }
+      labels = next.select($"id", $"cluster_id")
       converged = changed == 0
       iter += 1
     }

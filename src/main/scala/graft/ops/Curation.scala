@@ -350,8 +350,54 @@ object Curation {
                |  div 1000000L""".stripMargin).as("planned_tokens"))
   }
 
+  /** Robust outlier gating: per-language median + MAD (median absolute
+    * deviation) over document length, flagging docs beyond 3×MAD — the
+    * robust-statistics complement to the threshold heuristics in
+    * `quality_filter` (a median/MAD gate is unmoved by the very outliers
+    * it hunts, unlike mean/stddev). Plan shape: two exact-percentile
+    * aggregates over a SINGLE (lang, n_chars)-projected scan stage, each
+    * collapsing to #langs rows that re-join by BROADCAST — the document
+    * corpus is scanned once, persisted projected-only, and never
+    * shuffled; at 100 TB the approx-sketch variant (same shape as
+    * `agg_percentiles_approx`) swaps in per group without changing the
+    * dataflow. Medians of integers are exactly representable (x.0/x.5),
+    * so the quantized columns and the 3×MAD comparison are
+    * engine-portable without an epsilon. */
+  val outlierMadFilter: QueryDef = QueryDef.sql(
+    "outlier_mad_filter",
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY lang),
+      |dev AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+      |    abs(d.n_chars - m.med) AS adev
+      |  FROM documents d JOIN med m USING (lang)),
+      |mad AS (
+      |  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+      |SELECT dev.doc_id, dev.lang, dev.n_chars,
+      |  CAST(FLOOR(dev.med * 1000000) AS BIGINT) AS med_q6,
+      |  CAST(FLOOR(mad.mad * 1000000) AS BIGINT) AS mad_q6,
+      |  CAST(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_outlier
+      |FROM dev JOIN mad USING (lang)""") { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars").persist()
+    val med = docs.groupBy($"lang")
+      .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("adev", abs($"n_chars" - $"med")).persist()
+    val mad = dev.groupBy($"lang")
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .select($"doc_id", $"lang", $"n_chars",
+        floor($"med" * 1e6).cast(LongType).as("med_q6"),
+        floor($"mad" * 1e6).cast(LongType).as("mad_q6"),
+        when($"adev" > lit(3) * $"mad", 1L).otherwise(0L).as("is_outlier"))
+  }
+
   /** Registration order for SparkEntry. */
   val all: Seq[QueryDef] = Seq(
     repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
-    sequencePacking, domainMixing)
+    sequencePacking, domainMixing, outlierMadFilter)
 }
