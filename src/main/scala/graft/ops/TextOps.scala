@@ -104,6 +104,53 @@ object TextOps {
         $"rnk".cast(LongType).as("rnk"))
   }
 
+  /** Unigram negative-log-likelihood scoring — the statistical language-
+    * model quality filter (out-of-distribution docs score high NLL, word
+    * salad scores low): corpus unigram probabilities, then per-doc mean
+    * −ln p(w). Each term's NLL is QUANTIZED TO AN INTEGER before the
+    * per-doc sum, so the aggregate is associative integer addition —
+    * order-independent across any partitioning, hash-exact against the
+    * oracle (a raw double sum would be partition-order-dependent). Plan:
+    * the exploded token corpus is the persisted stage table read by the
+    * count and the join; the per-term NLL table is vocabulary-sized and
+    * broadcasts. */
+  val unigramNllScore: QueryDef = QueryDef.sql(
+    "unigram_nll_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS n FROM tok),
+      |term_nll AS (
+      |  SELECT term,
+      |    CAST(FLOOR(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll_q6
+      |  FROM cnt CROSS JOIN tot),
+      |doc AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(tn.nll_q6) AS BIGINT) AS total_nll_q6
+      |  FROM tok t JOIN term_nll tn USING (term)
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, total_nll_q6,
+      |  total_nll_q6 // n_tokens AS avg_nll_q6
+      |FROM doc""") { (s, dir) =>
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .persist() // stage table: read by the count pass and the score join
+    val cnt = tok.groupBy($"term").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val termNll = cnt.crossJoin(broadcast(tot))
+      .select($"term",
+        floor(-log($"c".cast(DoubleType) / $"n") * 1e6)
+          .cast(LongType).as("nll_q6"))
+    tok.join(broadcast(termNll), "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"nll_q6").as("total_nll_q6"))
+      .select($"doc_id", $"n_tokens", $"total_nll_q6",
+        expr("total_nll_q6 div n_tokens").as("avg_nll_q6"))
+  }
+
   /** Global heavy hitters: the top-50 corpus terms by occurrence count
     * (ties to the lexically first term). Different top-k plan shape from
     * the per-group window: a global ORDER BY + LIMIT plans as
@@ -820,6 +867,7 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
+    unigramNllScore,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,
