@@ -37,4 +37,24 @@ class ComponentsSpec extends SparkTestBase {
   test("an empty edge set yields an empty assignment, not an error") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("a 10k-edge mixed graph resolves exactly (deterministic pseudo-random)") {
+    // 200 ring components of 50 vertices each — rings, not cliques, so
+    // labels must actually travel; plus deterministic chord edges from a
+    // hash, so shapes are irregular. Ground truth: component = ring.
+    val ring = for {
+      c <- 0L until 200L
+      i <- 0L until 50L
+    } yield (c * 50 + i, c * 50 + (i + 1) % 50)
+    val chords = for {
+      c <- 0L until 200L
+      k <- 1L to 5L
+      a = (k * 7919) % 50
+      b = (k * 104729) % 50
+    } yield (c * 50 + a, c * 50 + b)
+    val got = cc(ring ++ chords)
+    assert(got.size == 10000)
+    // every vertex labels to its ring's minimum id
+    assert(got.forall { case (id, lbl) => lbl == (id / 50) * 50 })
+  }
 }
