@@ -133,6 +133,59 @@ object Advanced {
       lead($"o_orderkey", 1).over(w).as("next_order"))
   }
 
+  /** Window VALUE functions — first/last/nth over an explicit running
+    * frame, completing the window family beside the rank kit: first and
+    * nth are frame-start-anchored (stable from the first row), `last`
+    * over the default running frame is the classic "value so far"
+    * carry-forward. Same per-key partitioning discipline: no global
+    * window anywhere. */
+  val windowValueKit: QueryDef = QueryDef.sql(
+    "window_value_kit",
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS latest_so_far,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order,
+      |  lag(o_orderkey, 2) OVER w AS two_back
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""") { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    t(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey",
+      first($"o_orderkey").over(w).as("first_order"),
+      last($"o_orderkey").over(w).as("latest_so_far"),
+      nth_value($"o_orderkey", 2).over(w).as("second_order"),
+      lag($"o_orderkey", 2).over(w).as("two_back"))
+  }
+
+  /** Blocked fuzzy entity matching — the entity-resolution join: pairs
+    * of customer names within Levenshtein distance 2, BLOCKED by nation
+    * so candidate volume is Σ(block²)/2, never n²/2 corpus-wide (the
+    * same bounding discipline as every near-dup candidate stage; at
+    * 100 TB the block key sharpens — nation+prefix — without changing
+    * the plan). `levenshtein` has identical unit-cost semantics in Spark
+    * and DuckDB, so distances are hash-exact. */
+  val fuzzyMatchEntities: QueryDef = QueryDef.sql(
+    "fuzzy_match_entities",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a
+      |JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""") { (s, dir) =>
+    import s.implicits._
+    val c = t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val a = c.toDF("key_a", "name_a", "nation")
+    val b = c.toDF("key_b", "name_b", "nation")
+    a.join(b, Seq("nation"))
+      .where($"key_a" < $"key_b")
+      .select($"key_a", $"key_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+      .where($"dist" <= 2)
+  }
+
   /** Exact interpolated percentiles per group — Spark's `percentile` and
     * DuckDB's `quantile_cont` both sort and linearly interpolate, so on
     * integer-valued quantities the doubles agree exactly (quantized
@@ -275,6 +328,7 @@ object Advanced {
   }
 
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
-    cubeSales, windowRankKit, aggPercentiles, aggPercentilesApprox,
+    cubeSales, windowRankKit, windowValueKit, fuzzyMatchEntities,
+    aggPercentiles, aggPercentilesApprox,
     aggArgminmax, arrayKit, groupingSetsSales, skewSaltedJoin)
 }
