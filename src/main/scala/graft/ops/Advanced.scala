@@ -164,8 +164,14 @@ object Advanced {
     * so candidate volume is Σ(block²)/2, never n²/2 corpus-wide (the
     * same bounding discipline as every near-dup candidate stage; at
     * 100 TB the block key sharpens — nation+prefix — without changing
-    * the plan). `levenshtein` has identical unit-cost semantics in Spark
-    * and DuckDB, so distances are hash-exact. */
+    * the plan, and block-internal parallelism comes from sub-block pair
+    * decomposition, the same triangle enumeration SkewJoin salts with).
+    * The distance test lives INSIDE the join condition as the
+    * THRESHOLDED `levenshtein(a, b, 2)` (banded O(d·n) DP with early
+    * exit, vs full O(n²)); the full-DP projection below it only ever
+    * runs on the handful of surviving pairs. `levenshtein` has identical
+    * unit-cost semantics in Spark and DuckDB, so distances are
+    * hash-exact. */
   val fuzzyMatchEntities: QueryDef = QueryDef.sql(
     "fuzzy_match_entities",
     """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -177,13 +183,22 @@ object Advanced {
     import s.implicits._
     val c = t(s, dir, "customer")
       .select($"c_custkey", $"c_name", $"c_nationkey")
-    val a = c.toDF("key_a", "name_a", "nation")
-    val b = c.toDF("key_b", "name_b", "nation")
-    a.join(b, Seq("nation"))
-      .where($"key_a" < $"key_b")
+    // The dimension side broadcasts (15k rows ≪ the 10 MB threshold), so
+    // probe-side partitioning alone sets the pair-loop parallelism — a
+    // single-split parquet scan would run all Σ(block²) distance tests in
+    // ONE task. Hash-spreading the probe by entity key fans the block
+    // pairs across every core, here and on a 1000-executor cluster.
+    // (explicit count: a column-only repartition of a few-hundred-KB side
+    // is an AQE-coalesce target, which would fold the loop back into one
+    // task)
+    val a = c.toDF("key_a", "name_a", "nation_a")
+      .repartition(s.sparkContext.defaultParallelism, $"key_a")
+    val b = c.toDF("key_b", "name_b", "nation_b")
+    a.join(b,
+        $"nation_a" === $"nation_b" && $"key_a" < $"key_b" &&
+          levenshtein($"name_a", $"name_b", 2) =!= lit(-1))
       .select($"key_a", $"key_b",
         levenshtein($"name_a", $"name_b").cast("long").as("dist"))
-      .where($"dist" <= 2)
   }
 
   /** Exact interpolated percentiles per group — Spark's `percentile` and
