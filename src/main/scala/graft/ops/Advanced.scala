@@ -102,7 +102,9 @@ object Advanced {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""") { (s, dir) =>
     import s.implicits._
-    t(s, dir, "lineitem")
+    // spread (Tables.loadSpread rationale): the Expand(×4)+partial-agg is
+    // the whole query and would otherwise run inside the one-split scan
+    Tables.loadSpread(s, dir, "lineitem")
       .cube($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n_lines"), Kit.moneySum($"l_quantity").as("sum_qty"))
   }

@@ -64,7 +64,9 @@ object Curation {
       |  (top_c * 100 <= n_tok * 14
       |    AND (n_bg - n_dbg) * 100 <= n_bg * 6) AS keep
       |FROM m""") { (s, dir) =>
-    repetitionMetrics(t(s, dir, "documents"))
+    // loadSpread: the O(tokens·distinct) per-doc metric chain is the whole
+    // query; a one-split scan would run it single-threaded
+    repetitionMetrics(Tables.loadSpread(s, dir, "documents"))
   }
 
   /** The repetition detector over ANY (doc_id, text) frame — see
@@ -145,6 +147,9 @@ object Curation {
       |  COUNT(b.g) >= $ContamMinHits AS contaminated
       |FROM corp c LEFT JOIN bench b ON c.g = b.g
       |GROUP BY c.doc_id""") { (s, dir) =>
+    // (no loadSpread here: measured — the persisted gram stage plus the
+    // distinct/broadcast/agg jobs already amortize the one-split scan, and
+    // the extra shuffle cost more than the parallel map saved)
     contaminationReport(t(s, dir, "documents"), BenchSources, ContamMinHits)
   }
 

@@ -97,6 +97,10 @@ object JoinsSetOps {
       .select($"o_orderkey".as("o_key"),
         Kit.money($"o_totalprice").cast(DoubleType).as("totalprice"))
     val l = t(s, dir, "lineitem")
+      // keyed spread (Tables.loadSpread rationale): the per-order partial
+      // sum otherwise runs entirely in the single-split scan task; hashing
+      // by the group key keeps this at exactly one shuffle
+      .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
       .groupBy($"l_orderkey".as("l_key"))
       .agg(sum(Kit.money($"l_quantity")).cast(DoubleType).as("sum_qty"))
     o.join(l, $"o_key" === $"l_key", "full_outer")

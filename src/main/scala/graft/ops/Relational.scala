@@ -66,7 +66,10 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
     import s.implicits._
     val m12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
-    t(s, dir, "lineitem")
+    // spread: 4 result groups means the decimal-heavy partial aggregate is
+    // 99.99% of the work, and it runs in the scan task — ONE task on a
+    // single-split fixture file (Tables.loadSpread rationale)
+    Tables.loadSpread(s, dir, "lineitem")
       .where($"l_shipdate" <= lit("2000-12-01 00:00:00").cast(TimestampType))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
@@ -163,7 +166,12 @@ object Relational {
       |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
     import s.implicits._
+    // keyed spread, not round-robin: HashPartitioning(l_orderkey) already
+    // satisfies the aggregate's required distribution, so this is still
+    // exactly ONE shuffle — but the Expand(×3) + distinct-agg now run
+    // 32-wide AFTER it instead of inside the single-split scan task
     t(s, dir, "lineitem")
+      .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
       .groupBy($"l_orderkey")
       .agg(
         countDistinct($"l_suppkey").as("n_supp"),
@@ -198,7 +206,10 @@ object Relational {
   val groupedCountDistinctApprox: QueryDef =
     QueryDef.rowsOnly("grouped_count_distinct_approx") { (s, dir) =>
       import s.implicits._
+      // keyed spread: see groupedCountDistinct — same one-shuffle plan,
+      // sketch building runs post-shuffle at full width
       t(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
         .groupBy($"l_orderkey")
         .agg(
           // rsd 0.05 (HLL default): 8x smaller sketch buffers through the

@@ -267,7 +267,8 @@ object Shaping {
     import s.implicits._
     val m = from_json($"props",
       org.apache.spark.sql.types.MapType(StringType, LongType))
-    t(s, dir, "events").select(
+    // loadSpread: per-row JSON parse into a typed map is the whole query
+    Tables.loadSpread(s, dir, "events").select(
       $"event_id",
       concat_ws(",", array_sort(map_keys(m))).as("key_list"),
       element_at(m, "k").as("k_val"),

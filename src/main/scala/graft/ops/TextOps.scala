@@ -502,6 +502,11 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     docs
+      // spread before the split/transform chain: the corpus usually
+      // arrives as ONE parquet split at fixture scale, which would run
+      // the whole shingling pass single-threaded (see Tables.loadSpread;
+      // explicit count so AQE can't coalesce the tiny shuffle back)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .select($"doc_id", array_distinct(expr(
         """CASE WHEN size(ts) >= 3

@@ -42,6 +42,25 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** One fixture table spread across the session's full parallelism —
+    * for callers whose NEXT stage is CPU-heavy per input row (shingling,
+    * regex kits, per-pair distance probes, wide partial aggregates).
+    *
+    * Why it exists: a small table is one parquet split, so everything up
+    * to the first shuffle — including the expensive map-side work — runs
+    * in ONE task regardless of cores. The explicit-count round-robin
+    * repartition costs one narrow shuffle of the pruned columns and buys
+    * full-width execution of the stage above it. At 100 TB the scan is
+    * already thousands of splits and a spread would be a pure extra
+    * shuffle — so this is opt-in per call site, never the default read
+    * path, and only where the stage above is compute-bound. (Explicit
+    * count: a column-only or count-free repartition of a few-hundred-KB
+    * side is an AQE-coalesce target, which would fold the stage back
+    * into one task.) */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every fixture table as a temp view so `spark.sql` works
     * against the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
