@@ -86,9 +86,23 @@ object Plans {
         "cut is itself the scale property: the plan stays O(1) per round " +
         "while the pointer-jump self-join would otherwise double it). " +
         "Per round: one O(E) edges⋈labels shuffle, one map-side-combined " +
-        "neighbor-min, one O(V) label-to-label join; no component member " +
-        "list ever materializes on one node, so a 10⁸-copy boilerplate " +
-        "cluster is not a hotspot. O(log n) rounds by pointer doubling."))
+        "neighbor-min, two O(V) label-to-label joins — the pointer jump " +
+        "applied twice, collapsing label chains 4× per round inside the " +
+        "same checkpointed pass; the seed fuses vertex discovery with the " +
+        "first neighbor step (one aggregation replaces distinct + a full " +
+        "round). No component member list ever materializes on one node, " +
+        "so a 10⁸-copy boilerplate cluster is not a hotspot. O(log₄ n) " +
+        "rounds by double pointer jumping."),
+    "fuzzy_match_entities" ->
+      ("Entity resolution bounded two ways: candidate volume by nation " +
+        "blocking (Σ block² pairs, never n²), per-pair cost by the " +
+        "THRESHOLDED levenshtein(a,b,2) INSIDE the join condition — a " +
+        "banded O(d·n) early-exit DP, with the full-DP projection only " +
+        "over surviving pairs. The dimension side broadcasts; the probe " +
+        "side is hash-spread with an explicit count (a column-only " +
+        "repartition of a few-hundred-KB side is an AQE-coalesce target) " +
+        "so the pair loop fans out across every core — the difference " +
+        "between 11.9 s and 0.65 s at sf0.1."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -110,15 +110,18 @@ object Advanced {
   }
 
   /** Ranking-function kit over a partitioned window: rank, dense_rank,
-    * percent_rank, ntile(4), lead — the §2.5 surface beyond row_number.
-    * Quantized percent_rank keeps the double engine-portable; ORDER BY
-    * includes the key so ties are deterministic. */
+    * percent_rank, cume_dist, ntile(4), lead — the §2.5 surface beyond
+    * row_number. Quantized percent_rank/cume_dist keep the doubles
+    * engine-portable (both are exact small-integer ratios, so FLOOR(x·1e6)
+    * agrees across engines); ORDER BY includes the key so ties are
+    * deterministic. */
   val windowRankKit: QueryDef = QueryDef.sql(
     "window_rank_kit",
     """SELECT o_orderkey, o_custkey,
       |  rank() OVER w AS rnk,
       |  dense_rank() OVER w AS drnk,
       |  CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_q6,
+      |  CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_q6,
       |  ntile(4) OVER w AS quartile,
       |  lead(o_orderkey) OVER w AS next_order
       |FROM orders
@@ -131,6 +134,7 @@ object Advanced {
       rank().over(w).as("rnk"),
       dense_rank().over(w).as("drnk"),
       Kit.quantize(percent_rank().over(w), 6).as("prank_q6"),
+      Kit.quantize(cume_dist().over(w), 6).as("cume_q6"),
       ntile(4).over(w).as("quartile"),
       lead($"o_orderkey", 1).over(w).as("next_order"))
   }

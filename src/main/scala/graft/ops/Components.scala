@@ -52,8 +52,12 @@ object Components {
     // cleaner once unreferenced. On a real cluster this is the same
     // discipline at executor-memory scale (or `checkpoint()` to
     // reliable storage for fault tolerance across rounds).
-    var labels = sym.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("cluster_id")).localCheckpoint(true)
+    // Seed = the first neighbor step fused into vertex discovery: with
+    // initial labels id→id, round 1's "min of own + neighbors' labels" is
+    // just least(id, min(dst)) — one aggregation over the edge list
+    // replaces the distinct AND the first loop round's three joins.
+    var labels = sym.groupBy($"src".as("id"))
+      .agg(least($"id", min($"dst")).as("cluster_id")).localCheckpoint(true)
     var converged = sym.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -72,14 +76,22 @@ object Components {
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select($"id", $"cluster_id".as("prev"),
           least($"cluster_id", coalesce($"nbr", $"cluster_id")).as("cluster_id"))
-      // (2) pointer jump: label := label(label). The joined row always
-      // exists (labels covers every vertex id, and every label IS a
-      // vertex id), and its label is ≤ ours by min-monotonicity.
+      // (2) pointer jump, applied TWICE: label := label(label(label(…))).
+      // The joined row always exists (labels covers every vertex id, and
+      // every label IS a vertex id), and labels only decrease, so the
+      // map can be applied repeatedly; two applications collapse label
+      // chains 4× per round instead of 2× — same number of jobs, one
+      // more join inside the same checkpointed pass. (log₄ vs log₂
+      // halves the rounds on deep-chain graphs like the 10k-ring stress
+      // case; near-dup cliques converge in 2–3 rounds either way.)
+      val jumpMap = stepped.select($"id".as("cluster_id"),
+        $"cluster_id".as("jump"))
       val obs = org.apache.spark.sql.Observation()
       val next = stepped.as("x")
-        .join(stepped.select($"id".as("cluster_id"),
-          $"cluster_id".as("jump")).as("y"), "cluster_id")
+        .join(jumpMap, "cluster_id")
         .select($"id", $"jump".as("cluster_id"), $"x.prev".as("prev"))
+        .join(jumpMap, "cluster_id")
+        .select($"id", $"jump".as("cluster_id"), $"prev")
         .observe(obs, sum(when($"cluster_id" =!= $"prev", 1L)
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true) // eager: the observed action of this round

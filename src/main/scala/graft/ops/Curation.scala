@@ -355,6 +355,69 @@ object Curation {
                |  div 1000000L""".stripMargin).as("planned_tokens"))
   }
 
+  /** Domain-mixing APPLIED — the planner's table turned into the planned
+    * corpus: each document is replicated `floor(epochs)` times, plus one
+    * extra copy for the deterministic hash-fraction of docs that covers
+    * the fractional epoch (bucket·100 < frac_q6 ⇔ bucket/10⁴ <
+    * frac/10⁶). Head languages get epochs < 1 (pure downsample: most
+    * docs emit zero copies), tail languages get several full copies —
+    * both directions of the training-mix rebalance in one operator, no
+    * RNG anywhere, so the planned corpus is bit-reproducible across
+    * engines and partitionings. Plan shape: the 5-row mix table joins
+    * back by broadcast; the explode is a constant ≤⌈epochs⌉ fan-out per
+    * row — at 100 TB this is a map stage, exactly like the oracle's
+    * UNNEST(range(n)). */
+  val mixApply: QueryDef = QueryDef.sql(
+    "mix_apply",
+    """WITH per AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT lang, lang_tokens,
+      |    SUM(lang_tokens) OVER () AS total_tokens,
+      |    COUNT(*) OVER () AS n_langs
+      |  FROM per),
+      |mix AS (
+      |  SELECT lang,
+      |    CAST(total_tokens * 1000000 // (n_langs * lang_tokens) AS BIGINT)
+      |      AS eq6
+      |  FROM tot),
+      |planned AS (
+      |  SELECT d.doc_id, d.lang, m.eq6,
+      |    (m.eq6 // 1000000)
+      |      + CASE WHEN (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) * 100
+      |                  < m.eq6 % 1000000
+      |             THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN mix m USING (lang))
+      |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy, n_copies
+      |FROM planned, UNNEST(range(1, n_copies + 1)) AS t(copy)""") { (s, dir) =>
+    import s.implicits._
+    val per = t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ", -1)).cast(LongType)).as("lang_tokens"))
+    val all = Window.partitionBy()
+    // 5-row planner frame: the unpartitioned window is over the already-
+    // aggregated per-language table (see domainMixing — safe at any
+    // corpus scale)
+    val mix = per
+      .withColumn("total_tokens", sum($"lang_tokens").over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .select($"lang",
+        expr("total_tokens * 1000000L div (n_langs * lang_tokens)").as("eq6"))
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang")
+      .join(broadcast(mix), "lang")
+      .select($"doc_id", $"lang", $"eq6",
+        // integer `div`, not double-divide-truncate (exact at any scale)
+        (expr("eq6 div 1000000L") +
+          when(hashBucket($"doc_id") * 100 < $"eq6" % 1000000L, 1L)
+            .otherwise(0L)).as("n_copies"))
+      .where($"n_copies" > 0)
+      .select($"doc_id", $"lang",
+        explode(expr("sequence(1L, n_copies)")).as("copy"), $"n_copies")
+  }
+
   /** Robust outlier gating: per-language median + MAD (median absolute
     * deviation) over document length, flagging docs beyond 3×MAD — the
     * robust-statistics complement to the threshold heuristics in
@@ -404,5 +467,5 @@ object Curation {
   /** Registration order for SparkEntry. */
   val all: Seq[QueryDef] = Seq(
     repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
-    sequencePacking, domainMixing, outlierMadFilter)
+    sequencePacking, domainMixing, mixApply, outlierMadFilter)
 }

@@ -166,10 +166,11 @@ object Relational {
       |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
     import s.implicits._
-    // keyed spread, not round-robin: HashPartitioning(l_orderkey) already
-    // satisfies the aggregate's required distribution, so this is still
-    // exactly ONE shuffle — but the Expand(×3) + distinct-agg now run
-    // 32-wide AFTER it instead of inside the single-split scan task
+    // spread (Tables.loadSpread rationale): count-distinct plans its own
+    // (key, value, gid) dedup exchange that no input partitioning can
+    // satisfy, so this shuffle is additive — but it moves the Expand(×3)
+    // + dedup partial-agg (the bulk of the work) off the single-split
+    // scan task and onto every core; measured 2.24 s → 1.66 s
     t(s, dir, "lineitem")
       .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
       .groupBy($"l_orderkey")
@@ -206,8 +207,10 @@ object Relational {
   val groupedCountDistinctApprox: QueryDef =
     QueryDef.rowsOnly("grouped_count_distinct_approx") { (s, dir) =>
       import s.implicits._
-      // keyed spread: see groupedCountDistinct — same one-shuffle plan,
-      // sketch building runs post-shuffle at full width
+      // keyed spread: see groupedCountDistinct — sketch building runs
+      // post-shuffle at full width (here the HLL agg's required
+      // distribution IS l_orderkey, so the final agg rides the spread's
+      // partitioning with no further exchange)
       t(s, dir, "lineitem")
         .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
         .groupBy($"l_orderkey")

@@ -47,4 +47,26 @@ class PlanShapeSpec extends SparkTestBase {
     // appears before any join operator consumes lineitem
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("fuzzy match broadcasts the dimension and spreads the probe side") {
+    val p = plan("fuzzy_match_entities")
+    // the pair loop must fan out: a broadcast join over an explicitly
+    // repartitioned probe, never a single-split nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Exchange hashpartitioning(key_a"), p)
+    // the thresholded levenshtein lives in the join condition (early-exit
+    // banded DP per candidate), not in a post-join filter
+    assert(p.contains("levenshtein(name_a"), p)
+  }
+
+  test("grouped count distinct expands above the spread, not in the scan task") {
+    val p = plan("grouped_count_distinct")
+    // the Expand(×3) consumes the explicit spread exchange — i.e. the
+    // tripling and the dedup partial-agg run at full width, not inside
+    // the single-split scan task (top-down plan text: Expand prints
+    // above the REPARTITION_BY_NUM exchange it reads from)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(p.indexOf("Expand") >= 0 &&
+      p.indexOf("Expand") < p.indexOf("REPARTITION_BY_NUM"), p)
+  }
 }
