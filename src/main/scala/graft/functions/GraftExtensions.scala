@@ -33,6 +33,13 @@ object GraftExtensions {
         require(children.size == 2,
           s"dot_i64 takes 2 arguments, got ${children.size}")
         DotProductI64(children.head, children(1))
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"jaro_winkler takes 2 arguments, got ${children.size}")
+        JaroWinkler(children.head, children(1))
       }))
 
   /** Register into an existing session's function registry. */

@@ -68,6 +68,13 @@ object Kit {
       org.apache.spark.sql.GraftExpr.expression(a),
       org.apache.spark.sql.GraftExpr.expression(b)))
 
+  /** Native-codegen Jaro-Winkler similarity (see [[JaroWinkler]]) — the
+    * entity-resolution scorer. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(JaroWinkler(
+      org.apache.spark.sql.GraftExpr.expression(a),
+      org.apache.spark.sql.GraftExpr.expression(b)))
+
   /** Deterministic float quantization: floor(x * 10^scale) as BIGINT.
     * floor (not cast) because Spark truncates double→bigint while other
     * engines round — floor is unambiguous everywhere. Used to make
