@@ -870,9 +870,33 @@ object TextOps {
         $"dup_of", $"dup_of".isNull.as("is_new"))
   }
 
+  /** Denylist redaction: replace policy-listed terms with a fixed marker
+    * and report per-doc hit counts — the scrubbing pass a training
+    * pipeline runs before landing a corpus (PII patterns, blocked
+    * strings). Pure map-side regexp work inside whole-stage codegen:
+    * zero shuffles, scales linearly with corpus bytes. The word-boundary
+    * pattern means "customers" is NOT a hit for "customer" — span
+    * semantics both engines' regex libraries agree on for ASCII. */
+  val termScrub: QueryDef = {
+    val pat = "\\b(customer|vector|stream)\\b"
+    QueryDef.sql(
+      "term_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_hits,
+         |  regexp_replace(text, '$pat', '<SCRUBBED>', 'g') AS scrubbed
+         |FROM documents""") { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast(LongType).as("n_hits"),
+        regexp_replace($"text", pat, "<SCRUBBED>").as("scrubbed"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
-    unigramNllScore,
+    unigramNllScore, termScrub,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,
