@@ -40,6 +40,14 @@ object GraftExtensions {
         require(children.size == 2,
           s"jaro_winkler takes 2 arguments, got ${children.size}")
         JaroWinkler(children.head, children(1))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bloom_might_contain takes 2 arguments, got ${children.size}")
+        BloomMightContain(children.head, children(1))
       }))
 
   /** Register into an existing session's function registry. */

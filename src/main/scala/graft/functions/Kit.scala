@@ -75,6 +75,14 @@ object Kit {
       org.apache.spark.sql.GraftExpr.expression(a),
       org.apache.spark.sql.GraftExpr.expression(b)))
 
+  /** Native-codegen Bloom-filter membership probe (see
+    * [[BloomMightContain]]) — scan-side semi-join reduction. */
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloomBytes, BinaryType),
+      org.apache.spark.sql.GraftExpr.expression(key)))
+
   /** Deterministic float quantization: floor(x * 10^scale) as BIGINT.
     * floor (not cast) because Spark truncates double→bigint while other
     * engines round — floor is unambiguous everywhere. Used to make

@@ -241,8 +241,53 @@ object JoinsSetOps {
         c.exceptAll(sup).select(lit("except_all").as("side"), $"n_nationkey"))
   }
 
+  /** Bloom-filter semi-join reduction — the 100 TB pattern for "fact
+    * table vs selective dimension": build a Bloom filter over the
+    * dimension keys (one tree-aggregated job, a few KB of sketch), probe
+    * it in the fact scan's filter (native codegen'd
+    * [[graft.functions.BloomMightContain]]), and let the exact semi join
+    * afterwards remove the fpp-bounded false positives. The fact rows
+    * that fail the probe — all but ~1% of non-matching rows — never
+    * reach the shuffle, so at scale the join moves |matching| + fpp·|fact|
+    * rows instead of |fact|. Result is bit-identical to the plain semi
+    * join (the oracle): the Bloom stage is pure pruning.
+    *
+    * (Spark's own runtime row-level filtering does this automatically
+    * only for shuffle joins above size thresholds; building it explicitly
+    * pins the plan shape and works for broadcast joins too.) */
+  val bloomPruneJoin: QueryDef = QueryDef.sql(
+    "bloom_prune_join",
+    """SELECT l_suppkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_suppkey IN (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_7', 'NATION_11'))
+      |GROUP BY l_suppkey""") { (s, dir) =>
+    import s.implicits._
+    val dim = t(s, dir, "supplier")
+      .join(
+        broadcast(t(s, dir, "nation")
+          .where($"n_name".isin("NATION_7", "NATION_11"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    // one small job over the dimension; sketch sized for the dim key
+    // cardinality (here ~supplier count), ~24 KB at fpp 0.01
+    val bloom = graft.functions.BloomMightContain.build(
+      dim, "s_suppkey", 100000L, 0.01)
+    t(s, dir, "lineitem")
+      .where(Kit.bloomMightContain(bloom, $"l_suppkey"))
+      .join(broadcast(dim), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Kit.moneySum($"l_extendedprice").as("revenue"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     leftJoinAgg, antiJoinNewRows, semiJoinActive, fullOuterReconcile,
     latestPerKey, unionDistinct,
-    symmetricDifference, dedupDistinct, crossJoinFanout, bagSetOps)
+    symmetricDifference, dedupDistinct, crossJoinFanout, bagSetOps,
+    bloomPruneJoin)
 }

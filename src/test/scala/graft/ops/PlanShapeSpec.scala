@@ -59,6 +59,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("levenshtein(name_a"), p)
   }
 
+  test("bloom prune probes in the scan stage, below the aggregation exchange") {
+    val p = plan("bloom_prune_join")
+    // the Bloom probe must run before any exchange — fact rows that fail
+    // it never shuffle; the exactness join is a broadcast semi join
+    val probe = p.indexOf("bloom_might_contain")
+    val exchange = p.indexOf("Exchange")
+    assert(probe >= 0, p)
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), p)
+    // top-down plan text: the exchange prints above (before) the probe
+    assert(exchange >= 0 && exchange < probe, p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
