@@ -894,9 +894,79 @@ object TextOps {
     }
   }
 
+  /** Chunk-level boilerplate removal — the C4/CCNet "global line dedup"
+    * pipeline stage: any 10-token chunk that appears in MORE THAN ONE
+    * document corpus-wide is boilerplate (headers, footers, license
+    * blurbs) and is scrubbed from every document, preserving the
+    * surviving chunks' order. Chunking is deterministic (consecutive
+    * 10-token windows), so the operator is a pure function of the corpus.
+    *
+    * Scale shape: the frequency pass groups by (xxhash64, chunk) — the
+    * 8-byte hash leads the shuffle key, the text tags along only for
+    * exactness against the oracle (at 100 TB you would drop the text and
+    * accept the 2⁻⁶⁴ collision odds, halving shuffle bytes); the
+    * boiler set joins back on the same key, and reassembly is one
+    * groupBy(doc_id) with an order-restoring array_sort — no window, no
+    * global sort. */
+  val boilerplateScrub: QueryDef = QueryDef.sql(
+    "boilerplate_scrub",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ts,
+      |    unnest(range(((len(ts) - 1) // 10) + 1)) AS i
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, i AS chunk_no,
+      |    array_to_string(list_slice(ts, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+      |  FROM idx),
+      |boiler AS (
+      |  SELECT chunk FROM chunks GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) > 1)
+      |SELECT c.doc_id,
+      |  COALESCE(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+      |    ' ' ORDER BY c.chunk_no), '') AS clean_text,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped
+      |FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+      |GROUP BY c.doc_id""") { (s, dir) =>
+    boilerplateScrubDocs(Tables.loadSpread(s, dir, "documents"))
+  }
+
+  /** Core of [[boilerplateScrub]] over any (doc_id, text) frame. */
+  def boilerplateScrubDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunks = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, (size(ts) - 1) div 10),
+          |  i -> array_join(slice(ts, i * 10 + 1, 10), ' '))"""
+          .stripMargin)).as(Seq("chunk_no", "chunk")))
+      .withColumn("h", xxhash64($"chunk"))
+    val boiler = chunks
+      .groupBy($"h", $"chunk")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .where($"nd" > 1)
+      .select($"h", $"chunk", lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("h", "chunk"), "left")
+      .withColumn("drop", coalesce($"is_boiler", lit(false)))
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!$"drop", struct($"chunk_no", $"chunk")))),
+            x => x.getField("chunk")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when($"drop", 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
-    unigramNllScore, termScrub,
+    unigramNllScore, termScrub, boilerplateScrub,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,

@@ -12,6 +12,40 @@ import graft.functions.Kit
 class OperatorSemanticsSpec extends SparkTestBase {
   import spark.implicits._
 
+  // ---- boilerplate chunk scrub ----
+
+  test("boilerplate scrub drops cross-doc chunks, keeps unique ones in order") {
+    // 10-token boilerplate block shared by docs 1 and 2; unique tails
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1a u1b u1c"),
+      (2L, s"$boiler u2a u2b"),
+      (3L, "short unique doc")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateScrubDocs(docs)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // docs 1/2: the shared first chunk is dropped, unique tail survives
+    assert(got(0) == ((1L, "u1a u1b u1c", 2L, 1L)))
+    assert(got(1) == ((2L, "u2a u2b", 2L, 1L)))
+    // doc 3 is a single sub-chunk-size unique doc — untouched
+    assert(got(2) == ((3L, "short unique doc", 1L, 0L)))
+  }
+
+  test("boilerplate scrub preserves multi-chunk order and full scrub yields ''") {
+    val c1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val c2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$c1 $c2"), // both chunks shared → fully scrubbed
+      (2L, s"$c1 $c2 tail words here"),
+      (3L, s"alone $c1".replace("x", "z"))).toDF("doc_id", "text")
+    val got = TextOps.boilerplateScrubDocs(docs)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0)._2 == "" && got(0)._4 == 2L)
+    assert(got(1)._2 == "tail words here" && got(1)._4 == 2L)
+    assert(got(2)._4 == 0L) // z-chunks unique → nothing dropped
+  }
+
   // ---- J2: intended anti-join vs literal symmetric difference ----
 
   test("anti-join and keep=False symmetric difference diverge on db-only rows") {
