@@ -151,6 +151,64 @@ object TextOps {
         expr("total_nll_q6 div n_tokens").as("avg_nll_q6"))
   }
 
+  /** Order-2 statistical LM quality score — the KenLM-style perplexity
+    * filter real curation pipelines run after the unigram pass: per-doc
+    * mean conditional bigram NLL, −ln p(w₂|w₁) with p estimated from the
+    * corpus itself (c(w₁,w₂)/c(w₁,·)). High-NLL docs are the incoherent
+    * ones whose word PAIRS are improbable even when each word is common —
+    * exactly what [[unigramNllScore]] cannot see.
+    *
+    * Same exactness discipline as the unigram form: each bigram's NLL is
+    * integer-quantized BEFORE the per-doc sum, so the aggregate is
+    * associative and bit-identical under any partitioning. Scale shape:
+    * the bigram-count table grows ~quadratically in vocabulary, so it is
+    * NOT hint-broadcast — the score join shuffles on (w1, w2) and AQE
+    * demotes to broadcast only when the table measures small. */
+  val bigramNllScore: QueryDef = QueryDef.sql(
+    "bigram_nll_score",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM idx),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+      |left_cnt AS (SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY w1),
+      |bg_nll AS (
+      |  SELECT w1, w2,
+      |    CAST(FLOOR(-ln(CAST(c AS DOUBLE) / c1) * 1000000) AS BIGINT)
+      |      AS nll_q6
+      |  FROM cnt JOIN left_cnt USING (w1)),
+      |doc AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(n.nll_q6) AS BIGINT) AS total_nll_q6
+      |  FROM bg b JOIN bg_nll n USING (w1, w2)
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, total_nll_q6,
+      |  total_nll_q6 // n_bigrams AS avg_nll_q6
+      |FROM doc""") { (s, dir) =>
+    import s.implicits._
+    val bg = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .where(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(ts) - 2),
+          |  i -> struct(ts[i] AS w1, ts[i+1] AS w2))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+      .persist() // stage table: read by the count pass and the score join
+    val cnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val leftCnt = cnt.groupBy($"w1").agg(sum($"c").as("c1"))
+    val bgNll = cnt.join(leftCnt, "w1")
+      .select($"w1", $"w2",
+        floor(-log($"c".cast(DoubleType) / $"c1") * 1e6)
+          .cast(LongType).as("nll_q6"))
+    bg.join(bgNll, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"nll_q6").as("total_nll_q6"))
+      .select($"doc_id", $"n_bigrams", $"total_nll_q6",
+        expr("total_nll_q6 div n_bigrams").as("avg_nll_q6"))
+  }
+
   /** Global heavy hitters: the top-50 corpus terms by occurrence count
     * (ties to the lexically first term). Different top-k plan shape from
     * the per-group window: a global ORDER BY + LIMIT plans as
@@ -966,7 +1024,7 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
-    unigramNllScore, termScrub, boilerplateScrub,
+    unigramNllScore, bigramNllScore, termScrub, boilerplateScrub,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,
