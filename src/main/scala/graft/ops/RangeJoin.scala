@@ -65,5 +65,45 @@ object RangeJoin {
     recentWindowCounts(t(s, dir, "events"), windowSec = 300L)
   }
 
-  val all: Seq[QueryDef] = Seq(rangeJoinRecent)
+  /** Interval-OVERLAP join — both sides are intervals, the second shape
+    * of the range-join family (the first, [[rangeJoinRecent]], is
+    * point-in-window). Per-day user activity intervals [first, last]
+    * against per-day event-type burst intervals, matched when they
+    * overlap (inclusive: touching endpoints count, overlap 0).
+    *
+    * Scale shape: the day is the bucket key, so the join is an ordinary
+    * equi-join whose candidate volume is Σ_day |users_day|·|types_day| —
+    * never |A|·|B| — with the exact overlap predicate as residual. The
+    * type side aggregates to (types × days) rows and is broadcast; all
+    * interval arithmetic is integer micros (exact, oracle-portable). */
+  val intervalOverlapJoin: QueryDef = QueryDef.sql(
+    "interval_overlap_join",
+    """WITH a AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    MIN(epoch_us(ts)) AS b_start, MAX(epoch_us(ts)) AS b_end
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.user_id, b.event_type, a.day,
+      |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_micros
+      |FROM a JOIN b ON a.day = b.day
+      |  AND a_start <= b_end AND b_start <= a_end""") { (s, dir) =>
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", to_date($"ts").as("day"),
+        unix_micros($"ts").as("us"))
+    val a = ev.groupBy($"user_id", $"day")
+      .agg(min($"us").as("a_start"), max($"us").as("a_end"))
+    val b = ev.groupBy($"event_type", $"day")
+      .agg(min($"us").as("b_start"), max($"us").as("b_end"))
+    a.join(broadcast(b), Seq("day"))
+      .where($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select($"user_id", $"event_type", $"day",
+        (least($"a_end", $"b_end") - greatest($"a_start", $"b_start"))
+          .as("overlap_micros"))
+  }
+
+  val all: Seq[QueryDef] = Seq(rangeJoinRecent, intervalOverlapJoin)
 }
