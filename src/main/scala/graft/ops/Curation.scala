@@ -464,8 +464,50 @@ object Curation {
         when($"adev" > lit(3) * $"mad", 1L).otherwise(0L).as("is_outlier"))
   }
 
+  /** Winsorization (quantile clipping) — the normalization counterpart
+    * of [[outlierMadFilter]]: instead of FLAGGING outliers, clamp the
+    * per-language length distribution into its own [p05, p95] band, the
+    * standard feature-normalization step before length-based curriculum
+    * sampling. All comparisons run in quantized integer space (×1e6) so
+    * the clip boundaries — interpolated percentiles, hence doubles — are
+    * engine-portable and the output hashes identically everywhere.
+    *
+    * Scale shape: one grouped percentile pass (per-lang sort, the exact
+    * form; swap approx_percentile at 100 TB for one-pass sketches), the
+    * tiny per-lang bounds table broadcast back over a projected scan. */
+  val winsorizeClip: QueryDef = QueryDef.sql(
+    "winsorize_clip",
+    """WITH q AS (
+      |  SELECT lang,
+      |    CAST(FLOOR(quantile_cont(n_chars, 0.05) * 1000000) AS BIGINT)
+      |      AS p05_q6,
+      |    CAST(FLOOR(quantile_cont(n_chars, 0.95) * 1000000) AS BIGINT)
+      |      AS p95_q6
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang, n_chars,
+      |  LEAST(GREATEST(n_chars * 1000000, p05_q6), p95_q6) AS clipped_q6,
+      |  CAST(CASE WHEN n_chars * 1000000 < p05_q6
+      |    OR n_chars * 1000000 > p95_q6 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS was_clipped
+      |FROM documents d JOIN q USING (lang)""") { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val q = docs.groupBy($"lang").agg(
+      floor(expr("percentile(n_chars, 0.05)") * 1e6)
+        .cast(LongType).as("p05_q6"),
+      floor(expr("percentile(n_chars, 0.95)") * 1e6)
+        .cast(LongType).as("p95_q6"))
+    docs.join(broadcast(q), "lang")
+      .withColumn("v_q6", $"n_chars" * 1000000L)
+      .select($"doc_id", $"lang", $"n_chars",
+        least(greatest($"v_q6", $"p05_q6"), $"p95_q6").as("clipped_q6"),
+        when($"v_q6" < $"p05_q6" || $"v_q6" > $"p95_q6", 1L)
+          .otherwise(0L).as("was_clipped"))
+  }
+
   /** Registration order for SparkEntry. */
   val all: Seq[QueryDef] = Seq(
     repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
-    sequencePacking, domainMixing, mixApply, outlierMadFilter)
+    sequencePacking, domainMixing, mixApply, outlierMadFilter,
+    winsorizeClip)
 }
