@@ -261,9 +261,42 @@ object Relational {
     },
     flagshipMissingStats.oracle)
 
+  /** Distributed table checksum — the reconciliation primitive for
+    * comparing two 100 TB table copies (pre/post migration, cross-region
+    * replicas, warehouse vs source) WITHOUT moving either: per-row md5
+    * over a canonical '|'-joined rendering, folded with BIT_XOR —
+    * commutative, associative, overflow-free — so the aggregate is
+    * embarrassingly parallel and partition-order-independent. Grouped by
+    * a coarse key so a mismatch localizes to a group instead of one
+    * opaque table-level bit. Only integer/string/date columns enter the
+    * rendering (double formatting is not engine-portable; the md5-hex →
+    * BIGINT parse takes 15 hex digits = 60 bits, positive in both
+    * engines). */
+  val tableChecksum: QueryDef = QueryDef.sql(
+    "table_checksum",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  BIT_XOR(CAST(concat('0x', substring(md5(
+      |    concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |      l_returnflag, l_linestatus,
+      |      CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))
+      |    AS BIGINT)) AS checksum
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    import s.implicits._
+    Tables.loadSpread(s, dir, "lineitem")
+      .select($"l_returnflag",
+        expr("""CAST(conv(substring(md5(
+          |  concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          |    l_returnflag, l_linestatus,
+          |    CAST(CAST(l_shipdate AS DATE) AS STRING))), 1, 15), 16, 10)
+          |AS BIGINT)""".stripMargin).as("h"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
     groupedCountDistinct, sqlTask, groupedCountDistinctApprox,
-    flagshipBucketed)
+    flagshipBucketed, tableChecksum)
 }
