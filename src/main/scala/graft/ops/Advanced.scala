@@ -379,8 +379,34 @@ object Advanced {
         count_if($"ts" === $"first_ts").as("n_first_events"))
   }
 
+  /** Deterministic array AGGREGATION (vs [[arrayKit]]'s scalar array
+    * functions): collect_set is partition-order-nondeterministic by
+    * itself, so every collected list is sorted before leaving the
+    * aggregate — the only way an array-valued result is reproducible
+    * across runs, partitionings, and engines. Rendered to a joined
+    * string because engines disagree on list literal formatting, not on
+    * list content. */
+  val arrayAggSorted: QueryDef = QueryDef.sql(
+    "array_agg_sorted",
+    """SELECT c_nationkey,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+      |    AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+      |  COUNT(*) AS n_cust
+      |FROM customer GROUP BY c_nationkey""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(
+        array_join(sort_array(collect_set($"c_mktsegment")), ",")
+          .as("segments"),
+        count_distinct($"c_mktsegment").as("n_segments"),
+        count(lit(1)).as("n_cust"))
+  }
+
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
     cubeSales, windowRankKit, windowValueKit, fuzzyMatchEntities,
     fuzzyJwEntities, aggPercentiles, aggPercentilesApprox,
-    aggArgminmax, arrayKit, groupingSetsSales, skewSaltedJoin)
+    aggArgminmax, arrayKit, arrayAggSorted, groupingSetsSales,
+    skewSaltedJoin)
 }
