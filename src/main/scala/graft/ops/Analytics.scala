@@ -281,6 +281,36 @@ object Analytics {
       .agg(count(lit(1)).as("n"), Kit.moneySum($"o_totalprice").as("total"))
   }
 
+  /** Mergeable-sketch rollup — THE pre-aggregation pattern for distinct
+    * counts at 100 TB: build one HLL sketch per fine grain (event_type ×
+    * day) ONCE, then answer any coarser-grain distinct-count question by
+    * UNIONING sketches instead of re-scanning raw data. A daily sketch
+    * table is ~KB per group; re-aggregating a year of it touches
+    * thousands of rows, not the fact table. (Spark 4's datasketches-
+    * backed hll_sketch_agg/hll_union_agg — unlike approx_count_distinct,
+    * whose HLL++ state is not exposed for re-aggregation.)
+    *
+    * Exact per-type distinct counts ride along for self-auditing; the
+    * accuracy contract (≤5% at lgK default 12) is unit-tested, and the
+    * estimate column is why this is a rows-only registration — sketch
+    * internals have no ANSI oracle. */
+  val hllRollup: QueryDef = QueryDef.rowsOnly("hll_rollup") { (s, dir) =>
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val rolled = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+          .as("est_users"))
+    val exact = ev.groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("exact_users"))
+    rolled.join(exact, "event_type")
+      .select($"event_type", $"n_days", $"est_users", $"exact_users")
+  }
+
   val all: Seq[QueryDef] = Seq(windowRangeFrame, scdType2, funnelConversion,
-    retentionCohorts, statsMomentsKit, entropyByGroup, histogramPrice)
+    retentionCohorts, statsMomentsKit, entropyByGroup, histogramPrice,
+    hllRollup)
 }

@@ -1003,6 +1003,7 @@ object TextOps {
           |  i -> array_join(slice(ts, i * 10 + 1, 10), ' '))"""
           .stripMargin)).as(Seq("chunk_no", "chunk")))
       .withColumn("h", xxhash64($"chunk"))
+      .persist() // stage table: read by the frequency pass and the re-join
     val boiler = chunks
       .groupBy($"h", $"chunk")
       .agg(count_distinct($"doc_id").as("nd"))
