@@ -14,7 +14,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all ++
       Similarity.all ++ Windowed.all ++ Advanced.all ++ RangeJoin.all ++
-      Clustering.all ++ Curation.all ++ Components.all ++ Analytics.all
+      Clustering.all ++ Curation.all ++ Components.all ++ Analytics.all ++
+      PageRank.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Weighted PageRank over an edge list — the second member of the
+  * iterative-graph family (with [[Components]]): importance scores for
+  * link/transition graphs (site authority for web-corpus curation,
+  * event-flow importance, citation weighting).
+  *
+  * Determinism discipline: ranks are fixed-point integers (millionths),
+  * every per-edge contribution is `rank · d · w div totw` in 64-bit
+  * integer arithmetic, and the iteration runs a FIXED round count — so
+  * the result is bit-identical at any partitioning and any cluster
+  * size, unlike float PageRank whose sums drift with reduce order.
+  * Integer division truncates (leaked mass stays un-redistributed, the
+  * standard simplification for dangling nodes too); scores therefore
+  * slightly undershoot the textbook fixpoint but ORDER — what curation
+  * consumes — is preserved.
+  *
+  * Scale shape per round: one shuffle joining the edge list with the
+  * rank vector on src (O(E)), one aggregation onto dst (O(E) partial-
+  * combined), one left join back onto the vertex set (O(V)); state
+  * between rounds is the O(V) rank vector, pinned by localCheckpoint so
+  * the plan never grows with the round count (same discipline as
+  * [[Components.connectedComponents]]).
+  */
+object PageRank {
+
+  /** PageRank over `edges` (src, dst, w) with damping d6/1e6 (default
+    * 0.85) for a fixed `rounds`. Returns (id, rank_q6) over every vertex
+    * appearing as src or dst. Σ rank_q6 ≤ N·1e6 (truncation + dangling
+    * leak are not redistributed). */
+  def pageRank(edges: DataFrame, d6: Long = 850000L,
+               rounds: Int = 10): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.toDF("src", "dst", "w").persist()
+    val nodes = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct().persist()
+    val out = e.groupBy($"src").agg(sum($"w").as("totw"))
+    val ew = e.join(out, "src")
+      .select($"src", $"dst", $"w", $"totw").persist()
+    val base = 1000000L - d6 // (1-d) in millionths, per node
+    var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val contrib = ew.join(rank, ew("src") === rank("id"))
+        .select($"dst",
+          // damp first (bounded by rank), then per-edge share — all i64
+          // (`div`, never Column./ which is double division on longs)
+          expr(s"rank_q6 * $d6 div 1000000 * w div totw").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("in_q6"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select($"id",
+          (lit(base) + coalesce($"in_q6", lit(0L))).as("rank_q6"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** Registered form: PageRank of the event-type transition graph — per
+    * user, consecutive events define weighted type→type edges (a Markov
+    * transition structure); rank scores which event types flows settle
+    * into. Rows-only: an iterative fixpoint has no ANSI oracle. */
+  val pagerankTransitions: QueryDef =
+    QueryDef.rowsOnly("pagerank_transitions") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .where($"next_type".isNotNull)
+        .groupBy($"event_type".as("src"), $"next_type".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      pageRank(edges, rounds = 10)
+        .orderBy($"rank_q6".desc, $"id")
+    }
+
+  val all: Seq[QueryDef] = Seq(pagerankTransitions)
+}
