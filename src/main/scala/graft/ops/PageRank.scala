@@ -46,7 +46,7 @@ object PageRank {
     val base = 1000000L - d6 // (1-d) in millionths, per node
     var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val contrib = ew.join(rank, ew("src") === rank("id"))
         .select($"dst",
           // damp first (bounded by rank), then per-edge share — all i64
@@ -56,7 +56,11 @@ object PageRank {
       rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select($"id",
           (lit(base) + coalesce($"in_q6", lit(0L))).as("rank_q6"))
-        .localCheckpoint(true)
+      // Lineage pin every SECOND round (and on the last): each round
+      // references `rank` once, so two unrolled rounds only double the
+      // plan — half the eager checkpoint jobs for the same bounded-plan
+      // guarantee (rounds are latency-dominated on small graphs).
+      if (r % 2 == 0 || r == rounds) rank = rank.localCheckpoint(true)
     }
     rank
   }
