@@ -102,7 +102,26 @@ object Plans {
         "side is hash-spread with an explicit count (a column-only " +
         "repartition of a few-hundred-KB side is an AQE-coalesce target) " +
         "so the pair loop fans out across every core — the difference " +
-        "between 11.9 s and 0.65 s at sf0.1."))
+        "between 11.9 s and 0.65 s at sf0.1."),
+    "bloom_prune_join" ->
+      ("Runtime filtering made explicit: the dimension keys build one " +
+        "Bloom sketch (a separate tree-aggregated job, KBs), embedded as " +
+        "a BINARY literal in the fact scan's Filter — the " +
+        "bloom_might_contain probe sits BELOW every Exchange, so non-" +
+        "matching fact rows (all but the fpp fraction) die in the scan " +
+        "stage and never shuffle. The broadcast LeftSemi join afterwards " +
+        "removes false positives; end-to-end rows are bit-identical to " +
+        "the plain semi join (the oracle). At 100 TB the join moves " +
+        "|matching| + fpp·|fact| rows instead of |fact|."),
+    "boilerplate_scrub" ->
+      ("Global chunk dedup in three bounded passes: chunking is a " +
+        "map-only explode; the frequency pass groups by (xxhash64, " +
+        "chunk) — the 8-byte hash leads the key, text rides only for " +
+        "oracle exactness; the boiler set joins back on the same key so " +
+        "the partitioning is reused; reassembly is ONE groupBy(doc_id) " +
+        "whose order restoration is array_sort over collected " +
+        "(chunk_no, chunk) structs — no window, no global sort, nothing " +
+        "quadratic anywhere."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
