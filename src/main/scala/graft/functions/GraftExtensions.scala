@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     `GraftExtensions.register(spark)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
+  }
 }
 
 object GraftExtensions {
@@ -50,10 +52,17 @@ object GraftExtensions {
         BloomMightContain(children.head, children(1))
       }))
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session's function registry (and the
+    * optimizer rule via the experimental extra-optimizations hook —
+    * an already-built session's rule batches are immutable). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(LevenshteinThresholdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinThresholdRule
+  }
 }
