@@ -310,7 +310,69 @@ object Analytics {
       .select($"event_type", $"n_days", $"est_users", $"exact_users")
   }
 
+  /** Calendar zero-fill — the date-spine pattern: generate the full day
+    * range between the data's own bounds, left-join daily aggregates,
+    * and surface silent gap days as explicit zeros (a time series with
+    * MISSING days poisons every moving average and day-over-day delta
+    * downstream). The spine comes from ONE aggregate row exploded
+    * through `sequence` — no driver-side loop, no external calendar
+    * table; the daily aggregate is the only pass over the fact table. */
+  val calendarZeroFill: QueryDef = QueryDef.sql(
+    "calendar_zero_fill",
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+      |         MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM bounds),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT day, COALESCE(n, 0) AS n_orders,
+      |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM spine LEFT JOIN daily USING (day)""") { (s, dir) =>
+    import s.implicits._
+    val o = t(s, dir, "orders").select(to_date($"o_orderdate").as("day"))
+    val spine = o.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = o.groupBy($"day").agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n_orders"),
+        when($"n".isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
+  /** Ratio-to-total (percent of report) — each nation's share of global
+    * order revenue. Deliberately NOT the empty-partition window form
+    * (`SUM(x) OVER ()` plans a single-partition exchange — every row
+    * through one task, the canonical scale antipattern): the global
+    * total is a one-row aggregate broadcast back over the per-nation
+    * aggregate. Shares are IEEE double division of two exact decimal
+    * sums, quantized — identical bits in any engine. */
+  val ratioToTotal: QueryDef = QueryDef.sql(
+    "ratio_to_total",
+    """WITH nat AS (
+      |  SELECT c_nationkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey)
+      |SELECT c_nationkey, CAST(rev AS DOUBLE) AS nation_rev,
+      |  CAST(FLOOR(CAST(rev AS DOUBLE) /
+      |    CAST((SELECT SUM(rev) FROM nat) AS DOUBLE) * 1000000) AS BIGINT)
+      |    AS share_q6
+      |FROM nat""") { (s, dir) =>
+    import s.implicits._
+    val nat = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(sum(Kit.money($"o_totalprice")).as("rev"))
+    val total = nat.agg(sum($"rev").as("tot"))
+    nat.crossJoin(broadcast(total))
+      .select($"c_nationkey", $"rev".cast(DoubleType).as("nation_rev"),
+        Kit.quantize($"rev".cast(DoubleType) / $"tot".cast(DoubleType), 6)
+          .as("share_q6"))
+  }
+
   val all: Seq[QueryDef] = Seq(windowRangeFrame, scdType2, funnelConversion,
     retentionCohorts, statsMomentsKit, entropyByGroup, histogramPrice,
-    hllRollup)
+    hllRollup, calendarZeroFill, ratioToTotal)
 }
