@@ -72,6 +72,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchange >= 0 && exchange < probe, p)
   }
 
+  test("interval overlap joins day-bucketed with the type side broadcast") {
+    val p = plan("interval_overlap_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the overlap predicate is a residual on the equi-join, not a
+    // nested-loop condition
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ratio_to_total never plans a single-partition global window") {
+    val p = plan("ratio_to_total")
+    // the share must come from a broadcast one-row total, NOT from
+    // SUM() OVER () — a Window over an all-rows single partition. (The
+    // total's own scalar aggregate legitimately reduces partials to one
+    // partition; that moves per-partition sums, not data rows.)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("winsorize broadcasts the per-lang bounds back over the scan") {
+    val p = plan("winsorize_clip")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
