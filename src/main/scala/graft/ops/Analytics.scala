@@ -372,7 +372,77 @@ object Analytics {
           .as("share_q6"))
   }
 
+  /** Point-in-time (temporal) dimension join — "which regime was this
+    * key in when the fact happened": every lineitem shipment looked up
+    * against the customer's [[scdType2]] priority interval containing
+    * its ship day. THE correctness-critical warehouse join (joining
+    * facts to a dimension's CURRENT row silently rewrites history).
+    *
+    * Scale shape: NOT an interval join. State changes and probes union
+    * into one stream, one window per custkey carries the last-seen
+    * priority forward (state rows sort before probes on ties, making
+    * valid_from inclusive), probes keep the carried value — a single
+    * shuffle on the key, O(facts + changes), the same as-of discipline
+    * as asof_click_view applied to dimension lookup. Zero-width
+    * intervals (two priority flips on one day) are dropped up front:
+    * they can match no instant, and removing them makes valid_from
+    * unique per key so the window order is total. The oracle runs the
+    * textbook interval join instead — different algorithm, same rows. */
+  val pitDimensionJoin: QueryDef = QueryDef.sql(
+    "pit_dimension_join",
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+      |                     THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS run_id
+      |  FROM s),
+      |g AS (
+      |  SELECT o_custkey, run_id, o_orderpriority AS priority,
+      |    CAST(MIN(o_orderdate) AS DATE) AS valid_from
+      |  FROM r GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT o_custkey, priority, valid_from,
+      |    lead(valid_from) OVER
+      |      (PARTITION BY o_custkey ORDER BY run_id) AS valid_to
+      |  FROM g),
+      |fact AS (
+      |  SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber,
+      |    CAST(l.l_shipdate AS DATE) AS ship_day
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_day,
+      |  d.priority AS priority_at_ship
+      |FROM fact f LEFT JOIN d
+      |  ON d.o_custkey = f.custkey AND f.ship_day >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ship_day < d.valid_to)""") { (s, dir) =>
+    import s.implicits._
+    val dim = scd2(t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_orderpriority"))
+      // zero-width intervals (same-day flips) match no instant
+      .where($"valid_to".isNull || $"valid_to" > $"valid_from")
+      .select($"o_custkey".as("custkey"),
+        to_date($"valid_from").as("day"), $"priority",
+        lit(0).as("tag"))
+    val probes = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("day"))
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"day", $"l_orderkey",
+        $"l_linenumber", lit(1).as("tag"))
+    val w = Window.partitionBy($"custkey").orderBy($"day", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(probes, allowMissingColumns = true)
+      .withColumn("pri_at", last($"priority", ignoreNulls = true).over(w))
+      .where($"tag" === 1)
+      .select($"l_orderkey", $"l_linenumber", $"custkey",
+        $"day".as("ship_day"), $"pri_at".as("priority_at_ship"))
+  }
+
   val all: Seq[QueryDef] = Seq(windowRangeFrame, scdType2, funnelConversion,
     retentionCohorts, statsMomentsKit, entropyByGroup, histogramPrice,
-    hllRollup, calendarZeroFill, ratioToTotal)
+    hllRollup, calendarZeroFill, ratioToTotal, pitDimensionJoin)
 }
