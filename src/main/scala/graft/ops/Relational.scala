@@ -294,9 +294,56 @@ object Relational {
         expr("bit_xor(h)").as("checksum"))
   }
 
+  /** Multi-way star join (TPC-H Q5 shape) — the plan-selection
+    * demonstration the single-join queries can't give: two fact-fact
+    * shuffle joins (customer⋈orders⋈lineitem on their natural keys)
+    * against a broadcast dimension CHAIN (region→nation→supplier
+    * collapses to a few-hundred-row build side before it ever meets the
+    * facts), with the cross-dimension c_nationkey = s_nationkey
+    * predicate closing the star. Catalyst reorders and AQE re-plans the
+    * join tree at runtime; the revenue aggregate is decimal-exact. */
+  val q5LocalSupplier: QueryDef = QueryDef.sql(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |             AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""") { (s, dir) =>
+    import s.implicits._
+    val m12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+    val dims = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(t(s, dir, "region").where($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey")
+      .join(t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+            $"l_discount"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(m12($"l_extendedprice") * m12(lit(1) - $"l_discount"))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
     groupedCountDistinct, sqlTask, groupedCountDistinctApprox,
-    flagshipBucketed, tableChecksum)
+    flagshipBucketed, tableChecksum, q5LocalSupplier)
 }
