@@ -442,7 +442,58 @@ object Analytics {
         $"day".as("ship_day"), $"pri_at".as("priority_at_ship"))
   }
 
+  /** Day-over-day deltas — lag arithmetic over the GAP-FREE calendar
+    * spine of [[calendarZeroFill]] (lag over raw daily aggregates
+    * silently compares across gaps; the zero-filled spine is what makes
+    * "yesterday" mean yesterday). Percent change is integer-quantized
+    * off two exact counts; day 1 and zero-baseline days yield NULL pct
+    * (0→n has no defined growth rate).
+    *
+    * Scale note: the window is a single global time order — fine on a
+    * spine (one row per DAY, thousands of rows for years of data, and
+    * Spark runs an unpartitioned window in one task precisely because
+    * the spine is tiny); the heavy lifting stays in the daily aggregate
+    * below it. */
+  val dayOverDay: QueryDef = QueryDef.sql(
+    "day_over_day",
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+      |         MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM bounds),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |filled AS (
+      |  SELECT day, COALESCE(n, 0) AS n_orders
+      |  FROM spine LEFT JOIN daily USING (day))
+      |SELECT day, n_orders,
+      |  n_orders - lag(n_orders) OVER (ORDER BY day) AS delta,
+      |  CASE WHEN lag(n_orders) OVER (ORDER BY day) > 0
+      |    THEN CAST(FLOOR((CAST(n_orders AS DOUBLE) /
+      |         lag(n_orders) OVER (ORDER BY day) - 1) * 1000000) AS BIGINT)
+      |    ELSE NULL END AS pct_q6
+      |FROM filled""") { (s, dir) =>
+    import s.implicits._
+    val o = t(s, dir, "orders").select(to_date($"o_orderdate").as("day"))
+    val spine = o.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val filled = spine
+      .join(o.groupBy($"day").agg(count(lit(1)).as("n")), Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n_orders"))
+    val byDay = Window.orderBy($"day")
+    filled
+      .withColumn("prev", lag($"n_orders", 1).over(byDay))
+      .select($"day", $"n_orders",
+        ($"n_orders" - $"prev").as("delta"),
+        when($"prev" > 0,
+          Kit.quantize($"n_orders".cast(DoubleType) / $"prev" - 1, 6))
+          .otherwise(lit(null).cast(LongType)).as("pct_q6"))
+  }
+
   val all: Seq[QueryDef] = Seq(windowRangeFrame, scdType2, funnelConversion,
     retentionCohorts, statsMomentsKit, entropyByGroup, histogramPrice,
-    hllRollup, calendarZeroFill, ratioToTotal, pitDimensionJoin)
+    hllRollup, calendarZeroFill, ratioToTotal, pitDimensionJoin,
+    dayOverDay)
 }
