@@ -87,4 +87,50 @@ class LawsSpec extends SparkTestBase {
         .as[(Int, String)].collect().toList.sorted == xs.sorted
     })
   }
+
+  // ---- boilerplate chunk scrub laws ----
+
+  private val corpus: Gen[List[String]] = Gen.resize(6,
+    Gen.nonEmptyListOf(Gen.resize(30,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+        .map(_.mkString(" ")))))
+
+  test("boilerplate scrub: chunk accounting and subsequence laws hold") {
+    check("scrub")(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = TextOps.boilerplateScrubDocs(docs.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.forall { case (id, text) =>
+        val toks = text.split(" ").toList
+        val (_, clean, nChunks, nDropped) = got(id)
+        val expectChunks = (toks.size - 1) / 10 + 1
+        // accounting: every chunk either survives or is counted dropped
+        nChunks == expectChunks && nDropped >= 0 && nDropped <= nChunks &&
+        // the cleaned text is a concatenation of surviving chunks in
+        // order — hence a subsequence of the original token list
+        isSubsequence(
+          if (clean.isEmpty) Nil else clean.split(" ").toList, toks) &&
+        // nothing dropped ⇒ text unchanged
+        (nDropped > 0 || clean == text)
+      }
+    })
+  }
+
+  test("boilerplate scrub: a corpus of one doc never drops anything") {
+    check("scrub-single")(Prop.forAll(corpus.map(_.take(1))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      TextOps.boilerplateScrubDocs(docs.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect()
+        .forall(r => r._4 == 0L && r._2 == docs.head._2)
+    })
+  }
+
+  private def isSubsequence(sub: List[String], full: List[String]): Boolean = {
+    var rest = full
+    sub.forall { t =>
+      val i = rest.indexOf(t)
+      if (i < 0) false else { rest = rest.drop(i + 1); true }
+    }
+  }
 }
