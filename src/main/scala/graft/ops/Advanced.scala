@@ -404,9 +404,38 @@ object Advanced {
         count(lit(1)).as("n_cust"))
   }
 
+  /** Statistical mode per group with a TOTAL tie order (count desc,
+    * then value asc) — engines' built-in `mode` leaves ties
+    * implementation-defined, which is exactly the nondeterminism this
+    * engine bans. Two-level aggregate + rank-1 window over the counts
+    * (vocabulary-sized, never the raw rows). */
+  val modePerGroup: QueryDef = QueryDef.sql(
+    "mode_per_group",
+    """WITH cnt AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+      |  FROM customer GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |    ORDER BY c DESC, c_mktsegment ASC) AS rn
+      |  FROM cnt)
+      |SELECT c_nationkey, c_mktsegment AS mode_segment, c AS n_in_mode
+      |FROM rk WHERE rn = 1""") { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, dir, "customer")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c".desc, $"c_mktsegment".asc)
+    cnt.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"c_nationkey", $"c_mktsegment".as("mode_segment"),
+        $"c".as("n_in_mode"))
+  }
+
   val all: Seq[QueryDef] = Seq(rollupSales, intersectExcept, asofClickView,
     cubeSales, windowRankKit, windowValueKit, fuzzyMatchEntities,
     fuzzyJwEntities, aggPercentiles, aggPercentilesApprox,
     aggArgminmax, arrayKit, arrayAggSorted, groupingSetsSales,
-    skewSaltedJoin)
+    skewSaltedJoin, modePerGroup)
 }

@@ -505,9 +505,38 @@ object Curation {
           .otherwise(0L).as("was_clipped"))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling — keep probability
+    * proportional to a per-row weight (here n_chars: quality-weighted
+    * downsampling, the "prefer substantive documents" curation step).
+    * No RNG anywhere: the uniform draw is a hash of the row's own key
+    * (13 md5 hex digits = 52 bits → [0,1)), so the sample is a pure
+    * function of the data — reproducible across runs, partitionings,
+    * engines, and cluster sizes, and any row's inclusion is auditable
+    * after the fact. The max-weight normalizer is a one-row broadcast. */
+  val weightedSample: QueryDef = QueryDef.sql(
+    "weighted_sample",
+    """WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+      |SELECT doc_id, lang, n_chars
+      |FROM documents, mx
+      |WHERE CAST(CAST(concat('0x',
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |    AS DOUBLE) / 4503599627370496.0
+      |  < CAST(n_chars AS DOUBLE) / m""") { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val mx = docs.agg(max($"n_chars").as("m"))
+    docs.crossJoin(broadcast(mx))
+      .where(
+        expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13),
+          |16, 10) AS BIGINT)""".stripMargin).cast(DoubleType)
+          / lit(4503599627370496.0) // 2^52
+          < $"n_chars".cast(DoubleType) / $"m")
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+
   /** Registration order for SparkEntry. */
   val all: Seq[QueryDef] = Seq(
     repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
     sequencePacking, domainMixing, mixApply, outlierMadFilter,
-    winsorizeClip)
+    winsorizeClip, weightedSample)
 }
