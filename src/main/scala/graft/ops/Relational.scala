@@ -341,9 +341,48 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Global top-k over a join + aggregate (TPC-H Q3 shape): the ten
+    * highest-revenue orders in a market segment. ORDER BY + LIMIT over
+    * an aggregate plans as TakeOrderedAndProject — each partition keeps
+    * a 10-row heap and only heaps move to the driver, so the global
+    * "sort" touches k·partitions rows regardless of order count. Ties
+    * broken by orderkey so the result is total-ordered and
+    * engine-stable. */
+  val q3TopRevenue: QueryDef = QueryDef.sql(
+    "q3_top_revenue",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(o_orderdate AS DATE) AS order_day
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""") { (s, dir) =>
+    import s.implicits._
+    val m12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+    t(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+        $"o_orderdate"), $"c_custkey" === $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice",
+        $"l_discount"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(m12($"l_extendedprice") * m12(lit(1) - $"l_discount"))
+        .cast(DoubleType).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        to_date($"o_orderdate").as("order_day"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     flagshipMissingStats, q1PricingSummary, scanFilterProject,
     filterInList, filterDatePart, watermarkMaxDate, budgetCheck,
     groupedCountDistinct, sqlTask, groupedCountDistinctApprox,
-    flagshipBucketed, tableChecksum, q5LocalSupplier)
+    flagshipBucketed, tableChecksum, q5LocalSupplier, q3TopRevenue)
 }
