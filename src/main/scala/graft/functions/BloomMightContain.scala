@@ -47,19 +47,24 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def prettyName: String = "bloom_might_contain"
 
+  /** Folded once per deserialized instance — checkInputDataTypes
+    * guarantees `left` is foldable, so its value (and null-ness) is
+    * constant; both eval() and codegen consult this instead of
+    * re-folding per row. */
+  @transient private lazy val filterBytes: Array[Byte] =
+    left.eval(null).asInstanceOf[Array[Byte]]
+
   /** Deserialized once per task (the expression tree is shipped in the
     * task binary; the lazy val re-materializes on first probe). */
-  @transient private lazy val filter: BloomFilter = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-  }
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 
   /** Codegen entry point — one call per row, no allocation. */
   def test(v: Long): Boolean = filter.mightContainLong(v)
 
   override def eval(input: InternalRow): Any = {
     val v = right.eval(input)
-    if (v == null || left.eval(input) == null) null
+    if (v == null || filterBytes == null) null
     else test(v.asInstanceOf[Long])
   }
 

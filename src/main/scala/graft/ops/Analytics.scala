@@ -482,9 +482,15 @@ object Analytics {
     val filled = spine
       .join(o.groupBy($"day").agg(count(lit(1)).as("n")), Seq("day"), "left")
       .select($"day", coalesce($"n", lit(0L)).as("n_orders"))
-    val byDay = Window.orderBy($"day")
+    // The spine is DENSE (every day between lo and hi exists), so
+    // lag(1) over a global-ordered window ≡ an equi-join on day-1 —
+    // which shuffles on day instead of planning the single-partition
+    // exchange a `Window.orderBy` costs (bounded by #days here, but the
+    // WARN-free join form is the right habit and plan).
+    val prev = filled.select(date_add($"day", 1).as("day"),
+      $"n_orders".as("prev"))
     filled
-      .withColumn("prev", lag($"n_orders", 1).over(byDay))
+      .join(prev, Seq("day"), "left")
       .select($"day", $"n_orders",
         ($"n_orders" - $"prev").as("delta"),
         when($"prev" > 0,

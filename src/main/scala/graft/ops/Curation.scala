@@ -315,10 +315,10 @@ object Curation {
     * repeat factor (×1e6) that equalizes every language's token share —
     * the "how many epochs of each subset" table a training-mix planner
     * emits. All integer arithmetic (total·1e6 // (n_langs·lang_tokens)),
-    * so the result is engine-exact; the global total comes from an
-    * unpartitioned window over the ALREADY-AGGREGATED per-lang frame
-    * (5 rows — safe at any corpus scale because the window input is one
-    * row per language, not per document). */
+    * so the result is engine-exact; the global total is a one-row
+    * aggregate broadcast back over the per-language frame (the
+    * `ratio_to_total` pattern — never a single-partition window; the
+    * repeated per-lang subtree is deduplicated by ReuseExchange). */
   val domainMixing: QueryDef = QueryDef.sql(
     "domain_mixing",
     """WITH per AS (
@@ -343,10 +343,10 @@ object Curation {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ", -1)).cast(LongType)).as("lang_tokens"))
-    val all = Window.partitionBy()
+    val tot = per.agg(sum($"lang_tokens").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
     per
-      .withColumn("total_tokens", sum($"lang_tokens").over(all))
-      .withColumn("n_langs", count(lit(1)).over(all))
+      .crossJoin(broadcast(tot))
       .select(
         $"lang", $"n_docs", $"lang_tokens",
         expr("total_tokens * 1000000L div (n_langs * lang_tokens)")
@@ -396,13 +396,11 @@ object Curation {
     val per = t(s, dir, "documents")
       .groupBy($"lang")
       .agg(sum(size(split($"text", " ", -1)).cast(LongType)).as("lang_tokens"))
-    val all = Window.partitionBy()
-    // 5-row planner frame: the unpartitioned window is over the already-
-    // aggregated per-language table (see domainMixing — safe at any
-    // corpus scale)
+    // 5-row planner frame: broadcast-total join, never a single-partition
+    // window (see domainMixing)
     val mix = per
-      .withColumn("total_tokens", sum($"lang_tokens").over(all))
-      .withColumn("n_langs", count(lit(1)).over(all))
+      .crossJoin(broadcast(per.agg(sum($"lang_tokens").as("total_tokens"),
+        count(lit(1)).as("n_langs"))))
       .select($"lang",
         expr("total_tokens * 1000000L div (n_langs * lang_tokens)").as("eq6"))
     t(s, dir, "documents")

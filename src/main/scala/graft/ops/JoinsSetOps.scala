@@ -272,10 +272,14 @@ object JoinsSetOps {
           .where($"n_name".isin("NATION_7", "NATION_11"))),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey")
-    // one small job over the dimension; sketch sized for the dim key
-    // cardinality (here ~supplier count), ~24 KB at fpp 0.01
+    // Size the sketch from the dimension itself (one extra small job —
+    // the dim is the filtered supplier slice, tiny by construction): a
+    // hardcoded `expected` under-sizes at larger scale factors, inflating
+    // the effective fpp until the probe stops pruning. Floor of 1000
+    // keeps the filter well-formed for near-empty dims.
+    val expected = math.max(1000L, dim.count())
     val bloom = graft.functions.BloomMightContain.build(
-      dim, "s_suppkey", 100000L, 0.01)
+      dim, "s_suppkey", expected, 0.01)
     t(s, dir, "lineitem")
       .where(Kit.bloomMightContain(bloom, $"l_suppkey"))
       .join(broadcast(dim), $"l_suppkey" === $"s_suppkey", "left_semi")

@@ -46,7 +46,7 @@ object PageRank {
     val base = 1000000L - d6 // (1-d) in millionths, per node
     var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
       .localCheckpoint(true)
-    for (r <- 1 to rounds) {
+    try for (r <- 1 to rounds) {
       val contrib = ew.join(rank, ew("src") === rank("id"))
         .select($"dst",
           // damp first (bounded by rank), then per-edge share — all i64
@@ -61,6 +61,12 @@ object PageRank {
       // plan — half the eager checkpoint jobs for the same bounded-plan
       // guarantee (rounds are latency-dominated on small graphs).
       if (r % 2 == 0 || r == rounds) rank = rank.localCheckpoint(true)
+    } finally {
+      // The final rank is an eager localCheckpoint, so nothing below it
+      // is needed again — release the loop-scoped caches so repeated
+      // invocations (bench median-of-3, determinism re-runs) don't
+      // accumulate partitions until LRU eviction.
+      ew.unpersist(); nodes.unpersist(); e.unpersist()
     }
     rank
   }

@@ -271,27 +271,37 @@ object Relational {
     * opaque table-level bit. Only integer/string/date columns enter the
     * rendering (double formatting is not engine-portable; the md5-hex →
     * BIGINT parse takes 15 hex digits = 60 bits, positive in both
-    * engines). */
-  val tableChecksum: QueryDef = QueryDef.sql(
-    "table_checksum",
-    """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  BIT_XOR(CAST(concat('0x', substring(md5(
-      |    concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
-      |      l_returnflag, l_linestatus,
-      |      CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))
-      |    AS BIGINT)) AS checksum
-      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    * engines). NULL columns are rendered as a chr(0)-prefixed sentinel
+    * (not skippable by concat_ws, not producible by a cast) so
+    * ('a', NULL, 'b') and ('a', 'b', NULL) hash differently — required
+    * for the primitive to stay sound on nullable schemas. */
+  val tableChecksum: QueryDef = {
+    // Canonical rendering, generated once for both engines: each column
+    // coalesced to chr(0)||'NULL' before the '|' join. Only the string
+    // type name and the hex→BIGINT parse differ between dialects.
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus", "CAST(CAST(l_shipdate AS DATE) AS %s)")
+    def rendering(strTy: String): String = cols
+      .map(c => s"coalesce(CAST(${c.format(strTy)} AS $strTy), " +
+        s"concat(chr(0), 'NULL'))")
+      .mkString("concat_ws('|', ", ", ", ")")
+    QueryDef.sql(
+      "table_checksum",
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  BIT_XOR(CAST(concat('0x', substring(md5(
+         |    ${rendering("VARCHAR")}), 1, 15))
+         |    AS BIGINT)) AS checksum
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.loadSpread(s, dir, "lineitem")
       .select($"l_returnflag",
-        expr("""CAST(conv(substring(md5(
-          |  concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
-          |    l_returnflag, l_linestatus,
-          |    CAST(CAST(l_shipdate AS DATE) AS STRING))), 1, 15), 16, 10)
+        expr(s"""CAST(conv(substring(md5(
+          |  ${rendering("STRING")}), 1, 15), 16, 10)
           |AS BIGINT)""".stripMargin).as("h"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("checksum"))
+    }
   }
 
   /** Multi-way star join (TPC-H Q5 shape) — the plan-selection

@@ -91,6 +91,21 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("domain_mixing and mix_apply never plan a single-partition global window") {
+    for (q <- Seq("domain_mixing", "mix_apply")) {
+      val p = plan(q)
+      // totals come from a broadcast one-row aggregate, never SUM() OVER ()
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
+  test("day_over_day computes lag by dense-spine self-join, not a global window") {
+    val p = plan("day_over_day")
+    assert(!p.contains("Window"), p)
+  }
+
   test("winsorize broadcasts the per-lang bounds back over the scan") {
     val p = plan("winsorize_clip")
     assert(p.contains("BroadcastHashJoin"), p)
