@@ -131,13 +131,87 @@ object Clustering {
     base.select($"vec_id", nearest($"qe", $"nrm", centroids).as("cluster"))
   }
 
+  /** Oracle for the registered form: because init (farthest-first over a
+    * deterministic pool) and every Lloyd step are fixed-count integer
+    * arithmetic, the whole algorithm unrolls into plain SQL — seed, one
+    * 16·k pool scan, k−1 greedy picks, `iters` assign/update rounds —
+    * over the long (vec_id, pos, v) form. CTEs are MATERIALIZED: the
+    * pick/centroid chain references each predecessor 2–3×, and inlining
+    * would replicate the base scan ~3^k times. Engine-portability notes:
+    * DuckDB `//` floors while Spark `div` truncates, so the centroid
+    * update wraps negative sums (embedding values go negative) in an
+    * explicit toward-zero CASE; nearest-centroid ties break to the
+    * lowest cluster index in both (array_position-first-min ≡
+    * ROW_NUMBER ordered by (d, cl)). */
+  private def kmeansOracleSql(k: Int, iters: Int, poolMult: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    def cte(name: String, body: String): Unit =
+      ctes += s"$name AS MATERIALIZED ($body)"
+    cte("q",
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |FROM embeddings""".stripMargin)
+    cte("ql",
+      """SELECT vec_id, CAST(i AS INT) AS pos, qe[i+1] AS v
+        |FROM q, UNNEST(range(len(qe))) t(i)""".stripMargin)
+    cte("sd", "SELECT qe FROM q ORDER BY vec_id LIMIT 1")
+    cte("sl",
+      """SELECT CAST(i AS INT) AS pos, qe[i+1] AS v
+        |FROM sd, UNNEST(range(len(qe))) t(i)""".stripMargin)
+    cte("pool",
+      s"""SELECT l.vec_id FROM ql l JOIN sl s ON l.pos = s.pos
+         |GROUP BY l.vec_id
+         |ORDER BY SUM((l.v - s.v)*(l.v - s.v)) DESC, l.vec_id ASC
+         |LIMIT ${poolMult * k}""".stripMargin)
+    cte("pl", "SELECT l.* FROM ql l JOIN pool USING (vec_id)")
+    cte("c0", "SELECT CAST(0 AS INT) AS cl, pos, v FROM sl")
+    for (i <- 1 until k) {
+      cte(s"pick$i",
+        s"""SELECT vec_id FROM (
+           |  SELECT vec_id, MIN(d) AS mind FROM (
+           |    SELECT p.vec_id, c.cl, SUM((p.v - c.v)*(p.v - c.v)) AS d
+           |    FROM pl p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY p.vec_id, c.cl)
+           |  GROUP BY vec_id)
+           |ORDER BY mind DESC, vec_id ASC LIMIT 1""".stripMargin)
+      cte(s"c$i",
+        s"""SELECT * FROM c${i - 1} UNION ALL
+           |SELECT CAST($i AS INT) AS cl, p.pos, p.v
+           |FROM pl p JOIN pick$i USING (vec_id)""".stripMargin)
+    }
+    cte("k0", s"SELECT * FROM c${k - 1}")
+    for (j <- 1 to iters) {
+      cte(s"a$j",
+        s"""SELECT vec_id, cl FROM (
+           |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
+           |  FROM ql l JOIN k${j - 1} c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1""".stripMargin)
+      cte(s"s$j",
+        s"""SELECT a.cl, l.pos, CAST(SUM(l.v) AS BIGINT) AS sv,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM ql l JOIN a$j a USING (vec_id) GROUP BY a.cl, l.pos""".stripMargin)
+      cte(s"k$j",
+        s"""SELECT cl, pos,
+           |  CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n) END AS v FROM s$j
+           |UNION ALL
+           |SELECT * FROM k${j - 1} WHERE cl NOT IN (SELECT cl FROM s$j)""".stripMargin)
+    }
+    cte("af",
+      s"""SELECT vec_id, cl FROM (
+         |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
+         |  FROM ql l JOIN k$iters c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1""".stripMargin)
+    ctes.result().mkString("WITH ", ",\n", "") +
+      "\nSELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cl"
+  }
+
   /** Registered form: k=8, 3 iterations over the embeddings fixture;
     * output is the per-cluster population histogram (compact at any
-    * scale). Deterministic, but k-means has no ANSI-SQL oracle — DuckDB
-    * cannot express the iteration — so this is a rows-only row, with the
-    * convergence/determinism contract unit-tested (ClusteringSpec). */
+    * scale). Hash-green against the unrolled-SQL oracle above; the
+    * convergence/determinism contract is additionally unit-tested
+    * (ClusteringSpec). */
   val kmeansHistogram: QueryDef =
-    QueryDef.rowsOnly("kmeans_histogram") { (s, dir) =>
+    QueryDef.sql("kmeans_histogram",
+      kmeansOracleSql(k = 8, iters = 3, poolMult = 16)) { (s, dir) =>
       import s.implicits._
       // ONE cached frame (with norms) shared by training and assignment —
       // the harness clearCache()s it after the query, like every other

@@ -74,9 +74,42 @@ object PageRank {
   /** Registered form: PageRank of the event-type transition graph — per
     * user, consecutive events define weighted type→type edges (a Markov
     * transition structure); rank scores which event types flows settle
-    * into. Rows-only: an iterative fixpoint has no ANSI oracle. */
-  val pagerankTransitions: QueryDef =
-    QueryDef.rowsOnly("pagerank_transitions") { (s, dir) =>
+    * into.
+    *
+    * Hash-green oracle: because every per-round operation is integer
+    * arithmetic over a FIXED round count, the whole iteration is
+    * expressible as plain SQL — the oracle unrolls the 10 rounds as a
+    * generated CTE chain (r0..r10), each round the same
+    * contributions-grouped-by-dst left-joined back onto the vertex set.
+    * (An unrolled chain, not a recursive CTE: grouped aggregation over
+    * the recursive working table has engine-specific semantics; the
+    * unrolled form is the identical dataflow with none.) DuckDB `//` is
+    * floor division vs Spark `div` truncation — equal here because every
+    * operand (ranks, weights, totals) is non-negative. */
+  val pagerankTransitions: QueryDef = {
+    val rounds = 10
+    val oracle = {
+      val ctes = Seq(
+        """edges AS (
+          |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+          |    SELECT event_type AS src,
+          |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |    FROM events) WHERE dst IS NOT NULL GROUP BY src, dst)""".stripMargin,
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "ew AS (SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS totw FROM edges)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_q6 FROM nodes)") ++
+        (1 to rounds).map { i =>
+          s"""r$i AS (
+             |  SELECT n.id, CAST(150000 + COALESCE(c.in_q6, 0) AS BIGINT) AS rank_q6
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, CAST(SUM(p.rank_q6 * 850000 // 1000000 * e.w // e.totw) AS BIGINT) AS in_q6
+             |    FROM r${i - 1} p JOIN ew e ON e.src = p.id GROUP BY e.dst) c
+             |  ON n.id = c.dst)""".stripMargin
+        }
+      ctes.mkString("WITH ", ",\n", "") +
+        s"\nSELECT id, rank_q6 FROM r$rounds"
+    }
+    QueryDef.sql("pagerank_transitions", oracle) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -86,9 +119,10 @@ object PageRank {
         .where($"next_type".isNotNull)
         .groupBy($"event_type".as("src"), $"next_type".as("dst"))
         .agg(count(lit(1)).as("w"))
-      pageRank(edges, rounds = 10)
+      pageRank(edges, rounds = rounds)
         .orderBy($"rank_q6".desc, $"id")
     }
+  }
 
   val all: Seq[QueryDef] = Seq(pagerankTransitions)
 }
