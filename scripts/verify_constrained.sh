@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Spill-safety evidence run: the full query suite in a memory-constrained
+# JVM. A 100 TB cluster run depends on every sort/aggregate/shuffle
+# degrading to EXTERNAL (spilled) execution when data outgrows executor
+# memory — this run forces exactly that at sf0.1 by shrinking the heap
+# and Spark's memory fraction until the suite must spill, then checks the
+# results are hash-identical to the oracle (scripts/selfcheck.py).
+#
+#   scripts/verify_constrained.sh [sfDir] [outDir] [heap]
+#
+# Defaults: /root/testdata/sf0.1 /tmp/verify_constrained 1g.
+# Exit 0 = every query completed (no OOM). Correctness is checked by the
+# caller running selfcheck.py on outDir (see BENCH_NOTES.md for the
+# recorded round-5 run).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.1}"
+OUT_DIR="${2:-/tmp/verify_constrained}"
+HEAP="${3:-1g}"
+
+# Direct java launch — sbt would interpose its own (large) heap. The
+# unmanaged Spark distribution jars carry scala-library.
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+# The squeeze: 8 worker threads sharing a unified memory pool of
+# (heap - 300M) * fraction 0.05 — ~2.3 MB minimum per concurrent task at
+# -Xmx1g, far below the suite's per-task working sets at sf0.1, so
+# sorts, hash aggregates, and shuffle writers must spill to disk.
+# storageFraction drops to 0.1 because the default 0.5 PROTECTS cached
+# blocks from eviction: the iterative operators (CC, PageRank) pin their
+# per-round state via localCheckpoint, and at a 36 MB pool the protected
+# half starves execution below the hash-aggregate page floor (observed:
+# UNABLE_TO_ACQUIRE_MEMORY in neardup_clusters). The 100 TB lesson is
+# real and documented in PLANS.md: size the storage floor to the pinned
+# state, not the default half.
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.05;spark.memory.storageFraction=0.1;spark.sql.autoBroadcastJoinThreshold=1048576" \
+java -Xmx"$HEAP" -XX:+ExitOnOutOfMemoryError \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"

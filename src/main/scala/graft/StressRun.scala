@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-growth harness for the dedup/graph/ANN family: runs the named
+  * queries against an arbitrary fixture dir (e.g. the 10× corpus from
+  * `scripts/gen_stress.py`) and prints one JSON line per query with
+  * wall seconds, result rows, and every `observe`d metric — candidate
+  * volumes in particular. Comparing those counts across corpus sizes is
+  * the direct test of the sub-quadratic claims in SURVEY.md §8: a
+  * banded/bucketed detector whose candidates grow ~linearly survives
+  * 100 TB; one whose candidates grow with corpus² does not.
+  *
+  *   sbt 'runMain graft.StressRun /tmp/sf1_stress minhash_lsh_neardup …'
+  *
+  * Each query runs twice (cold then warm, cache cleared between); both
+  * times are reported. */
+object StressRun {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val names = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val d = SparkEntry.defs.find(_.name == name).getOrElse(
+        sys.error(s"unknown query: $name"))
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = d.fn(spark, dir)
+        val rows = df.collect().length
+        val sec = (System.nanoTime() - t0) / 1e9
+        val metrics = df.queryExecution.observedMetrics.toSeq
+          .flatMap { case (mName, row) =>
+            row.schema.fieldNames.map(f =>
+              s""""$mName.$f": ${row.getAs[Any](f)}""")
+          }
+        (sec, rows, metrics)
+      }
+      val (coldSec, rows, metrics) = runs.head
+      val warmSec = runs.last._1
+      println((Seq(
+        s""""query": "$name"""",
+        f""""cold_sec": $coldSec%.2f""",
+        f""""warm_sec": $warmSec%.2f""",
+        s""""rows": $rows""") ++ metrics)
+        .mkString("{", ", ", "}"))
+    }
+    spark.stop()
+  }
+}

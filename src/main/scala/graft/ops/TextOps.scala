@@ -445,11 +445,26 @@ object TextOps {
 
   /** The exact-Jaccard near-dup detector over ANY (doc_id, text) frame —
     * unit-testable on literal documents; the registered query applies it
-    * to the fixture table. NOTE (all three detectors): the shingle/
-    * signature stage tables stay persisted until the session's cache is
-    * cleared — the Verify/Bench harness does so between queries; other
-    * long-lived callers should `spark.catalog.clearCache()` (or accept
-    * the cached stage as reusable state) after materializing results. */
+    * to the fixture table.
+    *
+    * SCALE DESIGNATION — VERIFICATION-GRADE, not the production path.
+    * The exact family (this and [[containmentNeardupPairs]]) is the
+    * ground-truth baseline: its candidate stage is bounded but
+    * AMPLIFYING — each rare shingle contributes up to DF_CAP²/2 pairs,
+    * i.e. candidate rows ≤ DF_CAP × corpus-shingles (measured ~25×
+    * amplification worst case, 1.13 M candidates from 5 k docs at
+    * sf0.1). At 100 TB run it on samples, audits, and
+    * detector-calibration slices. The PRODUCTION dedup path at corpus
+    * scale is [[minhashNeardupPairs]] (MinHash-LSH: candidates scale
+    * with true-duplicate density — 256 pairs on the same fixture) with
+    * [[simhashNeardupPairs]] as the bit-sketch alternative; both are
+    * registered queries whose thresholds this exact family calibrates.
+    *
+    * NOTE (all three detectors): the shingle/signature stage tables stay
+    * persisted until the session's cache is cleared — the Verify/Bench
+    * harness does so between queries; other long-lived callers should
+    * `spark.catalog.clearCache()` (or accept the cached stage as
+    * reusable state) after materializing results. */
   def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -469,7 +484,9 @@ object TextOps {
     * pairs (a small doc inside a big one has low |∩|/|∪|), so this is
     * its own family, not a threshold tweak: same bounded rare-shingle
     * candidate stage, but the prune bound and the verified score divide
-    * by the SMALLER set. */
+    * by the SMALLER set. Same scale designation as
+    * [[jaccardNeardupPairs]]: verification-grade at 100 TB — the
+    * production path is the MinHash/SimHash sketch family. */
   def containmentNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -525,6 +542,11 @@ object TextOps {
         .as("p"))
       .select($"p.doc_a", $"p.doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_rare"))
+      // scale telemetry: candidate-pair volume, readable from any action's
+      // observedMetrics (zero overhead — CollectMetrics aggregates on the
+      // rows already flowing past). The stress harness tracks this count
+      // across corpus sizes to verify sub-quadratic growth.
+      .observe("neardup_candidates", count(lit(1)).as("n_pairs"))
     // Candidate-pair volume is quadratic-ish in df (measured: 1.13M pairs
     // from 5k fixture docs) but almost all pairs share only a few rare
     // shingles — nowhere near Jaccard 0.30. Prune with an exact upper
@@ -700,6 +722,10 @@ object TextOps {
         .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
         .where($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
+        // scale telemetry (see rareShingleCandidates): the LSH candidate
+        // count is the number this family's 100 TB claim rests on —
+        // proportional to true-duplicate density, not corpus pairs
+        .observe("minhash_candidates", count(lit(1)).as("n_pairs"))
       jaccardVerify(cand, sets)
   }
 

@@ -52,14 +52,42 @@ final case class ManifestData(partitionCols: Seq[String],
   * At 100 TB the manifest is O(#files) metadata, never O(data): an append
   * writes only its own parquet files plus one small text file, and
   * compaction swaps file lists without a data-visible intermediate state.
+  *
+  * == Metadata-plane scalability (deltas + snapshot checkpoints) ==
+  *
+  * A table at 100 TB can carry millions of data files; rewriting the full
+  * list on EVERY commit would make commit cost O(table), not O(change).
+  * So manifests come in two kinds (Delta's log design, inverted from its
+  * defaults): most commits write a DELTA manifest (`base=<prev>` header;
+  * `+path`/`-path` lines — O(files changed)), and every
+  * [[SnapshotEvery]]-th version (plus v1, plus any commit whose
+  * predecessor is gone) writes a full SNAPSHOT, bounding every reader's
+  * resolution chain to < [[SnapshotEvery]] small files. [[Warehouse]]'s
+  * vacuum additionally commits an explicit snapshot CHECKPOINT when the
+  * head's delta chain blocks log pruning, so a retention-zero vacuum
+  * always collapses the log to one self-contained manifest.
+  *
+  * Driver-memory envelope: the RESOLVED file list (and the zone-map
+  * stats) still materialize on the driver — ~100 bytes/file, i.e. ~100 MB
+  * at a million files, the same metadata-plane envelope Delta accepts
+  * before its own checkpoint-parquet tricks. Beyond that, compaction
+  * ([[Warehouse.compact]]) is the lever: fewer, larger files shrink the
+  * manifest itself.
   */
 object TxnLog {
 
-  // v2: added the stats= header line. The magic is the FORMAT version —
-  // a reader of this code refuses a manifest written by another format
-  // outright instead of misparsing its header lines as file paths.
-  private val Magic = "graft-manifest-v2"
+  // v2: added the stats= header line; v3: added the base= header line
+  // (delta manifests). The magic is the FORMAT version — a reader of this
+  // code refuses a manifest written by a NEWER format outright instead of
+  // misparsing its header lines as file paths; v2 files remain readable
+  // (headerless snapshot form).
+  private val MagicV2 = "graft-manifest-v2"
+  private val Magic = "graft-manifest-v3"
   private val NameRe = raw"v(\d{12})\.manifest".r
+
+  /** Every Nth version is a full snapshot; versions in between are deltas
+    * against their predecessor. Bounds any read's resolution chain. */
+  val SnapshotEvery = 10L
 
   def logDir(tableDir: Path): Path = tableDir.resolve("_log")
   def dataDir(tableDir: Path): Path = tableDir.resolve("data")
@@ -90,10 +118,18 @@ object TxnLog {
   def current(tableDir: Path): Option[Manifest] =
     versions(tableDir).lastOption.map(v => readVersion(tableDir, v))
 
-  def readVersion(tableDir: Path, version: Long): Manifest = {
+  /** One manifest file as written: `base` is the predecessor version a
+    * DELTA applies to (None = self-contained snapshot); for a delta,
+    * `files`/`fileStats` hold only the ADDED entries and `removes` the
+    * removed paths. */
+  private final case class RawManifest(m: Manifest, base: Option[Long],
+                                       removes: Seq[String])
+
+  private def readRaw(tableDir: Path, version: Long): RawManifest = {
     val lines = Files.readAllLines(
       manifestPath(tableDir, version), StandardCharsets.UTF_8).asScala.toSeq
-    require(lines.headOption.contains(Magic),
+    val v3 = lines.headOption.contains(Magic)
+    require(v3 || lines.headOption.contains(MagicV2),
       s"unrecognized manifest header in v$version of $tableDir")
     val partitionCols = lines(1).stripPrefix("partition=") match {
       case "" => Seq.empty
@@ -107,13 +143,60 @@ object TxnLog {
       case "" => None
       case s  => Some(s)
     }
-    // file lines: `path` or `path\tmin\tmax` (zone-map entry)
-    val entries = lines.drop(4).map(_.split('\t'))
+    val base = if (!v3) None else lines(4).stripPrefix("base=") match {
+      case "" => None
+      case s  => Some(s.toLong)
+    }
+    // file lines: `path` or `path\tmin\tmax` (zone-map entry); in a delta
+    // manifest adds are `+`-prefixed and removes `-`-prefixed
+    val body = lines.drop(if (v3) 5 else 4).filter(_.nonEmpty)
+    val (addLines, removeLines) =
+      if (base.isEmpty) (body, Seq.empty[String])
+      else (body.filter(_.startsWith("+")).map(_.drop(1)),
+            body.filter(_.startsWith("-")).map(_.drop(1)))
+    val entries = addLines.map(_.split('\t'))
     val files = entries.map(_.head)
     val stats = entries.collect {
       case Array(p, mn, mx) => p -> (mn, mx)
     }.toMap
-    Manifest(version, partitionCols, files, txn, statsCol, stats)
+    RawManifest(
+      Manifest(version, partitionCols, files, txn, statsCol, stats),
+      base, removeLines)
+  }
+
+  /** The versions (ascending) whose manifest files a read of `version`
+    * resolves through: the nearest snapshot at or below it, then every
+    * delta up to it. Always < [[SnapshotEvery]] + 1 entries. */
+  def chainVersions(tableDir: Path, version: Long): Seq[Long] = {
+    var chain = List(version)
+    var raw = readRaw(tableDir, version)
+    while (raw.base.isDefined) {
+      chain = raw.base.get :: chain
+      raw = readRaw(tableDir, raw.base.get)
+    }
+    chain
+  }
+
+  /** Resolve a version to its full file list: read back to the nearest
+    * snapshot, then fold the delta chain forward (kept files stay in
+    * base order; each delta's adds append — exactly the order the
+    * writers construct, so resolution reproduces the committed list). */
+  def readVersion(tableDir: Path, version: Long): Manifest = {
+    val top = readRaw(tableDir, version)
+    if (top.base.isEmpty) top.m
+    else {
+      // collect the chain snapshot-first
+      var chain = List(top)
+      while (chain.head.base.isDefined)
+        chain = readRaw(tableDir, chain.head.base.get) :: chain
+      val folded = chain.tail.foldLeft(chain.head.m) { (acc, d) =>
+        val gone = d.removes.toSet
+        acc.copy(
+          files = acc.files.filterNot(gone) ++ d.m.files,
+          fileStats = (acc.fileStats -- gone) ++ d.m.fileStats)
+      }
+      top.m.copy(files = folded.files, fileStats = folded.fileStats)
+    }
   }
 
   /** Commit time of one version (mtime of its manifest file). */
@@ -128,20 +211,44 @@ object TxnLog {
     * false if another committer won that version (caller re-resolves the
     * current manifest and retries). Publication is write-temp + fsync +
     * atomic `link(2)` — readers observe either no manifest or the whole
-    * manifest, and EEXIST makes version numbers race-free. */
-  def tryCommit(tableDir: Path, m: Manifest): Boolean = {
+    * manifest, and EEXIST makes version numbers race-free.
+    *
+    * When `prev` is the resolved predecessor (version `m.version - 1`)
+    * and the version isn't on a [[SnapshotEvery]] boundary, the file is
+    * written as a DELTA (O(files changed)); otherwise a full snapshot. A
+    * kept file whose zone-map stats changed is encoded as remove+add (it
+    * re-appends, which may reorder it — sets, which is what every
+    * consumer uses, are unaffected). */
+  def tryCommit(tableDir: Path, m: Manifest,
+                prev: Option[Manifest] = None,
+                forceSnapshot: Boolean = false): Boolean = {
     val ld = logDir(tableDir)
     Files.createDirectories(ld)
-    val fileLines = m.files.map { f =>
-      m.fileStats.get(f) match {
-        case Some((mn, mx)) => s"$f\t$mn\t$mx"
-        case None           => f
-      }
+    def entry(f: String): String = m.fileStats.get(f) match {
+      case Some((mn, mx)) => s"$f\t$mn\t$mx"
+      case None           => f
     }
+    val asDelta = !forceSnapshot &&
+      m.version % SnapshotEvery != 0 && m.version != 1L &&
+      prev.exists(_.version == m.version - 1)
+    val (baseLine, fileLines) =
+      if (!asDelta) ("base=", m.files.map(entry))
+      else {
+        val p = prev.get
+        val nextSet = m.files.toSet
+        val prevSet = p.files.toSet
+        val statsChanged = p.files.filter(f =>
+          nextSet(f) && p.fileStats.get(f) != m.fileStats.get(f)).toSet
+        val removes = p.files.filter(f => !nextSet(f) || statsChanged(f))
+        val adds = m.files.filter(f => !prevSet(f) || statsChanged(f))
+        (s"base=${p.version}",
+          removes.map("-" + _) ++ adds.map(f => "+" + entry(f)))
+      }
     val body = (Seq(Magic,
       s"partition=${m.partitionCols.mkString(",")}",
       s"txn=${m.txnId.getOrElse("")}",
-      s"stats=${m.statsCol.getOrElse("")}") ++
+      s"stats=${m.statsCol.getOrElse("")}",
+      baseLine) ++
       fileLines).mkString("\n")
     val tmp = Files.createTempFile(ld, ".tmp-", ".manifest")
     try {
@@ -197,8 +304,11 @@ object TxnLog {
   /** Commit loop: rebuild the manifest against the latest committed state
     * until the publish wins. `build` receives the current manifest (None
     * for a first commit) and returns (partitionCols, files) for the next
-    * version. Returns the committed manifest. */
-  def commit(tableDir: Path, txnId: Option[String] = None)
+    * version. Returns the committed manifest. `forceSnapshot` makes the
+    * committed manifest self-contained regardless of the
+    * [[SnapshotEvery]] cadence — vacuum's checkpoint lever. */
+  def commit(tableDir: Path, txnId: Option[String] = None,
+             forceSnapshot: Boolean = false)
             (build: Option[Manifest] => ManifestData): Manifest = {
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
@@ -209,7 +319,8 @@ object TxnLog {
         d.partitionCols, d.files, txnId, d.statsCol,
         // never carry stats for files not in this version
         d.fileStats.filter(kv => present(kv._1)))
-      if (tryCommit(tableDir, next)) committed = Some(next)
+      if (tryCommit(tableDir, next, cur, forceSnapshot))
+        committed = Some(next)
     }
     committed.get
   }
@@ -217,10 +328,11 @@ object TxnLog {
   /** Has a writer transaction id already been committed? Walks the log
     * newest-first — an idempotent writer (streaming micro-batch replay
     * after a crash) calls this to skip a batch that already landed.
-    * O(retained versions); vacuum keeps the walk short. */
+    * O(retained versions) HEADER reads (no chain resolution); vacuum
+    * keeps the walk short. */
   def txnCommitted(tableDir: Path, txnId: String): Boolean =
     versions(tableDir).reverse.exists(v =>
-      readVersion(tableDir, v).txnId.contains(txnId))
+      readRaw(tableDir, v).m.txnId.contains(txnId))
 
   /** Drop one superseded manifest (vacuum's log-pruning half), plus any
     * fallback-path claim file it left behind. */

@@ -557,7 +557,34 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val cutoff = java.time.Instant.now().minus(retention)
     def oldEnough(p: Path): Boolean =
       !Files.getLastModifiedTime(p).toInstant.isAfter(cutoff)
-    val versions = TxnLog.versions(dir)
+    var versions = TxnLog.versions(dir)
+    // Manifest CHECKPOINT: if the head is a delta whose resolution chain
+    // includes manifests this vacuum could otherwise prune, first commit
+    // an equivalent self-contained snapshot (same files, same txn id for
+    // replay detection) — then the whole old chain becomes reclaimable.
+    // This is what lets a retention-zero vacuum always collapse the log
+    // to a single manifest.
+    versions.lastOption.foreach { head =>
+      val chain = TxnLog.chainVersions(dir, head)
+      val prunable = versions.dropRight(1)
+        .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff)).toSet
+      if (chain.size > 1 && chain.init.exists(prunable)) {
+        val cur = TxnLog.readVersion(dir, head)
+        TxnLog.commit(dir, cur.txnId, forceSnapshot = true)(now =>
+          // rebuilt against the latest head in case a writer races us —
+          // checkpointing must never roll back a concurrent commit
+          now.map(m => ManifestData(m.partitionCols, m.files, m.statsCol,
+              m.fileStats))
+            .getOrElse(ManifestData(cur.partitionCols, cur.files,
+              cur.statsCol, cur.fileStats)))
+        versions = TxnLog.versions(dir)
+      }
+    }
+    // A manifest below the cutoff still survives if ANY retained
+    // version's delta chain resolves through it.
+    val chainNeeded = (versions.lastOption.toSeq ++
+      versions.filter(v => TxnLog.commitTime(dir, v).isAfter(cutoff)))
+      .flatMap(TxnLog.chainVersions(dir, _)).toSet
     // Retention is keyed on MANIFEST commit times, not data-file mtimes:
     // a file is reclaimable once NO manifest inside the retention window
     // (nor the current one) references it — that is when the last reader
@@ -593,6 +620,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     versions.dropRight(1)
       .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff))
+      .filterNot(chainNeeded)
       .foreach(v => TxnLog.deleteVersion(dir, v))
     doomed.size
   }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI smoke for spill-safe execution (the full evidence run is
+  * `scripts/verify_constrained.sh`, recorded in BENCH_NOTES.md): fork a
+  * 512 MB JVM with Spark's unified pool squeezed to ~11 MB and run the
+  * heaviest-spilling queries at sf0.01. Asserts the run completes (no
+  * OOM — `-XX:+ExitOnOutOfMemoryError` turns a heap OOM into a nonzero
+  * exit), actually spilled (the squeeze is real, not vacuously green),
+  * and wrote every query's result. Correctness of constrained output is
+  * the full script's job; this pins the degrade-to-disk property per
+  * commit. */
+class ConstrainedRunSpec extends AnyFunSuite {
+
+  test("heavy queries complete and spill under a squeezed memory pool") {
+    val out = java.nio.file.Files.createTempDirectory("vc-smoke").toString
+    val queries = Seq("table_checksum", "grouped_count_distinct",
+      "embedding_neardup", "q1_pricing_summary", "window_running_sum")
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "jdk.internal.ref", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq(s"--add-opens=java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin, "-Xmx512m", "-XX:+ExitOnOutOfMemoryError") ++
+      opens ++ Seq(
+      "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+      "graft.Verify", "/root/testdata/sf0.01", out)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    pb.environment().put("SPARK_GRAFT_ONLY", queries.mkString(","))
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("SPARK_GRAFT_EXTRA_CONF",
+      "spark.memory.fraction=0.03;spark.memory.storageFraction=0.1;" +
+        "spark.sql.autoBroadcastJoinThreshold=262144")
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    val exit = proc.waitFor()
+    val tail = log.linesIterator.toSeq.takeRight(40).mkString("\n")
+    assert(exit == 0, s"constrained JVM failed (exit $exit):\n$tail")
+    assert(!log.contains("failed:"), s"a query failed under pressure:\n$tail")
+    val total = log.linesIterator
+      .find(_.contains("spill TOTAL")).getOrElse("")
+    assert(!total.contains("mem=0 "),
+      s"squeeze did not force any spill — smoke is vacuous:\n$total")
+    queries.foreach { q =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, q)),
+        s"$q wrote no result")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** The delta-manifest + snapshot-checkpoint layer of [[TxnLog]]: commits
+  * between [[TxnLog.SnapshotEvery]] boundaries write O(changed-files)
+  * delta manifests, reads resolve through the chain to identical state,
+  * vacuum never prunes a manifest a retained version resolves through,
+  * and a blocked prune checkpoints the head into a fresh snapshot. This
+  * is the metadata-plane design that keeps commit cost O(change) — not
+  * O(table) — at millions of files. */
+class ManifestChainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hits(d: String, n: Int) =
+    (1 to n).map(i => (s"u$i", d)).toDF("user", "event_date")
+      .withColumn("event_date", $"event_date".cast("date"))
+
+  private def manifestText(dir: java.nio.file.Path, v: Long): String =
+    Files.readString(dir.resolve("_log").resolve(f"v$v%012d.manifest"))
+
+  test("mid-cadence commits write deltas; reads resolve the chain to identical state") {
+    val w = Warehouse(spark, tmpDir("mc-wh"))
+    (1 to 7).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", i), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    // v1 is a snapshot; v2..v7 are deltas against their predecessor
+    assert(!manifestText(dir, 1L).contains("base=1"))
+    (2L to 7L).foreach { v =>
+      val txt = manifestText(dir, v)
+      assert(txt.contains(s"base=${v - 1}"), s"v$v should be a delta:\n$txt")
+      assert(txt.linesIterator.exists(_.startsWith("+")), s"v$v has no adds")
+    }
+    // a delta manifest carries only the CHANGED files, not the table
+    val v7adds = manifestText(dir, 7L).linesIterator.count(_.startsWith("+"))
+    assert(v7adds < TxnLog.readVersion(dir, 7L).files.size,
+      "delta should be smaller than the resolved list")
+    // chain resolution: every version readable, counts = cumulative loads
+    (1L to 7L).foreach { v =>
+      assert(w.readVersion("t", v).count() == (1 to v.toInt).sum,
+        s"resolved v$v wrong")
+    }
+    assert(TxnLog.chainVersions(dir, 7L) == (1L to 7L))
+  }
+
+  test("every SnapshotEvery-th version is self-contained and resets the chain") {
+    val w = Warehouse(spark, tmpDir("mc2-wh"))
+    (1 to 12).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", 1), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    // v10 carries an empty base= header (snapshot), not base=9 (delta)
+    assert(manifestText(dir, TxnLog.SnapshotEvery)
+      .linesIterator.contains("base="))
+    // the chain of v12 stops at the v10 snapshot — never walks to v1
+    assert(TxnLog.chainVersions(dir, 12L) == Seq(10L, 11L, 12L))
+    assert(w.readVersion("t", 12).count() == 12)
+  }
+
+  test("vacuum keeps chain manifests retained versions resolve through, then checkpoints") {
+    val w = Warehouse(spark, tmpDir("mc3-wh"))
+    (1 to 5).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", 2), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    // zero retention: the head (v5, a delta on v1..v4) blocks pruning, so
+    // vacuum first commits a snapshot checkpoint (v6) and then collapses
+    // the log to just it
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    assert(TxnLog.versions(dir) == Seq(6L))
+    val head = TxnLog.readVersion(dir, 6L)
+    assert(!manifestText(dir, 6L).linesIterator.exists(_.startsWith("+")),
+      "checkpoint must be a self-contained snapshot")
+    assert(TxnLog.chainVersions(dir, 6L) == Seq(6L))
+    assert(w.read("t").count() == 10)
+    assert(head.files.size == w.currentFiles("t").size)
+    // and the table keeps working after the checkpoint
+    w.load("t", hits("2026-02-01", 3), SinkPolicy.Append)
+    assert(w.read("t").count() == 13)
+    assert(manifestText(dir, 7L).contains("base=6"))
+  }
+
+  test("zone-map stats survive delta encoding and a checkpoint") {
+    val w = Warehouse(spark, tmpDir("mc4-wh"))
+    val p = SinkPolicy.Append
+    (1 to 4).foreach { i =>
+      w.load("t", hits(f"2026-01-$i%02d", 2), p, statsCol = Some("event_date"))
+    }
+    val dir = Paths.get(w.root, "t")
+    val before = TxnLog.readVersion(dir, 4L)
+    assert(before.fileStats.size == before.files.size,
+      "every file should carry zone-map stats through the delta chain")
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    val after = TxnLog.current(dir).get
+    assert(after.fileStats == before.fileStats)
+    assert(after.statsCol.contains("event_date"))
+  }
+
+  test("txn ids stay discoverable through deltas and the checkpoint carries the head's") {
+    val w = Warehouse(spark, tmpDir("mc5-wh"))
+    w.load("t", hits("2026-01-01", 1), SinkPolicy.Append,
+      txnId = Some("app:1"))
+    w.load("t", hits("2026-01-02", 1), SinkPolicy.Append,
+      txnId = Some("app:2"))
+    val dir = Paths.get(w.root, "t")
+    assert(TxnLog.txnCommitted(dir, "app:1"))
+    assert(TxnLog.txnCommitted(dir, "app:2"))
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    // the pre-checkpoint manifests are gone, but the checkpoint carries
+    // the HEAD's txn id so the newest batch still replays idempotently
+    assert(TxnLog.txnCommitted(dir, "app:2"))
+    w.load("t", hits("2026-01-02", 1), SinkPolicy.Append,
+      txnId = Some("app:2"))
+    assert(w.read("t").count() == 2, "replayed txn must be a no-op")
+  }
+}
