@@ -6,12 +6,22 @@ The driver's fixtures stop at sf0.1 (5k documents / 2k embeddings); the
 beyond that. This generator synthesizes a documents/embeddings pair that
 is FACTOR times sf0.1 with the same statistical shape:
 
-- vocabulary and per-language/source mix sampled from the sf0.1 fixture
-- doc lengths drawn from the empirical sf0.1 length distribution
+- vocabulary: the sf0.1 words plus enough synthetic tokens to keep the
+  SHINGLE DOCUMENT FREQUENCY invariant as the corpus grows — possible
+  3-gram shingles must scale with corpus shingles (vocab ~ cbrt(factor)
+  growth), or every shingle saturates the exact family's DF_CAP and
+  its recall collapses to zero (measured on the first cut of this
+  generator: 1.13M candidates at sf0.1, zero at a 10x corpus reusing
+  the 31-word base vocab)
+- doc lengths drawn from the empirical sf0.1 length distribution; per-
+  language/source mix sampled from the fixture
 - ~5% of docs are planted near-duplicates of an earlier doc (3 word
   substitutions) so detector recall/candidate volume stays comparable
-- embeddings are a 16-center Gaussian mixture (center id = label), the
-  same cluster structure the IVF/kmeans ops expect
+- embeddings match the measured base-fixture geometry: RANDOM unit
+  vectors (pairwise cos ~ N(0, 1/sqrt(64)); the fixture's labels carry
+  no geometry — cos-to-center ~ 1/sqrt(n), the random-subset-mean
+  artifact) with random labels, plus ~1% planted near-identical pairs
+  so embedding_neardup has true positives above the chance tail
 
 Everything is seeded; two runs produce byte-identical parquet. Usage:
 
@@ -32,6 +42,11 @@ def main():
         f"SELECT doc_id, text, lang, source FROM read_parquet('{base}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     vocab = sorted({w for _, t, _, _ in docs for w in t.split(" ")})
+    # grow the vocabulary with cbrt(factor): possible shingles (vocab^3)
+    # then scale ~linearly with corpus shingles, keeping per-shingle df —
+    # and with it the exact family's rare/hot split — comparable
+    target_vocab = int(round(len(vocab) * factor ** (1 / 3)))
+    vocab = vocab + [f"w{i:03d}" for i in range(target_vocab - len(vocab))]
     lengths = np.array([len(t.split(" ")) for _, t, _, _ in docs])
     langs = [l for _, _, l, _ in docs]
     sources = [s for _, _, _, s in docs]
@@ -68,11 +83,20 @@ def main():
     n_vec = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{base}/embeddings.parquet')"
     ).fetchone()[0] * factor
-    dim, k = 64, 16
-    centers = rng.normal(0, 1.0, (k, dim)).astype(np.float32)
+    dim, k = 64, 10
     labels = rng.integers(0, k, n_vec)
-    vecs = (centers[labels] +
-            rng.normal(0, 0.35, (n_vec, dim))).astype(np.float32)
+    vecs = rng.normal(0, 1.0, (n_vec, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # ~1% planted near-identical pairs (sigma 0.02 -> cos ~ 0.987, the
+    # re-encoded/rescaled-copy regime): true positives for the near-dup
+    # detectors above the random-tail chance pairs, inside the strict
+    # variant's high-recall zone
+    n_plant = n_vec // 100
+    dup_idx = rng.choice(np.arange(100, n_vec), n_plant, replace=False)
+    for i in dup_idx:
+        j = int(rng.integers(0, i))
+        v = vecs[j] + rng.normal(0, 0.02, dim).astype(np.float32)
+        vecs[i] = v / np.linalg.norm(v)
     pq.write_table(pa.table({
         "vec_id": pa.array(np.arange(n_vec), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),

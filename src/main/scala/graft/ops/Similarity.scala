@@ -226,6 +226,81 @@ object Similarity {
       .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
+  /** PRODUCTION-configured embedding near-dup: 4 bands × 16 sign bits
+    * (all 64 dims) at cos ≥ 0.90 — the scale-safe sibling of
+    * [[embeddingNeardup]]. The band width is the candidate-volume dial:
+    * a 4-bit band collides for ~1/16 of ALL random pairs (measured 100×
+    * wall-time at a 10× corpus — quadratic, see STRESS_r05.md), a
+    * 16-bit band for ~1/65536 — candidate volume drops from corpus² to
+    * ~planted-duplicate density. The price is the LSH S-curve: recall
+    * ≈ 89% for near-identical pairs (cos ≥ 0.99), ~43% at 0.93, ~30% at
+    * the 0.90 boundary — the right trade for DEDUP, where targets are
+    * re-encoded/rescaled copies near cos 1.0 and boundary pairs are
+    * judgement calls. (Boundary-recall-critical deployments add
+    * independent random-projection bands; raw sign bits keep this
+    * oracle-replayable.) */
+  val embeddingNeardupStrict: QueryDef = QueryDef.sql(
+    "embedding_neardup_strict",
+    oraclePrefix +
+      """,
+        |bands AS (
+        |  SELECT vec_id, (i - 1) // 16 AS band,
+        |    CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST((i - 1) % 16 AS INT) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM flat
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT va, vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN flat fa ON fa.vec_id = va
+        |  JOIN flat fb ON fb.vec_id = vb AND fb.i = fa.i
+        |  GROUP BY va, vb),
+        |sims AS (
+        |  SELECT va, vb,
+        |    CAST(dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = va
+        |  JOIN norms nb ON nb.vec_id = vb)
+        |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
+        |FROM sims WHERE cos >= 0.90""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    embeddingNeardupStrictPairs(quantized(s, dir))
+  }
+
+  /** The strict detector over any quantized (vec_id, qe, nrm) frame —
+    * unit-testable on literal vectors. */
+  def embeddingNeardupStrictPairs(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bktExpr = (0 until 16).map(j =>
+      s"CASE WHEN qe[16 * band + $j] > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+    val bands = base
+      .select($"vec_id", $"qe", explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkt", expr(s"CAST($bktExpr AS BIGINT)"))
+      .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkt" === $"b.bkt" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+      .distinct()
+      // scale telemetry, as in the text near-dup stages
+      .observe("strict_candidates", count(lit(1)).as("n_pairs"))
+    val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
+    val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
+    cand.join(left, Seq("va")).join(right, Seq("vb"))
+      .withColumn("dot", Kit.dotI64($"qa", $"qb"))
+      .select($"va".as("vec_a"), $"vb".as("vec_b"),
+        cosCol($"dot", $"na", $"nb").as("cos"))
+      .where($"cos" >= 0.90)
+      .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
+  }
+
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
     * path"; this engine ships both). Deterministic coarse quantizer so
@@ -342,5 +417,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    similarityTopk, annLshTopk, ivfTopk, embeddingNeardup, multimodalFeatures)
+    similarityTopk, annLshTopk, ivfTopk, embeddingNeardup,
+    embeddingNeardupStrict, multimodalFeatures)
 }
