@@ -93,8 +93,13 @@ def main():
     # variant's high-recall zone
     n_plant = n_vec // 100
     dup_idx = rng.choice(np.arange(100, n_vec), n_plant, replace=False)
+    dup_set = set(int(x) for x in dup_idx)
+    # sources come from the non-planted complement: a source that is
+    # later overwritten as someone else's near-copy would silently
+    # destroy its pair and skew the planted-density denominator
+    clean = np.array([x for x in range(n_vec) if x not in dup_set])
     for i in dup_idx:
-        j = int(rng.integers(0, i))
+        j = int(clean[int(rng.integers(0, len(clean)))])
         v = vecs[j] + rng.normal(0, 0.02, dim).astype(np.float32)
         vecs[i] = v / np.linalg.norm(v)
     pq.write_table(pa.table({

@@ -29,8 +29,11 @@ object Verify {
     val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry is not key=value: '$kv'")
+        }
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

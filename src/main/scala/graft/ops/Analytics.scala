@@ -449,11 +449,14 @@ object Analytics {
     * off two exact counts; day 1 and zero-baseline days yield NULL pct
     * (0→n has no defined growth rate).
     *
-    * Scale note: the window is a single global time order — fine on a
-    * spine (one row per DAY, thousands of rows for years of data, and
-    * Spark runs an unpartitioned window in one task precisely because
-    * the spine is tiny); the heavy lifting stays in the daily aggregate
-    * below it. */
+    * Scale note: "yesterday" is fetched by a dense-spine SELF-JOIN on
+    * day−1 (exactly lag(1), because the spine has every day) rather than
+    * a global-ordered window — the join shuffles on day instead of
+    * planning a single-partition exchange. The spine is tiny (one row
+    * per DAY) so either plan would finish, but the join form keeps the
+    * suite free of the unpartitioned-window antipattern and its runtime
+    * WARN; PlanShapeSpec pins the no-Window plan. The heavy lifting
+    * stays in the daily aggregate below. */
   val dayOverDay: QueryDef = QueryDef.sql(
     "day_over_day",
     """WITH bounds AS (

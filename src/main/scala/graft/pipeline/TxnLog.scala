@@ -145,7 +145,16 @@ object TxnLog {
     }
     val base = if (!v3) None else lines(4).stripPrefix("base=") match {
       case "" => None
-      case s  => Some(s.toLong)
+      case s  =>
+        val b = try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"corrupt base= pointer '$s' in v$version of $tableDir")
+        }
+        // monotonicity guard: a base at or above its own version (disk
+        // corruption, hand edit) would loop the chain walk forever
+        require(b < version,
+          s"manifest v$version of $tableDir has non-decreasing base=$b")
+        Some(b)
     }
     // file lines: `path` or `path\tmin\tmax` (zone-map entry); in a delta
     // manifest adds are `+`-prefixed and removes `-`-prefixed
@@ -164,39 +173,35 @@ object TxnLog {
       base, removeLines)
   }
 
+  /** The raw manifests a read of `version` resolves through, snapshot
+    * first. The per-manifest base-monotonicity check in [[readRaw]]
+    * makes this walk strictly decreasing, so it always terminates. */
+  private def readChain(tableDir: Path, version: Long): List[RawManifest] = {
+    var chain = List(readRaw(tableDir, version))
+    while (chain.head.base.isDefined)
+      chain = readRaw(tableDir, chain.head.base.get) :: chain
+    chain
+  }
+
   /** The versions (ascending) whose manifest files a read of `version`
     * resolves through: the nearest snapshot at or below it, then every
     * delta up to it. Always < [[SnapshotEvery]] + 1 entries. */
-  def chainVersions(tableDir: Path, version: Long): Seq[Long] = {
-    var chain = List(version)
-    var raw = readRaw(tableDir, version)
-    while (raw.base.isDefined) {
-      chain = raw.base.get :: chain
-      raw = readRaw(tableDir, raw.base.get)
-    }
-    chain
-  }
+  def chainVersions(tableDir: Path, version: Long): Seq[Long] =
+    readChain(tableDir, version).map(_.m.version)
 
   /** Resolve a version to its full file list: read back to the nearest
     * snapshot, then fold the delta chain forward (kept files stay in
     * base order; each delta's adds append — exactly the order the
     * writers construct, so resolution reproduces the committed list). */
   def readVersion(tableDir: Path, version: Long): Manifest = {
-    val top = readRaw(tableDir, version)
-    if (top.base.isEmpty) top.m
-    else {
-      // collect the chain snapshot-first
-      var chain = List(top)
-      while (chain.head.base.isDefined)
-        chain = readRaw(tableDir, chain.head.base.get) :: chain
-      val folded = chain.tail.foldLeft(chain.head.m) { (acc, d) =>
-        val gone = d.removes.toSet
-        acc.copy(
-          files = acc.files.filterNot(gone) ++ d.m.files,
-          fileStats = (acc.fileStats -- gone) ++ d.m.fileStats)
-      }
-      top.m.copy(files = folded.files, fileStats = folded.fileStats)
+    val chain = readChain(tableDir, version)
+    val folded = chain.tail.foldLeft(chain.head.m) { (acc, d) =>
+      val gone = d.removes.toSet
+      acc.copy(
+        files = acc.files.filterNot(gone) ++ d.m.files,
+        fileStats = (acc.fileStats -- gone) ++ d.m.fileStats)
     }
+    chain.last.m.copy(files = folded.files, fileStats = folded.fileStats)
   }
 
   /** Commit time of one version (mtime of its manifest file). */

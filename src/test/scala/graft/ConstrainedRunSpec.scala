@@ -29,22 +29,31 @@ class ConstrainedRunSpec extends AnyFunSuite {
       opens ++ Seq(
       "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
       "graft.Verify", "/root/testdata/sf0.01", out)
+    // log to a file so a wedged child can't block us on pipe EOF; bound
+    // the wait — a memory-squeezed JVM that deadlocks instead of OOMing
+    // must fail the test, not hang CI
+    val logFile = java.nio.file.Files.createTempFile("vc-smoke", ".log")
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(logFile.toFile)
     pb.environment().put("SPARK_GRAFT_ONLY", queries.mkString(","))
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
     pb.environment().put("SPARK_GRAFT_EXTRA_CONF",
       "spark.memory.fraction=0.03;spark.memory.storageFraction=0.1;" +
         "spark.sql.autoBroadcastJoinThreshold=262144")
     val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes())
-    val exit = proc.waitFor()
+    val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) proc.destroyForcibly()
+    val log = java.nio.file.Files.readString(logFile)
     val tail = log.linesIterator.toSeq.takeRight(40).mkString("\n")
-    assert(exit == 0, s"constrained JVM failed (exit $exit):\n$tail")
+    assert(finished, s"constrained JVM wedged (killed after 10 min):\n$tail")
+    assert(proc.exitValue() == 0,
+      s"constrained JVM failed (exit ${proc.exitValue()}):\n$tail")
     assert(!log.contains("failed:"), s"a query failed under pressure:\n$tail")
-    val total = log.linesIterator
-      .find(_.contains("spill TOTAL")).getOrElse("")
-    assert(!total.contains("mem=0 "),
-      s"squeeze did not force any spill — smoke is vacuous:\n$total")
+    val total = log.linesIterator.find(_.contains("spill TOTAL"))
+    assert(total.isDefined,
+      s"no 'spill TOTAL' line — smoke can't prove the squeeze ran:\n$tail")
+    assert(!total.get.contains("mem=0 "),
+      s"squeeze did not force any spill — smoke is vacuous:\n${total.get}")
     queries.foreach { q =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, q)),
         s"$q wrote no result")
