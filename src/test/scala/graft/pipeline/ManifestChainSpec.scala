@@ -96,6 +96,34 @@ class ManifestChainSpec extends SparkTestBase {
     assert(after.statsCol.contains("event_date"))
   }
 
+  test("vacuum checkpoint racing a concurrent writer never rolls back its commit") {
+    val w = Warehouse(spark, tmpDir("mc6-wh"))
+    (1 to 5).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", 2), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    // Interleave: a writer committing WHILE vacuum checkpoints. The
+    // checkpoint's build callback rebuilds against the latest head, so
+    // whichever order the version race resolves, the concurrent append
+    // must survive into the final state.
+    val writer = new Thread(() => {
+      (1 to 3).foreach { i =>
+        w.load("t", hits(f"2026-02-$i%02d", 1), SinkPolicy.Append)
+      }
+    })
+    writer.start()
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    writer.join()
+    // all 10 original rows + all 3 concurrent appends visible
+    assert(w.read("t").count() == 13)
+    // every remaining version still resolves (no broken chains)
+    TxnLog.versions(dir).foreach(v => TxnLog.readVersion(dir, v))
+    // and a follow-up vacuum (no concurrent activity now) collapses the
+    // log to a single self-contained manifest with the full state
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    assert(TxnLog.versions(dir).size == 1)
+    assert(w.read("t").count() == 13)
+  }
+
   test("txn ids stay discoverable through deltas and the checkpoint carries the head's") {
     val w = Warehouse(spark, tmpDir("mc5-wh"))
     w.load("t", hits("2026-01-01", 1), SinkPolicy.Append,
