@@ -121,7 +121,38 @@ object Plans {
         "the partitioning is reused; reassembly is ONE groupBy(doc_id) " +
         "whose order restoration is array_sort over collected " +
         "(chunk_no, chunk) structs — no window, no global sort, nothing " +
-        "quadratic anywhere."))
+        "quadratic anywhere."),
+    "embedding_neardup_strict" ->
+      ("Production-band sign-LSH (4 bands × 16 bits, cos ≥ 0.90): the " +
+        "banded self-join carries only (band, bucket, id) rows and " +
+        "collides for ~2⁻¹⁶ of random pairs per band, so candidates " +
+        "scale with duplicate density, not corpus² — measured 12.6k " +
+        "candidates vs ~80M for the 4-bit exploratory bands at a 10× " +
+        "corpus (STRESS_r05.md). Vectors re-join per side only AFTER " +
+        "candidate dedup; exact integer cosine (native dot_i64) " +
+        "verifies the threshold."),
+    "domain_mixing" ->
+      ("Global total via a broadcast one-row aggregate over the per-" +
+        "language frame — never SUM() OVER () (a single-partition " +
+        "exchange); the repeated per-lang subtree is deduplicated by " +
+        "ReuseExchange, and all mix arithmetic is integer (engine-" +
+        "exact). PlanShapeSpec pins the no-Window plan."),
+    "pagerank_transitions" ->
+      ("Per round: one shuffle joining the O(E) edge list with the O(V) " +
+        "rank vector, one partial-combined aggregation onto dst, one " +
+        "left join back to the vertex set; rank state is localCheckpoint-" +
+        "pinned every 2nd round so the plan never grows with rounds. " +
+        "All arithmetic is 64-bit integer (millionths) — bit-identical " +
+        "at any partitioning, which is what lets a DuckDB CTE chain " +
+        "oracle it exactly."),
+    "kmeans_histogram" ->
+      ("Lloyd iteration at scale: k centroids broadcast out, one corpus " +
+        "scan per iteration, and the return shuffle carries only " +
+        "(cluster, pos, partial-sum) rows — ≤ k·dim per partition, " +
+        "independent of corpus size; the corpus itself never shuffles. " +
+        "Init is two passes total (seed + 16k-candidate pool) instead " +
+        "of k scans. Integer-exact distances and centroid updates make " +
+        "the whole thing deterministic enough to oracle in SQL."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -136,7 +167,21 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of headline queries\n\n")
     sb.append("Generated by `sbt 'runMain graft.Plans'` at sf0.01; the scale\n")
-    sb.append("commentary is the point, the plans are the evidence.\n")
+    sb.append("commentary is the point, the plans are the evidence.\n\n")
+    sb.append("""## Memory-pressure addendum (round 5, measured)
+
+The whole suite completes spill-clean in a 1 GB JVM with
+`spark.memory.fraction=0.05` (see `scripts/verify_constrained.sh`,
+BENCH_NOTES.md) — with ONE deployment caveat that the constrained run
+surfaced: the iterative operators (`neardup_clusters`' CC loop,
+PageRank, k-means) pin per-round state via `localCheckpoint`, and
+Spark's default `spark.memory.storageFraction=0.5` PROTECTS cached
+blocks from eviction. Under a tiny pool the protected half starves
+execution below the hash-aggregate's first 256 KB page
+(`UNABLE_TO_ACQUIRE_MEMORY`, observed). Rule for pressured clusters:
+size the storage floor to the pinned state (`0.1` sufficed here) —
+checkpointed loop state spills fine; it must not be allowed to squat.
+""")
     notes.foreach { case (name, note) =>
       val d = SparkEntry.defs.find(_.name == name).get
       val df = d.fn(spark, dir)
