@@ -978,6 +978,86 @@ object TextOps {
     }
   }
 
+  /** Structured-PII redaction — the scrub stage between [[termScrub]]
+    * (denylist words) and policy review: emails, IPv4 addresses,
+    * phone-shaped numbers, and long digit runs (account-number
+    * candidates) replaced with typed placeholders, with per-type hit
+    * counts for audit. Applied INNERMOST-FIRST (email before digit-run,
+    * IP before phone) so a broader pattern never eats a narrower one's
+    * span. Pure map-side regexp work inside whole-stage codegen — zero
+    * shuffles, linear in corpus bytes at any scale. Patterns are
+    * RE2-compatible (no backrefs/lookahead) so the DuckDB oracle runs
+    * them verbatim; the synthetic fixture carries no PII (counts are 0
+    * there — the oracle pins schema/zero-ness), and the semantics are
+    * pinned by PiiScrubSpec's planted corpus. */
+  def piiScrubDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Sequential scrub: each pattern counts hits on the text AS ALREADY
+    // SCRUBBED by the stages before it (so an email's digits are never
+    // double-reported as a digit run), then replaces them. The oracle
+    // replays the same chain.
+    var out = docs.select($"doc_id", $"lang", $"text".as("scrubbed"))
+    PiiPatterns.foreach { case (name, pat, repl) =>
+      out = out
+        .withColumn(s"n_$name",
+          size(regexp_extract_all($"scrubbed", lit(pat), lit(0)))
+            .cast(LongType))
+        .withColumn("scrubbed", regexp_replace($"scrubbed", pat, repl))
+    }
+    out.select(($"doc_id" +: $"lang" +: $"scrubbed" +:
+      PiiPatterns.map { case (n, _, _) => col(s"n_$n") }): _*)
+  }
+
+  /** (name, RE2-compatible pattern, placeholder), innermost-first. */
+  private[ops] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b", "<PHONE>"),
+    ("digitrun", "\\b\\d{9,}\\b", "<NUM>"))
+
+  /** Registered form: per-language audit rollup of the PII scrub —
+    * docs scanned, per-type hit totals, docs touched. Compact (one row
+    * per language) at any corpus size. */
+  val piiScrub: QueryDef = {
+    // oracle replays the sequential scrub as a CTE chain: stage k counts
+    // on stage k-1's text, then replaces (same innermost-first order)
+    val stageCtes = PiiPatterns.zipWithIndex.map {
+      case ((n, p, repl), i) =>
+        val carried = PiiPatterns.take(i)
+          .map { case (pn, _, _) => s"n_$pn, " }.mkString
+        s"""p${i + 1} AS (
+           |  SELECT lang, ${carried}CAST(len(regexp_extract_all(cur, '$p')) AS BIGINT) AS n_$n,
+           |    regexp_replace(cur, '$p', '$repl', 'g') AS cur
+           |  FROM p$i)""".stripMargin
+    }
+    val sums = PiiPatterns.map { case (n, _, _) =>
+      s"CAST(SUM(n_$n) AS BIGINT) AS total_$n"
+    }.mkString(", ")
+    val anyHit = PiiPatterns.map { case (n, _, _) => s"n_$n > 0" }
+      .mkString(" OR ")
+    QueryDef.sql(
+      "pii_scrub",
+      s"""WITH p0 AS (SELECT lang, text AS cur FROM documents),
+         |${stageCtes.mkString(",\n")}
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  $sums,
+         |  CAST(SUM(CASE WHEN $anyHit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_touched
+         |FROM p${PiiPatterns.size} GROUP BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val scrubbed = piiScrubDocs(Tables.load(s, dir, "documents"))
+      val touched = PiiPatterns
+        .map { case (n, _, _) => col(s"n_$n") > 0 }
+        .reduce(_ || _)
+      val aggs = PiiPatterns.map { case (n, _, _) =>
+        sum(col(s"n_$n")).as(s"total_$n")
+      } :+ sum(when(touched, 1L).otherwise(0L)).as("docs_touched")
+      scrubbed.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), aggs: _*)
+    }
+  }
+
   /** Chunk-level boilerplate removal — the C4/CCNet "global line dedup"
     * pipeline stage: any 10-token chunk that appears in MORE THAN ONE
     * document corpus-wide is boilerplate (headers, footers, license
@@ -1051,7 +1131,8 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
-    unigramNllScore, bigramNllScore, termScrub, boilerplateScrub,
+    unigramNllScore, bigramNllScore, termScrub, piiScrub,
+    boilerplateScrub,
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,
