@@ -10,20 +10,21 @@ import scala.util.Using
   * partition-column chain its layout is keyed by, — for commits made
   * by an idempotent writer (streaming micro-batches) — the writer
   * transaction id `app:batchId` that produced it, and the table's
-  * ZONE-MAP column with per-file min/max values (as cast-to-string,
-  * cast-back-exactly values; files without an entry are never pruned). */
+  * ZONE-MAP columns with per-file min/max values (as cast-to-string,
+  * cast-back-exactly values, one pair per stats column in `statsCols`
+  * order; files without an entry are never pruned). */
 final case class Manifest(version: Long, partitionCols: Seq[String],
                           files: Seq[String],
                           txnId: Option[String] = None,
-                          statsCol: Option[String] = None,
-                          fileStats: Map[String, (String, String)] = Map.empty)
+                          statsCols: Seq[String] = Seq.empty,
+                          fileStats: Map[String, Seq[(String, String)]] = Map.empty)
 
 /** What a commit publishes (everything of a [[Manifest]] but the version,
   * which the log assigns). */
 final case class ManifestData(partitionCols: Seq[String],
                               files: Seq[String],
-                              statsCol: Option[String] = None,
-                              fileStats: Map[String, (String, String)] = Map.empty)
+                              statsCols: Seq[String] = Seq.empty,
+                              fileStats: Map[String, Seq[(String, String)]] = Map.empty)
 
 /** Minimal versioned-manifest commit log — the atomicity layer under
   * [[Warehouse]]. The reference lands batches through BigQuery load jobs,
@@ -139,9 +140,9 @@ object TxnLog {
       case "" => None
       case s  => Some(s)
     }
-    val statsCol = lines(3).stripPrefix("stats=") match {
-      case "" => None
-      case s  => Some(s)
+    val statsCols = lines(3).stripPrefix("stats=") match {
+      case "" => Seq.empty[String]
+      case s  => s.split(",").toSeq
     }
     val base = if (!v3) None else lines(4).stripPrefix("base=") match {
       case "" => None
@@ -156,8 +157,9 @@ object TxnLog {
           s"manifest v$version of $tableDir has non-decreasing base=$b")
         Some(b)
     }
-    // file lines: `path` or `path\tmin\tmax` (zone-map entry); in a delta
-    // manifest adds are `+`-prefixed and removes `-`-prefixed
+    // file lines: `path` or `path\tmin\tmax[\tmin\tmax…]` (one zone-map
+    // pair per stats column); in a delta manifest adds are `+`-prefixed
+    // and removes `-`-prefixed
     val body = lines.drop(if (v3) 5 else 4).filter(_.nonEmpty)
     val (addLines, removeLines) =
       if (base.isEmpty) (body, Seq.empty[String])
@@ -166,10 +168,13 @@ object TxnLog {
     val entries = addLines.map(_.split('\t'))
     val files = entries.map(_.head)
     val stats = entries.collect {
-      case Array(p, mn, mx) => p -> (mn, mx)
+      case a if a.length >= 3 =>
+        require((a.length - 1) % 2 == 0,
+          s"odd stats field count on '${a.head}' in v$version of $tableDir")
+        a.head -> a.tail.grouped(2).map(p => (p(0), p(1))).toSeq
     }.toMap
     RawManifest(
-      Manifest(version, partitionCols, files, txn, statsCol, stats),
+      Manifest(version, partitionCols, files, txn, statsCols, stats),
       base, removeLines)
   }
 
@@ -230,8 +235,9 @@ object TxnLog {
     val ld = logDir(tableDir)
     Files.createDirectories(ld)
     def entry(f: String): String = m.fileStats.get(f) match {
-      case Some((mn, mx)) => s"$f\t$mn\t$mx"
-      case None           => f
+      case Some(pairs) if pairs.nonEmpty =>
+        (f +: pairs.flatMap(p => Seq(p._1, p._2))).mkString("\t")
+      case _ => f
     }
     val asDelta = !forceSnapshot &&
       m.version % SnapshotEvery != 0 && m.version != 1L &&
@@ -252,7 +258,7 @@ object TxnLog {
     val body = (Seq(Magic,
       s"partition=${m.partitionCols.mkString(",")}",
       s"txn=${m.txnId.getOrElse("")}",
-      s"stats=${m.statsCol.getOrElse("")}",
+      s"stats=${m.statsCols.mkString(",")}",
       baseLine) ++
       fileLines).mkString("\n")
     val tmp = Files.createTempFile(ld, ".tmp-", ".manifest")
@@ -321,7 +327,7 @@ object TxnLog {
       val d = build(cur)
       val present = d.files.toSet
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
-        d.partitionCols, d.files, txnId, d.statsCol,
+        d.partitionCols, d.files, txnId, d.statsCols,
         // never carry stats for files not in this version
         d.fileStats.filter(kv => present(kv._1)))
       if (tryCommit(tableDir, next, cur, forceSnapshot))

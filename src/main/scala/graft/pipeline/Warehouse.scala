@@ -113,19 +113,34 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * recorded (cast-to-string round-trips losslessly for numeric, date,
     * and timestamp types). */
   def readBetween(table: String, column: String,
-                  lo: String, hi: String): DataFrame = {
+                  lo: String, hi: String): DataFrame =
+    readBox(table, Seq((column, lo, hi)))
+
+  /** Multi-column zone-map read: a file survives only if EVERY
+    * (column, lo, hi) range intersects its recorded [min, max] — the
+    * compound-predicate payoff of declaring several `statsCols` (a
+    * time-and-key box query opens the files in the intersection, not
+    * the union). Pruning stays pure driver-side manifest arithmetic. */
+  def readBox(table: String,
+              ranges: Seq[(String, String, String)]): DataFrame = {
+    require(ranges.nonEmpty, "readBox needs at least one (column, lo, hi)")
     val dir = tableDir(table)
     val m = TxnLog.current(dir).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
-    val survivors = prunedFiles(m, table, column, lo, hi)
-    val dt = colType(dir, table, m, column)
-    val pred = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+    val survivors = ranges
+      .map { case (c, lo, hi) => prunedFiles(m, table, c, lo, hi).toSet }
+      .reduce(_ intersect _)
+    val pred = ranges.map { case (c, lo, hi) =>
+      val dt = colType(dir, table, m, c)
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
     // pruning everything is a legitimate answer (query range outside every
     // file's [min,max]): the result is an EMPTY frame with the table
     // schema, not a failed read
     if (survivors.isEmpty) readSnapshot(dir, table, m.version, m.files)
       .limit(0).where(pred)
-    else readSnapshot(dir, table, m.version, survivors).where(pred)
+    else readSnapshot(dir, table, m.version,
+      m.files.filter(survivors)).where(pred)
   }
 
   /** The file-skipping half of [[readBetween]], exposed for plan/test
@@ -134,8 +149,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * must never itself launch a job over the files it exists to skip. */
   def prunedFiles(m: Manifest, table: String, column: String,
                   lo: String, hi: String): Seq[String] = {
-    require(m.statsCol.contains(column),
-      s"$table carries no zone map for $column (stats column: ${m.statsCol})")
+    val idx = m.statsCols.indexOf(column)
+    require(idx >= 0,
+      s"$table carries no zone map for $column (stats columns: ${m.statsCols.mkString(",")})")
     val dt = colType(tableDir(table), table, m, column)
     import org.apache.spark.sql.types._
     // stats values are the per-type string casts; compare with the
@@ -150,7 +166,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       case _ => a.compareTo(b) // DateType / TimestampType ISO forms
     }
     m.files.filter { f =>
-      m.fileStats.get(f) match {
+      m.fileStats.get(f).flatMap(_.lift(idx)) match {
         case None           => true // unknown range: never prune
         case Some((mn, mx)) => !(cmp(mx, lo) < 0 || cmp(mn, hi) > 0)
       }
@@ -173,16 +189,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
     readSnapshot(dir, table, m.version, probe).schema(column).dataType
   }
 
-  /** Per-file (min, max) of `column` over freshly written files — one
-    * aggregation pass over only the new data, grouped by physical file.
-    * Values are stored as strings (lossless round-trip casts). NULL-only
-    * files get no entry and are therefore never pruned. */
+  /** Per-file (min, max) of each of `columns` over freshly written
+    * files — ONE aggregation pass over only the new data regardless of
+    * column count, grouped by physical file. Values are stored as
+    * strings (lossless round-trip casts). A file where ANY stats column
+    * is all-NULL gets no entry at all and is therefore never pruned —
+    * the conservative representation for the aligned-pairs format. */
   private def collectStats(dir: Path, files: Seq[String],
-                           column: String): Map[String, (String, String)] = {
+      columns: Seq[String]): Map[String, Seq[(String, String)]] = {
+    val aggs = columns.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
     val rows = readSnapshot(dir, "<stats>", -1L, files)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(column)).cast("string").as("mn"),
-        max(col(column)).cast("string").as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
       // input_file_name() is a URI — decode before matching the raw
@@ -191,9 +211,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
       val path = try java.net.URI.create(uri).getPath
         catch { case _: IllegalArgumentException => uri }
       val rel = files.find(f => path.endsWith("/" + f))
-      (rel, Option(r.getString(1)), Option(r.getString(2))) match {
-        case (Some(f), Some(mn), Some(mx)) => Some(f -> (mn, mx))
-        case _                             => None
+      val pairs = columns.indices.map(i =>
+        (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))))
+      (rel, pairs.forall(p => p._1.isDefined && p._2.isDefined)) match {
+        case (Some(f), true) =>
+          Some(f -> pairs.map(p => (p._1.get, p._2.get)))
+        case _ => None
       }
     }.toMap
   }
@@ -233,17 +256,21 @@ final case class Warehouse(spark: SparkSession, root: String) {
     */
   def load(table: String, df: DataFrame, policy: SinkPolicy,
            txnId: Option[String] = None,
-           statsCol: Option[String] = None): LoadResult = {
+           statsCol: Option[String] = None,
+           statsCols: Seq[String] = Seq.empty): LoadResult = {
     val dir = tableDir(table)
     adoptLegacyLayout(dir)
     // idempotent-writer replay guard: a micro-batch that already committed
     // (crash between sink commit and checkpoint advance) must not land twice
     if (txnId.exists(TxnLog.txnCommitted(dir, _)))
       return LoadResult(table, "skipped-duplicate-txn", 0L)
-    // zone-map column: explicit wins, else inherit the table's — so one
-    // load declaring it makes every later append carry file stats too
-    val effStats = statsCol.orElse(
-      TxnLog.current(dir).flatMap(_.statsCol))
+    // zone-map columns (`statsCol` is the single-column convenience form;
+    // both compose): explicit wins, else inherit the table's — so one
+    // load declaring them makes every later append carry file stats too
+    val declared = statsCol.toSeq ++ statsCols
+    val effStats =
+      if (declared.nonEmpty) declared
+      else TxnLog.current(dir).map(_.statsCols).getOrElse(Seq.empty)
     effStats.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
@@ -266,8 +293,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     val (newFiles, n) = writeTxn(dir, df, partCols)
     if (n == 0) return LoadResult(table, "skipped-empty", 0L)
-    val newStats = effStats
-      .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
+    val newStats =
+      if (effStats.nonEmpty) collectStats(dir, newFiles, effStats)
+      else Map.empty[String, Seq[(String, String)]]
     TxnLog.commit(dir, txnId) { cur =>
       val old = cur.map(_.files).getOrElse(Seq.empty)
       val files = policy match {
@@ -281,9 +309,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
             TxnLog.partitionSegments(f).exists(replaced.contains)) ++ newFiles
       }
       // inherited per-file stats are only valid if they were computed for
-      // the SAME column — after a stats-column switch, old files simply
-      // carry no stats (never pruned) until rewritten
-      val inherited = cur.filter(_.statsCol == effStats)
+      // the SAME column list — after a stats-column switch, old files
+      // simply carry no stats (never pruned) until rewritten
+      val inherited = cur.filter(_.statsCols == effStats)
         .map(_.fileStats).getOrElse(Map.empty)
       ManifestData(partCols, files, effStats, inherited ++ newStats)
     }
@@ -422,15 +450,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
         .getOrElse(batch)
       val (newFiles, n) = writeTxn(dir, toWrite, cur.partitionCols)
       if (n == 0) return LoadResult(table, "skipped-empty", 0L)
-      val newStats = cur.statsCol
-        .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
+      val newStats =
+        if (cur.statsCols.nonEmpty) collectStats(dir, newFiles, cur.statsCols)
+        else Map.empty[String, Seq[(String, String)]]
       TxnLog.commit(dir, txnId) { now =>
         if (now.map(_.version) != Some(cur.version))
           throw new java.util.ConcurrentModificationException(
             s"$table changed during upsert (v${cur.version} -> " +
               s"v${now.map(_.version).getOrElse(0L)}); re-run")
         val files = TxnLog.mergeRewrite(affectedRel, cur.files, newFiles).get
-        ManifestData(cur.partitionCols, files, cur.statsCol,
+        ManifestData(cur.partitionCols, files, cur.statsCols,
           (cur.fileStats -- affectedRel) ++ newStats)
       }
       // rows = rows the CALLER merged (same contract as load's landed-row
@@ -504,7 +533,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // intersects every predicate" (append order interleaves values) into
     // real file skipping. Defaults to the table's stats column when one
     // is declared — compaction is exactly when clustering is cheap.
-    val cluster = clusterBy.orElse(cur.statsCol)
+    // (with several stats columns, the FIRST is the clustering default —
+    // declaration order is the "lead zone-map column" contract)
+    val cluster = clusterBy.orElse(cur.statsCols.headOption)
     cluster.foreach(c => require(snapshot.columns.contains(c),
       s"cluster column $c not in $table"))
     val shaped =
@@ -523,15 +554,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // removal of a rewritten file (re-land/overwrite/compact) would make
     // this rewrite resurrect deleted rows — abort instead of losing data
     // (the orphaned rewrite files are reclaimed by vacuum)
-    val newStats = cur.statsCol
-      .map(c => collectStats(dir, newFiles, c)).getOrElse(Map.empty)
+    val newStats =
+      if (cur.statsCols.nonEmpty) collectStats(dir, newFiles, cur.statsCols)
+      else Map.empty[String, Seq[(String, String)]]
     TxnLog.commit(dir) { now =>
       val head = now.map(_.files).getOrElse(Seq.empty)
       val merged = TxnLog.mergeRewrite(cur.files, head, newFiles).getOrElse(
         throw new java.util.ConcurrentModificationException(
           s"$table changed incompatibly during compaction " +
             "(a rewritten file was removed concurrently); re-run compact"))
-      ManifestData(cur.partitionCols, merged, cur.statsCol,
+      ManifestData(cur.partitionCols, merged, cur.statsCols,
         now.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
     }
     LoadResult(table,
@@ -573,10 +605,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
         TxnLog.commit(dir, cur.txnId, forceSnapshot = true)(now =>
           // rebuilt against the latest head in case a writer races us —
           // checkpointing must never roll back a concurrent commit
-          now.map(m => ManifestData(m.partitionCols, m.files, m.statsCol,
+          now.map(m => ManifestData(m.partitionCols, m.files, m.statsCols,
               m.fileStats))
             .getOrElse(ManifestData(cur.partitionCols, cur.files,
-              cur.statsCol, cur.fileStats)))
+              cur.statsCols, cur.fileStats)))
         versions = TxnLog.versions(dir)
       }
     }

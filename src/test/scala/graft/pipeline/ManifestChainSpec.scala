@@ -93,7 +93,7 @@ class ManifestChainSpec extends SparkTestBase {
     w.vacuum("t", retention = java.time.Duration.ZERO)
     val after = TxnLog.current(dir).get
     assert(after.fileStats == before.fileStats)
-    assert(after.statsCol.contains("event_date"))
+    assert(after.statsCols == Seq("event_date"))
   }
 
   test("vacuum checkpoint racing a concurrent writer never rolls back its commit") {

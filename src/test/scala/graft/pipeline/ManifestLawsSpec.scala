@@ -41,7 +41,7 @@ class ManifestLawsSpec extends AnyFunSuite {
       val dir = Files.createTempDirectory("mlaw")
       var serial = 0
       // the model: full (files, stats) state after every commit
-      var model = Vector.empty[(Seq[String], Map[String, (String, String)])]
+      var model = Vector.empty[(Seq[String], Map[String, Seq[(String, String)]])]
       ops.foreach { op =>
         TxnLog.commit(dir) { cur =>
           val curFiles = cur.map(_.files).getOrElse(Seq.empty)
@@ -53,7 +53,9 @@ class ManifestLawsSpec extends AnyFunSuite {
               }
               (curFiles ++ added,
                 if (withStats)
-                  curStats ++ added.map(f => f -> (f.length.toString, f))
+                  curStats ++ added.map(f =>
+                    // two pairs per file: the multi-column encoding
+                    f -> Seq((f.length.toString, f), ("0", f)))
                 else curStats)
             case RemoveEveryKth(k) =>
               val kept = curFiles.zipWithIndex
@@ -63,10 +65,10 @@ class ManifestLawsSpec extends AnyFunSuite {
               val fresh = (1 to n).map { _ =>
                 serial += 1; f"data/f$serial%04d.parquet"
               }
-              (fresh, fresh.map(f => f -> ("0", f)).toMap)
+              (fresh, fresh.map(f => f -> Seq(("0", f))).toMap)
           }
           model = model :+ ((files, stats))
-          ManifestData(Seq.empty, files, None, stats)
+          ManifestData(Seq.empty, files, Seq.empty, stats)
         }
       }
       val versions = TxnLog.versions(dir)
@@ -89,16 +91,16 @@ class ManifestLawsSpec extends AnyFunSuite {
     check("stats-churn")(Prop.forAll(Gen.choose(2, 12)) { nCommits =>
       val dir = Files.createTempDirectory("mlaw2")
       val files = (1 to 6).map(i => f"data/f$i%02d.parquet")
-      var model = Vector.empty[Map[String, (String, String)]]
+      var model = Vector.empty[Map[String, Seq[(String, String)]]]
       (1 to nCommits).foreach { c =>
         TxnLog.commit(dir) { _ =>
           // every commit keeps the same file SET but re-stats a rotating
           // subset — exercises the statsChanged remove+re-add encoding
           val stats = files.zipWithIndex.map { case (f, i) =>
-            f -> (if (i % 3 == c % 3) (s"v$c", f) else (s"v0", f))
+            f -> (if (i % 3 == c % 3) Seq((s"v$c", f)) else Seq((s"v0", f)))
           }.toMap
           model = model :+ stats
-          ManifestData(Seq.empty, files, None, stats)
+          ManifestData(Seq.empty, files, Seq.empty, stats)
         }
       }
       TxnLog.versions(dir).zipWithIndex.forall { case (v, i) =>

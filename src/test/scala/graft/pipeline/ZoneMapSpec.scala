@@ -21,7 +21,7 @@ class ZoneMapSpec extends SparkTestBase {
       w.load("t", batch(lo, 100).coalesce(1), SinkPolicy.Append,
         statsCol = Some("k")))
     val m = TxnLog.current(Paths.get(w.root, "t")).get
-    assert(m.statsCol.contains("k"))
+    assert(m.statsCols == Seq("k"))
     assert(m.fileStats.size == m.files.size) // every file carries stats
 
     // a range inside one batch touches exactly one file
@@ -44,7 +44,7 @@ class ZoneMapSpec extends SparkTestBase {
       statsCol = Some("k"))
     w.load("t", batch(200, 50).coalesce(1), SinkPolicy.Append) // inherits
     val m = TxnLog.current(Paths.get(w.root, "t")).get
-    assert(m.statsCol.contains("k"))
+    assert(m.statsCols == Seq("k"))
     // query far outside the stats-less file's range: it must still be
     // scanned (no stats → unprunable), plus the one matching file
     val files = w.prunedFiles(m, "t", "k", "210", "220")
@@ -62,7 +62,7 @@ class ZoneMapSpec extends SparkTestBase {
     w.load("t", (50 until 100).map(i => (i.toLong, (1000L - i)))
       .toDF("k", "v").coalesce(1), SinkPolicy.Append, statsCol = Some("v"))
     val m = TxnLog.current(Paths.get(w.root, "t")).get
-    assert(m.statsCol.contains("v"))
+    assert(m.statsCols == Seq("v"))
     assert(m.fileStats.size == 1) // only the v-stats file carries stats
     // the stats-less first file is always scanned, so rows with v in
     // range from BOTH files are found
@@ -97,6 +97,58 @@ class ZoneMapSpec extends SparkTestBase {
     assert(w.prunedFiles(m, "t", "k2", "90000", "99999").size == 1)
   }
 
+  test("multi-column zone maps: a box query opens the INTERSECTION of per-column survivors") {
+    val w = Warehouse(spark, tmpDir("zm9-wh"))
+    // k is append-ordered; ts cycles so k-pruning and ts-pruning select
+    // DIFFERENT file subsets — the intersection is the box query's win
+    (0 until 4).foreach { i =>
+      val rows = (0 until 100)
+        .map(j => (i * 100L + j, (i % 2) * 1000L + j))
+        .toDF("k", "ts")
+      w.load("t", rows.coalesce(1), SinkPolicy.Append,
+        statsCols = Seq("k", "ts"))
+    }
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCols == Seq("k", "ts"))
+    assert(m.fileStats.size == 4)
+    assert(m.fileStats.values.forall(_.size == 2)) // one pair per column
+    // per-column pruning: k range hits 1 file, ts range hits 2 (files 0,2)
+    assert(w.prunedFiles(m, "t", "k", "120", "180").size == 1)
+    assert(w.prunedFiles(m, "t", "ts", "0", "50").size == 2)
+    // the BOX opens only their intersection: file 1 (k 100-199, ts 1000+)
+    // fails the ts range, files 0/2 fail the k range except file 1...
+    // k ∈ [120,180] selects file 1; ts ∈ [1000,1050] keeps odd files —
+    // intersection is exactly file 1
+    val box = w.readBox("t", Seq(("k", "120", "180"), ("ts", "1000", "1050")))
+    val full = w.read("t")
+      .where($"k" >= 120 && $"k" <= 180 && $"ts" >= 1000 && $"ts" <= 1050)
+    assert(box.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    assert(box.count() == 31) // file 1: j ∈ [20,80] ∩ [0,50] = [20,50]
+    // and a box whose column ranges are individually satisfiable but
+    // jointly not opens NOTHING
+    val empty = w.readBox("t", Seq(("k", "0", "50"), ("ts", "1000", "1050")))
+    assert(empty.count() == 0)
+  }
+
+  test("multi-column stats survive compaction and delta encoding") {
+    val w = Warehouse(spark, tmpDir("zm10-wh"))
+    (0 until 3).foreach { i =>
+      val rows = (0 until 50).map(j => (i * 50L + j, i * 500L + j))
+        .toDF("k", "ts")
+      w.load("t", rows.coalesce(1), SinkPolicy.Append,
+        statsCols = Seq("k", "ts"))
+    }
+    w.compact("t", targetBytesPerFile = 1L << 40)
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCols == Seq("k", "ts"))
+    assert(m.files.size == 1)
+    val Seq((kMn, kMx), (tsMn, tsMx)) = m.fileStats(m.files.head)
+    assert(kMn.toLong == 0L && kMx.toLong == 149L)
+    assert(tsMn.toLong == 0L && tsMx.toLong == 1049L)
+    assert(w.readBetween("t", "ts", "500", "540").count() == 41)
+  }
+
   test("non-orderable stats column types are refused up front") {
     val w = Warehouse(spark, tmpDir("zm5-wh"))
     val data = (0 until 5).map(i => (i.toLong, s"s$i")).toDF("k", "payload")
@@ -113,7 +165,7 @@ class ZoneMapSpec extends SparkTestBase {
     w.compact("t", targetBytesPerFile = 1L << 40) // collapse to one file
     val m = TxnLog.current(Paths.get(w.root, "t")).get
     assert(m.files.size == 1 && m.fileStats.size == 1)
-    val (mn, mx) = m.fileStats(m.files.head)
+    val Seq((mn, mx)) = m.fileStats(m.files.head)
     assert(mn.toLong == 0L && mx.toLong == 399L)
     assert(w.readBetween("t", "k", "10", "20").count() == 11)
   }
