@@ -548,12 +548,77 @@ final case class Warehouse(spark: SparkSession, root: String) {
           snapshot.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
         case None => snapshot.repartition(nFiles)
       }
+    publishRewrite(dir, table, cur, shaped,
+      s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})")
+  }
+
+  /** Z-ORDER compaction: rewrite the table clustered on the bit-
+    * interleave of the given columns' QUANTILE-BUCKET ids, so every
+    * rewritten file covers a small BOX in the multi-dimensional value
+    * space — which is exactly what makes [[readBox]]'s per-column
+    * zone-map intersection prune hard on compound predicates (Delta's
+    * `OPTIMIZE ZORDER BY` + column stats, re-expressed). Quantile
+    * buckets (16 per column, one `approxQuantile` pass for all columns)
+    * keep cells equal-population under skew where equi-width bucketing
+    * would collapse. Pruning never looks at z-values — files carry
+    * ordinary per-column min/max stats, so correctness needs no
+    * BIGMIN/LITMAX z-range arithmetic. Numeric columns only (quantile
+    * bucketing; use a numeric surrogate for dates). */
+  def compactZOrder(table: String, zCols: Seq[String],
+                    targetBytesPerFile: Long = 128L << 20): LoadResult = {
+    require(zCols.size >= 2, "z-order needs at least two columns")
+    require(!spark.catalog.tableExists(table),
+      s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
+    val dir = tableDir(table)
+    adoptLegacyLayout(dir)
+    val cur = TxnLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
+    val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
+    val snapshot = read(table)
+    zCols.foreach(c => require(snapshot.columns.contains(c),
+      s"z-order column $c not in $table"))
+    // 15 interior quantiles per column -> 16 equal-population buckets
+    // (4 bits); ONE stat job covers every column
+    val probs = (1 to 15).map(_ / 16.0).toArray
+    val bounds = snapshot.na.drop(zCols)
+      .stat.approxQuantile(zCols.toArray, probs, 0.001)
+    def bucket(c: String, bs: Array[Double]) = bs.map(b =>
+      when(col(c).cast("double") >= b, 1L).otherwise(0L)).reduce(_ + _)
+    // interleave the 4 bucket bits of each column: bit b of column i
+    // lands at position b * nCols + i — the classic Morton layout
+    val n = zCols.size
+    val z = zCols.zip(bounds).zipWithIndex.map { case ((c, bs), i) =>
+      val bkt = bucket(c, bs)
+      (0 until 4).map(b =>
+        shiftleft(shiftright(bkt, b).bitwiseAND(lit(1L)), b * n + i))
+        .reduce((a, x) => a.bitwiseOR(x))
+    }.reduce((a, x) => a.bitwiseOR(x))
+    val shaped =
+      if (cur.partitionCols.nonEmpty)
+        snapshot.withColumn("__z", z)
+          .repartition(cur.partitionCols.map(col): _*)
+          .sortWithinPartitions((cur.partitionCols :+ "__z").map(col): _*)
+          .drop("__z")
+      else
+        snapshot.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+    publishRewrite(dir, table, cur, shaped,
+      s"z-ordered(${zCols.mkString(",")},$nFiles files)")
+  }
+
+  /** The shared rewrite-publish tail of [[compact]]/[[compactZOrder]]:
+    * write the reshaped snapshot, recompute zone-map stats for the new
+    * files, and merge against whatever committed while we rewrote —
+    * concurrent APPENDS are kept alongside the rewrite; a concurrent
+    * removal of a rewritten file (re-land/overwrite/second rewrite)
+    * would make this rewrite resurrect deleted rows, so that aborts
+    * instead of losing data (orphaned rewrite files go to vacuum). */
+  private def publishRewrite(dir: Path, table: String, cur: Manifest,
+                             shaped: DataFrame, label: String): LoadResult = {
     val (newFiles, n) = writeTxn(dir, shaped, cur.partitionCols)
-    // merge against whatever committed while we rewrote: concurrent
-    // APPENDS are kept alongside the compacted files; a concurrent
-    // removal of a rewritten file (re-land/overwrite/compact) would make
-    // this rewrite resurrect deleted rows — abort instead of losing data
-    // (the orphaned rewrite files are reclaimed by vacuum)
     val newStats =
       if (cur.statsCols.nonEmpty) collectStats(dir, newFiles, cur.statsCols)
       else Map.empty[String, Seq[(String, String)]]
@@ -566,8 +631,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       ManifestData(cur.partitionCols, merged, cur.statsCols,
         now.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
     }
-    LoadResult(table,
-      s"compacted(${if (cur.partitionCols.nonEmpty) "per-partition" else s"$nFiles files"})", n)
+    LoadResult(table, label, n)
   }
 
   /** Reclaim space. The retention window (same contract as Delta's

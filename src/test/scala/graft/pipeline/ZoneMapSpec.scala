@@ -149,6 +149,45 @@ class ZoneMapSpec extends SparkTestBase {
     assert(w.readBetween("t", "ts", "500", "540").count() == 41)
   }
 
+  test("z-order compaction makes 2-D box queries prune where 1-D clustering cannot") {
+    val w = Warehouse(spark, tmpDir("zm11-wh"))
+    // k and ts are independent pseudo-random — every appended file spans
+    // BOTH full ranges, so zone maps prune nothing before the rewrite
+    def rows(lo: Int) = (lo until lo + 1000)
+      .map(r => ((r * 48271L) % 4000, (r * 16807L) % 4000, s"p$r"))
+      .toDF("k", "ts", "payload")
+    (0 until 4).foreach(i =>
+      w.load("t", rows(i * 1000).coalesce(1), SinkPolicy.Append,
+        statsCols = Seq("k", "ts")))
+    val dir = Paths.get(w.root, "t")
+    val before = TxnLog.current(dir).get
+    def boxFiles(m: Manifest): Set[String] =
+      Set(("k", "100", "500"), ("ts", "100", "500"))
+        .map { case (c, lo, hi) => w.prunedFiles(m, "t", c, lo, hi).toSet }
+        .reduce(_ intersect _)
+    assert(boxFiles(before).size == before.files.size,
+      "interleaved appends must be unprunable — else the test is vacuous")
+    // z-order into ~16 files
+    val bytes = before.files
+      .map(f => java.nio.file.Files.size(dir.resolve(f))).sum
+    w.compactZOrder("t", Seq("k", "ts"), targetBytesPerFile = bytes / 16)
+    val after = TxnLog.current(dir).get
+    assert(after.files.size >= 8, s"want many files, got ${after.files.size}")
+    assert(after.fileStats.size == after.files.size)
+    // a ~1/10 × 1/10 box now opens a small fraction of the files: each
+    // z-ordered file covers a compact box in (k, ts) space
+    val opened = boxFiles(after)
+    assert(opened.size <= after.files.size / 2,
+      s"z-order failed to localize: ${opened.size} of ${after.files.size}")
+    // and rows are exactly the full-scan answer
+    val box = w.readBox("t", Seq(("k", "100", "500"), ("ts", "100", "500")))
+      .select("payload").collect().map(_.getString(0)).toSet
+    val full = w.read("t")
+      .where($"k".between(100, 500) && $"ts".between(100, 500))
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(box == full && full.nonEmpty)
+  }
+
   test("non-orderable stats column types are refused up front") {
     val w = Warehouse(spark, tmpDir("zm5-wh"))
     val data = (0 until 5).map(i => (i.toLong, s"s$i")).toDF("k", "payload")
