@@ -1001,8 +1001,12 @@ object TextOps {
     PiiPatterns.foreach { case (name, pat, repl) =>
       out = out
         .withColumn(s"n_$name",
-          size(regexp_extract_all($"scrubbed", lit(pat), lit(0)))
-            .cast(LongType))
+          // NULL text yields count 0, never size(NULL) = -1 (Spark's
+          // legacy sizeOfNull) — a -1 per null doc would silently skew
+          // every audit total the rollup exists to report
+          when($"scrubbed".isNull, 0L).otherwise(
+            size(regexp_extract_all($"scrubbed", lit(pat), lit(0)))
+              .cast(LongType)))
         .withColumn("scrubbed", regexp_replace($"scrubbed", pat, repl))
     }
     out.select(($"doc_id" +: $"lang" +: $"scrubbed" +:

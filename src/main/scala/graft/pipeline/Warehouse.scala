@@ -120,18 +120,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * (column, lo, hi) range intersects its recorded [min, max] — the
     * compound-predicate payoff of declaring several `statsCols` (a
     * time-and-key box query opens the files in the intersection, not
-    * the union). Pruning stays pure driver-side manifest arithmetic. */
+    * the union). Pruning stays pure driver-side manifest arithmetic;
+    * the probe file's schema is resolved ONCE for all columns. */
   def readBox(table: String,
               ranges: Seq[(String, String, String)]): DataFrame = {
     require(ranges.nonEmpty, "readBox needs at least one (column, lo, hi)")
     val dir = tableDir(table)
     val m = TxnLog.current(dir).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
+    val schema = probeSchema(dir, table, m)
     val survivors = ranges
-      .map { case (c, lo, hi) => prunedFiles(m, table, c, lo, hi).toSet }
+      .map { case (c, lo, hi) =>
+        prunedFiles(m, table, c, lo, hi, schema(c).dataType).toSet
+      }
       .reduce(_ intersect _)
     val pred = ranges.map { case (c, lo, hi) =>
-      val dt = colType(dir, table, m, c)
+      val dt = schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
     }.reduce(_ && _)
     // pruning everything is a legitimate answer (query range outside every
@@ -148,11 +152,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * in [lo, hi]? Pure driver-side manifest-string comparison — pruning
     * must never itself launch a job over the files it exists to skip. */
   def prunedFiles(m: Manifest, table: String, column: String,
-                  lo: String, hi: String): Seq[String] = {
+                  lo: String, hi: String): Seq[String] =
+    prunedFiles(m, table, column, lo, hi,
+      colType(tableDir(table), table, m, column))
+
+  private def prunedFiles(m: Manifest, table: String, column: String,
+                          lo: String, hi: String,
+                          dt: org.apache.spark.sql.types.DataType): Seq[String] = {
     val idx = m.statsCols.indexOf(column)
     require(idx >= 0,
       s"$table carries no zone map for $column (stats columns: ${m.statsCols.mkString(",")})")
-    val dt = colType(tableDir(table), table, m, column)
     import org.apache.spark.sql.types._
     // stats values are the per-type string casts; compare with the
     // type's own order (ISO date/timestamp strings order lexically)
@@ -183,10 +192,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * back to the merged snapshot schema — the one case where pruning
     * retains everything anyway. */
   private def colType(dir: Path, table: String, m: Manifest,
-                      column: String): org.apache.spark.sql.types.DataType = {
+                      column: String): org.apache.spark.sql.types.DataType =
+    probeSchema(dir, table, m)(column).dataType
+
+  /** One probe-file schema read serving every column of a pruning call. */
+  private def probeSchema(dir: Path, table: String,
+      m: Manifest): org.apache.spark.sql.types.StructType = {
     val probe = m.files.find(m.fileStats.contains)
       .map(Seq(_)).getOrElse(m.files)
-    readSnapshot(dir, table, m.version, probe).schema(column).dataType
+    readSnapshot(dir, table, m.version, probe).schema
   }
 
   /** Per-file (min, max) of each of `columns` over freshly written
@@ -265,9 +279,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
     if (txnId.exists(TxnLog.txnCommitted(dir, _)))
       return LoadResult(table, "skipped-duplicate-txn", 0L)
     // zone-map columns (`statsCol` is the single-column convenience form;
-    // both compose): explicit wins, else inherit the table's — so one
-    // load declaring them makes every later append carry file stats too
-    val declared = statsCol.toSeq ++ statsCols
+    // both compose, deduplicated — an overlapping declaration must not
+    // write duplicate columns into the manifest, where it would break
+    // the `_.statsCols == effStats` inheritance equality forever after):
+    // explicit wins, else inherit the table's — so one load declaring
+    // them makes every later append carry file stats too
+    val declared = (statsCol.toSeq ++ statsCols).distinct
     val effStats =
       if (declared.nonEmpty) declared
       else TxnLog.current(dir).map(_.statsCols).getOrElse(Seq.empty)
@@ -518,15 +535,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * [[loadBucketed]] instead. */
   def compact(table: String, targetBytesPerFile: Long = 128L << 20,
               clusterBy: Option[String] = None): LoadResult = {
-    require(!spark.catalog.tableExists(table),
-      s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
-    val dir = tableDir(table)
-    adoptLegacyLayout(dir)
-    val cur = TxnLog.current(dir).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
-    val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
-    val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
-    val snapshot = read(table) // pinned to `cur`'s files
+    val (dir, cur, nFiles, snapshot) =
+      resolveForRewrite(table, targetBytesPerFile)
     // clusterBy = Z-ORDER's 1-D case: range-partition + sort on the
     // column so each rewritten file covers a DISJOINT value range, which
     // is what turns the zone-map min/max stats from "every file
@@ -567,15 +577,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def compactZOrder(table: String, zCols: Seq[String],
                     targetBytesPerFile: Long = 128L << 20): LoadResult = {
     require(zCols.size >= 2, "z-order needs at least two columns")
-    require(!spark.catalog.tableExists(table),
-      s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
-    val dir = tableDir(table)
-    adoptLegacyLayout(dir)
-    val cur = TxnLog.current(dir).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $table"))
-    val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
-    val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
-    val snapshot = read(table)
+    val (dir, cur, nFiles, snapshot) =
+      resolveForRewrite(table, targetBytesPerFile)
     zCols.foreach(c => require(snapshot.columns.contains(c),
       s"z-order column $c not in $table"))
     // 15 interior quantiles per column -> 16 equal-population buckets
@@ -583,6 +586,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val probs = (1 to 15).map(_ / 16.0).toArray
     val bounds = snapshot.na.drop(zCols)
       .stat.approxQuantile(zCols.toArray, probs, 0.001)
+    zCols.zip(bounds).foreach { case (c, bs) =>
+      require(bs.nonEmpty,
+        s"z-order column $c has no non-null values in $table — " +
+          "backfill it (or drop it from zCols) before z-ordering")
+    }
     def bucket(c: String, bs: Array[Double]) = bs.map(b =>
       when(col(c).cast("double") >= b, 1L).otherwise(0L)).reduce(_ + _)
     // interleave the 4 bucket bits of each column: bit b of column i
@@ -609,6 +617,23 @@ final case class Warehouse(spark: SparkSession, root: String) {
       s"z-ordered(${zCols.mkString(",")},$nFiles files)")
   }
 
+  /** The shared rewrite preamble of [[compact]]/[[compactZOrder]]:
+    * refuse catalog (bucketed) tables whose bucket-id file names a
+    * path-level rewrite cannot reproduce, resolve the pinned manifest,
+    * and size the output file count from current on-disk bytes. */
+  private def resolveForRewrite(table: String, targetBytesPerFile: Long)
+      : (Path, Manifest, Int, DataFrame) = {
+    require(!spark.catalog.tableExists(table),
+      s"$table is a catalog table (possibly bucketed) — rewrite it with loadBucketed, not compact")
+    val dir = tableDir(table)
+    adoptLegacyLayout(dir)
+    val cur = TxnLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val bytes = cur.files.map(f => Files.size(dir.resolve(f))).sum
+    val nFiles = math.max(1, (bytes / targetBytesPerFile).toInt)
+    (dir, cur, nFiles, read(table)) // snapshot pinned to `cur`'s files
+  }
+
   /** The shared rewrite-publish tail of [[compact]]/[[compactZOrder]]:
     * write the reshaped snapshot, recompute zone-map stats for the new
     * files, and merge against whatever committed while we rewrote —
@@ -628,8 +653,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           s"$table changed incompatibly during compaction " +
             "(a rewritten file was removed concurrently); re-run compact"))
+      // the racing head's per-file stats are only meaningful if it still
+      // records the SAME stats columns — a concurrent load that switched
+      // them would otherwise have its pairs REINTERPRETED under our
+      // column list and prune wrong files; dropping them (files become
+      // unprunable until rewritten) is the conservative merge
+      val inherited = now.filter(_.statsCols == cur.statsCols)
+        .map(_.fileStats).getOrElse(Map.empty)
       ManifestData(cur.partitionCols, merged, cur.statsCols,
-        now.map(_.fileStats).getOrElse(Map.empty) ++ newStats)
+        inherited ++ newStats)
     }
     LoadResult(table, label, n)
   }

@@ -49,6 +49,16 @@ class PiiScrubSpec extends SparkTestBase {
     assert(out(1L)._5 == 0)
   }
 
+  test("NULL text yields zero counts, never size(NULL) = -1") {
+    val out = TextOps.piiScrubDocs(
+      Seq((1L, "en", null: String), (2L, "en", "a@b.co"))
+        .toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L)), s"null doc skewed counts: $out")
+    assert(out(2L)._1 == 1L)
+  }
+
   test("clean text passes through byte-identical with zero counts") {
     val text = "a perfectly ordinary sentence with numbers like 42 and 1999"
     val out = run((1L, "en", text))

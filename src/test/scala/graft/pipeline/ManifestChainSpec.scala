@@ -101,6 +101,18 @@ class ManifestChainSpec extends SparkTestBase {
     (1 to 5).foreach(i =>
       w.load("t", hits(f"2026-01-$i%02d", 2), SinkPolicy.Append))
     val dir = Paths.get(w.root, "t")
+    // Backdate the existing manifests past a REAL retention window so
+    // the checkpoint fires, while the writer's fresh commits and
+    // in-flight files stay safely inside it — retention-zero vacuum is
+    // documented unsafe under concurrency (an uncommitted data file
+    // whose mtime lands at the cutoff could be reclaimed), and this
+    // test must not depend on that timing.
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 3600 * 1000)
+    TxnLog.versions(dir).foreach { v =>
+      Files.setLastModifiedTime(
+        dir.resolve("_log").resolve(f"v$v%012d.manifest"), past)
+    }
     // Interleave: a writer committing WHILE vacuum checkpoints. The
     // checkpoint's build callback rebuilds against the latest head, so
     // whichever order the version race resolves, the concurrent append
@@ -111,7 +123,7 @@ class ManifestChainSpec extends SparkTestBase {
       }
     })
     writer.start()
-    w.vacuum("t", retention = java.time.Duration.ZERO)
+    w.vacuum("t", retention = java.time.Duration.ofMinutes(30))
     writer.join()
     // all 10 original rows + all 3 concurrent appends visible
     assert(w.read("t").count() == 13)
