@@ -131,6 +131,19 @@ class ZoneMapSpec extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  test("appends inherit the multi-column stats declaration") {
+    val w = Warehouse(spark, tmpDir("zm12-wh"))
+    w.load("t", (0 until 20).map(i => (i.toLong, i * 10L)).toDF("k", "ts")
+      .coalesce(1), SinkPolicy.Append, statsCols = Seq("k", "ts"))
+    // second load declares nothing — the table's column list carries
+    w.load("t", (20 until 40).map(i => (i.toLong, i * 10L)).toDF("k", "ts")
+      .coalesce(1), SinkPolicy.Append)
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+    assert(m.statsCols == Seq("k", "ts"))
+    assert(m.fileStats.size == 2)
+    assert(m.fileStats.values.forall(_.size == 2))
+  }
+
   test("multi-column stats survive compaction and delta encoding") {
     val w = Warehouse(spark, tmpDir("zm10-wh"))
     (0 until 3).foreach { i =>
