@@ -301,6 +301,108 @@ object Similarity {
       .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
+  /** RANDOM-PROJECTION LSH near-dup — the recall upgrade over
+    * [[embeddingNeardupStrict]]'s raw-sign-bit bands: 64 dims cap raw
+    * bands at 64 total bits, and 4×16 of them leave ~50% recall at the
+    * cos 0.90 boundary; PROJECTED bits are unlimited, so 8 bands × 16
+    * bits = 128 hyperplanes lift recall to ~99.5% at cos 0.99 / ~67% at
+    * 0.93 while a 16-bit band still collides for only ~2⁻¹⁶ of random
+    * pairs (candidates stay ∝ duplicate density).
+    *
+    * The twist that keeps it ORACLE-REPLAYABLE (the reason §9 deferred
+    * it): the projection matrix is not RNG state — weight w(b,t,d) is
+    * derived from md5("b_t_d") (15 hex digits → int, mod-centred), and
+    * md5 is bit-identical in Spark and DuckDB, so the oracle rebuilds
+    * the same matrix from `range()`s and replays the whole pipeline.
+    * Spark computes the weights ONCE driver-side (same md5) and bakes
+    * them as literal vectors into the native integer dot product. */
+  val embeddingNeardupProj: QueryDef = {
+    val bands = 8; val bits = 16; val dim = 64
+    QueryDef.sql(
+      "embedding_neardup_proj",
+      oraclePrefix +
+        s""",
+          |w AS (
+          |  SELECT b, t, d,
+          |    CAST(concat('0x', substring(md5(
+          |      concat(CAST(b AS VARCHAR), '_', CAST(t AS VARCHAR), '_', CAST(d AS VARCHAR))
+          |    ), 1, 15)) AS BIGINT) % 2001 - 1000 AS wv
+          |  FROM range($bands) r1(b), range($bits) r2(t), range($dim) r3(d)),
+          |projs AS (
+          |  SELECT f.vec_id, w.b, w.t,
+          |    CASE WHEN SUM(w.wv * f.v) > 0 THEN 1 ELSE 0 END AS bit
+          |  FROM flat f JOIN w ON w.d = f.i - 1
+          |  GROUP BY f.vec_id, w.b, w.t),
+          |bkts AS (
+          |  SELECT vec_id, b AS band,
+          |    CAST(SUM(bit << CAST(t AS INT)) AS BIGINT) AS bkt
+          |  FROM projs GROUP BY vec_id, b),
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          |  FROM bkts a
+          |  JOIN bkts b ON a.band = b.band AND a.bkt = b.bkt
+          |    AND a.vec_id < b.vec_id),
+          |dots AS (
+          |  SELECT va, vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+          |  FROM cand
+          |  JOIN flat fa ON fa.vec_id = va
+          |  JOIN flat fb ON fb.vec_id = vb AND fb.i = fa.i
+          |  GROUP BY va, vb),
+          |sims AS (
+          |  SELECT va, vb,
+          |    CAST(dot AS DOUBLE)
+          |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+          |  FROM dots
+          |  JOIN norms na ON na.vec_id = va
+          |  JOIN norms nb ON nb.vec_id = vb)
+          |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
+          |FROM sims WHERE cos >= 0.90""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = quantized(s, dir)
+      // the identical md5-derived weights, computed once on the driver
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def weight(b: Int, t: Int, d: Int): Long = {
+        val hex = md.digest(s"${b}_${t}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+      // flattened weight matrix, projection p = band * bits + t: ALL 128
+      // hyperplanes evaluate in ONE native expression's tight loop
+      // (128 separate dot-product expressions in one Project measured 9×
+      // superlinear — see SignProjectI64's scaladoc)
+      val flatWeights = Array.tabulate(bands * bits * dim) { i =>
+        val p = i / dim; val d = i % dim
+        weight(p / bits, p % bits, d)
+      }
+      val bks = org.apache.spark.sql.GraftExpr.column(
+        graft.functions.SignProjectI64(
+          org.apache.spark.sql.GraftExpr.expression($"qe"),
+          flatWeights, dim, bits))
+      // stage table: projections computed once per vector, persisted
+      // BEFORE the band explode (the explode would otherwise re-run the
+      // projection per output row — the minhashBands trap)
+      val withBkts = base.select($"vec_id", bks.as("bks")).persist()
+      val bandsDf = withBkts
+        .select($"vec_id", posexplode($"bks").as(Seq("band", "bkt")))
+        .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
+      val cand = bandsDf.as("a")
+        .join(bandsDf.as("b"),
+          $"a.band" === $"b.band" && $"a.bkt" === $"b.bkt" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+        .distinct()
+        .observe("proj_candidates", count(lit(1)).as("n_pairs"))
+      val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
+      val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
+      cand.join(left, Seq("va")).join(right, Seq("vb"))
+        .withColumn("dot", Kit.dotI64($"qa", $"qb"))
+        .select($"va".as("vec_a"), $"vb".as("vec_b"),
+          cosCol($"dot", $"na", $"nb").as("cos"))
+        .where($"cos" >= 0.90)
+        .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
+    }
+  }
+
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
     * path"; this engine ships both). Deterministic coarse quantizer so
@@ -418,5 +520,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     similarityTopk, annLshTopk, ivfTopk, embeddingNeardup,
-    embeddingNeardupStrict, multimodalFeatures)
+    embeddingNeardupStrict, embeddingNeardupProj, multimodalFeatures)
 }
