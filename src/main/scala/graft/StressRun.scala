@@ -38,8 +38,18 @@ object StressRun {
         val sec = (System.nanoTime() - t0) / 1e9
         val metrics = df.queryExecution.observedMetrics.toSeq
           .flatMap { case (mName, row) =>
-            row.schema.fieldNames.map(f =>
-              s""""$mName.$f": ${row.getAs[Any](f)}""")
+            row.schema.fieldNames.map { f =>
+              // numbers print raw; anything else is JSON-string-escaped so
+              // a future non-numeric observed metric can't silently break
+              // the stress-tooling's JSON parsing
+              val v = row.getAs[Any](f) match {
+                case n @ (_: Long | _: Int | _: Double | _: Float |
+                          _: Short | _: Byte) => n.toString
+                case other => "\"" + String.valueOf(other)
+                  .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              }
+              s""""$mName.$f": $v"""
+            }
           }
         (sec, rows, metrics)
       }

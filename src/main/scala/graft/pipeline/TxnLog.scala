@@ -96,6 +96,18 @@ object TxnLog {
   private def manifestPath(tableDir: Path, version: Long): Path =
     logDir(tableDir).resolve(f"v$version%012d.manifest")
 
+  /** The columnar (parquet) checkpoint sibling of one version's text
+    * manifest — written by [[ManifestCheckpoint]], deleted together with
+    * the manifest by [[deleteVersion]]. A directory of parquet part
+    * files; its EXISTENCE (it is published by atomic rename) marks a
+    * complete checkpoint. */
+  def checkpointDir(tableDir: Path, version: Long): Path =
+    logDir(tableDir).resolve(f"v$version%012d.checkpoint")
+
+  /** Does `version` carry a complete parquet checkpoint? */
+  def hasCheckpoint(tableDir: Path, version: Long): Boolean =
+    Files.isDirectory(checkpointDir(tableDir, version))
+
   private def claimPath(tableDir: Path, version: Long): Path =
     logDir(tableDir).resolve(f"v$version%012d.claim")
 
@@ -126,6 +138,88 @@ object TxnLog {
   private final case class RawManifest(m: Manifest, base: Option[Long],
                                        removes: Seq[String])
 
+  /** A manifest's HEADER alone — version, partition/stats columns, txn
+    * id, and the delta base pointer — readable without touching the
+    * body. At a million files a snapshot manifest's body is ~100 MB of
+    * text; chain walks that only need to FIND the nearest checkpoint
+    * must not pay that parse. */
+  final case class ManifestHeader(version: Long, partitionCols: Seq[String],
+                                  txnId: Option[String],
+                                  statsCols: Seq[String], base: Option[Long])
+
+  private def parseBase(s: String, version: Long, tableDir: Path): Option[Long] =
+    s match {
+      case "" => None
+      case str =>
+        val b = try str.toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"corrupt base= pointer '$str' in v$version of $tableDir")
+        }
+        require(b < version,
+          s"manifest v$version of $tableDir has non-decreasing base=$b")
+        Some(b)
+    }
+
+  /** Header of one version, reading only the leading lines (O(1) in the
+    * file count, unlike [[readVersion]]). */
+  def readHeader(tableDir: Path, version: Long): ManifestHeader =
+    Using.resource(Files.newBufferedReader(
+      manifestPath(tableDir, version), StandardCharsets.UTF_8)) { r =>
+      def ln(): String = Option(r.readLine()).getOrElse("")
+      val magic = ln()
+      val v3 = magic == Magic
+      require(v3 || magic == MagicV2,
+        s"unrecognized manifest header in v$version of $tableDir")
+      val part = ln().stripPrefix("partition=") match {
+        case "" => Seq.empty[String]
+        case s  => s.split(",").toSeq
+      }
+      val txn = ln().stripPrefix("txn=") match {
+        case "" => None
+        case s  => Some(s)
+      }
+      val stats = ln().stripPrefix("stats=") match {
+        case "" => Seq.empty[String]
+        case s  => s.split(",").toSeq
+      }
+      val base =
+        if (!v3) None else parseBase(ln().stripPrefix("base="), version, tableDir)
+      ManifestHeader(version, part, txn, stats, base)
+    }
+
+  /** One delta's operations, exposed for checkpoint-based resolution:
+    * `adds`/`addStats` are the added entries (stats pairs aligned with
+    * THIS manifest's `statsCols`), `removes` the removed paths. */
+  final case class DeltaOps(version: Long, statsCols: Seq[String],
+                            adds: Seq[String],
+                            addStats: Map[String, Seq[(String, String)]],
+                            removes: Seq[String])
+
+  /** Walk the delta chain of `version` down to the nearest version for
+    * which `hasBase` holds (a parquet checkpoint, typically), WITHOUT
+    * ever parsing a snapshot body: only small delta manifests are read
+    * in full; the base version's text manifest is skipped entirely.
+    * Returns (baseVersion, deltas ascending), or None when the chain
+    * bottoms out at a snapshot with no checkpoint — the caller falls
+    * back to driver-side text resolution. This is what keeps the
+    * metadata plane O(change) on the read path at ~10^6 files. */
+  def deltaChainAbove(tableDir: Path, version: Long,
+                      hasBase: Long => Boolean): Option[(Long, List[DeltaOps])] = {
+    var v = version
+    var acc = List.empty[DeltaOps]
+    while (!hasBase(v)) {
+      readHeader(tableDir, v).base match {
+        case None => return None
+        case Some(b) =>
+          val raw = readRaw(tableDir, v)
+          acc = DeltaOps(v, raw.m.statsCols, raw.m.files, raw.m.fileStats,
+            raw.removes) :: acc
+          v = b
+      }
+    }
+    Some((v, acc))
+  }
+
   private def readRaw(tableDir: Path, version: Long): RawManifest = {
     val lines = Files.readAllLines(
       manifestPath(tableDir, version), StandardCharsets.UTF_8).asScala.toSeq
@@ -144,27 +238,27 @@ object TxnLog {
       case "" => Seq.empty[String]
       case s  => s.split(",").toSeq
     }
-    val base = if (!v3) None else lines(4).stripPrefix("base=") match {
-      case "" => None
-      case s  =>
-        val b = try s.toLong catch {
-          case _: NumberFormatException => throw new IllegalStateException(
-            s"corrupt base= pointer '$s' in v$version of $tableDir")
-        }
-        // monotonicity guard: a base at or above its own version (disk
-        // corruption, hand edit) would loop the chain walk forever
-        require(b < version,
-          s"manifest v$version of $tableDir has non-decreasing base=$b")
-        Some(b)
-    }
+    // the base monotonicity guard in parseBase (base < version) is what
+    // makes every chain walk strictly decreasing and thus terminating
+    val base =
+      if (!v3) None else parseBase(lines(4).stripPrefix("base="), version, tableDir)
     // file lines: `path` or `path\tmin\tmax[\tmin\tmax…]` (one zone-map
     // pair per stats column); in a delta manifest adds are `+`-prefixed
     // and removes `-`-prefixed
     val body = lines.drop(if (v3) 5 else 4).filter(_.nonEmpty)
     val (addLines, removeLines) =
       if (base.isEmpty) (body, Seq.empty[String])
-      else (body.filter(_.startsWith("+")).map(_.drop(1)),
-            body.filter(_.startsWith("-")).map(_.drop(1)))
+      else {
+        // every delta body line is `+add` or `-remove`; anything else is
+        // truncation/corruption and must fail loudly (same posture as the
+        // base= and stats-count guards), not silently drop rows from the
+        // resolved file list
+        body.find(l => !l.startsWith("+") && !l.startsWith("-")).foreach(l =>
+          throw new IllegalStateException(
+            s"corrupt delta line '$l' in v$version of $tableDir"))
+        (body.filter(_.startsWith("+")).map(_.drop(1)),
+         body.filter(_.startsWith("-")).map(_.drop(1)))
+      }
     val entries = addLines.map(_.split('\t'))
     val files = entries.map(_.head)
     val stats = entries.collect {
@@ -252,8 +346,15 @@ object TxnLog {
           nextSet(f) && p.fileStats.get(f) != m.fileStats.get(f)).toSet
         val removes = p.files.filter(f => !nextSet(f) || statsChanged(f))
         val adds = m.files.filter(f => !prevSet(f) || statsChanged(f))
-        (s"base=${p.version}",
-          removes.map("-" + _) ++ adds.map(f => "+" + entry(f)))
+        // a replace-heavy commit (overwrite, re-land, compaction) can make
+        // the delta LARGER than a snapshot (every old file a `-`, every new
+        // one a `+`) while still lengthening the resolution chain — fall
+        // back to a self-contained snapshot when the delta saves nothing
+        if (removes.length + adds.length >= m.files.length)
+          ("base=", m.files.map(entry))
+        else
+          (s"base=${p.version}",
+            removes.map("-" + _) ++ adds.map(f => "+" + entry(f)))
       }
     val body = (Seq(Magic,
       s"partition=${m.partitionCols.mkString(",")}",
@@ -346,10 +447,13 @@ object TxnLog {
       readRaw(tableDir, v).m.txnId.contains(txnId))
 
   /** Drop one superseded manifest (vacuum's log-pruning half), plus any
-    * fallback-path claim file it left behind. */
+    * fallback-path claim file and parquet checkpoint it left behind. */
   def deleteVersion(tableDir: Path, version: Long): Unit = {
     Files.deleteIfExists(manifestPath(tableDir, version))
     Files.deleteIfExists(claimPath(tableDir, version))
+    val ckpt = checkpointDir(tableDir, version)
+    if (Files.isDirectory(ckpt))
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
 
   /** The `col=value` directory segments of a relative file path — the

@@ -126,6 +126,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
               ranges: Seq[(String, String, String)]): DataFrame = {
     require(ranges.nonEmpty, "readBox needs at least one (column, lo, hi)")
     val dir = tableDir(table)
+    val head = TxnLog.versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    distributedManifest(dir, head) match {
+      case Some(meta) => readBoxDistributed(dir, table, head, meta, ranges)
+      case None       => readBoxDriver(dir, table, ranges)
+    }
+  }
+
+  /** Driver-side pruning (tables whose chain has no parquet checkpoint):
+    * manifest-string comparison over the resolved text manifest. At
+    * ~10^6 files this is the ~100 MB-envelope path the checkpoint form
+    * exists to supersede; below that it is the cheaper one (no job). */
+  private def readBoxDriver(dir: Path, table: String,
+      ranges: Seq[(String, String, String)]): DataFrame = {
     val m = TxnLog.current(dir).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val schema = probeSchema(dir, table, m)
@@ -134,10 +148,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
         prunedFiles(m, table, c, lo, hi, schema(c).dataType).toSet
       }
       .reduce(_ intersect _)
-    val pred = ranges.map { case (c, lo, hi) =>
-      val dt = schema(c).dataType
-      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
-    }.reduce(_ && _)
+    val pred = boxPred(ranges, schema)
     // pruning everything is a legitimate answer (query range outside every
     // file's [min,max]): the result is an EMPTY frame with the table
     // schema, not a failed read
@@ -146,6 +157,146 @@ final case class Warehouse(spark: SparkSession, root: String) {
     else readSnapshot(dir, table, m.version,
       m.files.filter(survivors)).where(pred)
   }
+
+  /** DISTRIBUTED pruning: zone-map file skipping evaluated as a
+    * DataFrame filter over the parquet checkpoint (+ folded deltas) in
+    * executors — the driver materializes only the SURVIVING paths, never
+    * the full file list or its stats. This is what keeps a box query's
+    * metadata cost bounded at ~10^6-file tables. Same semantics as
+    * [[readBoxDriver]]: a file without stats for a ranged column is
+    * never pruned; comparisons are typed via cast (the stats strings are
+    * the documented lossless round-trip forms). */
+  private def readBoxDistributed(dir: Path, table: String, head: Long,
+      meta: DataFrame, ranges: Seq[(String, String, String)]): DataFrame = {
+    val hdr = TxnLog.readHeader(dir, head)
+    ranges.foreach { case (c, _, _) =>
+      require(hdr.statsCols.contains(c),
+        s"$table carries no zone map for $c (stats columns: ${hdr.statsCols.mkString(",")})")
+    }
+    // probe-file schema: a file carrying stats for every ranged column
+    // certainly carries the columns themselves (schema-evolution-safe,
+    // same rationale as [[probeSchema]])
+    val withStats = ranges.map { case (c, _, _) =>
+      map_contains_key(col("mins"), lit(c)) }.reduce(_ && _)
+    meta.filter(withStats).select("path")
+      .head(1).headOption.map(_.getString(0)) match {
+      case None =>
+        // no file has stats for the ranged columns — nothing is prunable;
+        // scan the full snapshot with the residual predicate
+        val m = TxnLog.readVersion(dir, head)
+        val full = readSnapshot(dir, table, head, m.files)
+        full.where(boxPred(ranges, full.schema))
+      case Some(pf) =>
+        val schema = readSnapshot(dir, table, head, Seq(pf)).schema
+        val survive = ranges.map { case (c, lo, hi) =>
+          val dt = schema(c).dataType
+          val mn = try_element_at(col("mins"), lit(c)).cast(dt)
+          val mx = try_element_at(col("maxs"), lit(c)).cast(dt)
+          mn.isNull || (mn <= lit(hi).cast(dt) && mx >= lit(lo).cast(dt))
+        }.reduce(_ && _)
+        val survivors = meta.filter(survive)
+          .select("path").collect().map(_.getString(0)).toSeq
+        val pred = boxPred(ranges, schema)
+        if (survivors.isEmpty)
+          readSnapshot(dir, table, head, Seq(pf)).limit(0).where(pred)
+        else readSnapshot(dir, table, head, survivors).where(pred)
+    }
+  }
+
+  /** Surviving file paths of a box query, distributed when the chain has
+    * a checkpoint — the introspection/benchmark window into the pruning
+    * half of [[readBox]]. `types` preempts the probe-file schema read
+    * when the caller already knows the ranged columns' types. */
+  def pruneBox(table: String, ranges: Seq[(String, String, String)],
+               types: Map[String, org.apache.spark.sql.types.DataType] =
+                 Map.empty): Seq[String] = {
+    require(ranges.nonEmpty, "pruneBox needs at least one (column, lo, hi)")
+    val dir = tableDir(table)
+    val head = TxnLog.versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    distributedManifest(dir, head) match {
+      case Some(meta) =>
+        val hdr = TxnLog.readHeader(dir, head)
+        ranges.foreach { case (c, _, _) =>
+          require(hdr.statsCols.contains(c),
+            s"$table carries no zone map for $c (stats columns: ${hdr.statsCols.mkString(",")})")
+        }
+        val needProbe = ranges.exists { case (c, _, _) => !types.contains(c) }
+        val probedSchema =
+          if (!needProbe) None
+          else {
+            val withStats = ranges.map { case (c, _, _) =>
+              map_contains_key(col("mins"), lit(c)) }.reduce(_ && _)
+            meta.filter(withStats).select("path")
+              .head(1).headOption.map(_.getString(0))
+              .map(f => readSnapshot(dir, table, head, Seq(f)).schema)
+          }
+        if (needProbe && probedSchema.isEmpty)
+          // no file carries stats for the ranged columns (and the caller
+          // supplied no types): nothing is prunable
+          TxnLog.readVersion(dir, head).files
+        else {
+          def dt(c: String) = types.getOrElse(c, probedSchema.get(c).dataType)
+          val survive = ranges.map { case (c, lo, hi) =>
+            val t = dt(c)
+            val mn = try_element_at(col("mins"), lit(c)).cast(t)
+            val mx = try_element_at(col("maxs"), lit(c)).cast(t)
+            mn.isNull || (mn <= lit(hi).cast(t) && mx >= lit(lo).cast(t))
+          }.reduce(_ && _)
+          meta.filter(survive).select("path").collect().map(_.getString(0)).toSeq
+        }
+      case None =>
+        val m = TxnLog.current(dir).get
+        // the probe-file footer read only happens when the caller did not
+        // already supply every ranged column's type
+        lazy val schema = probeSchema(dir, table, m)
+        val surviving = ranges.map { case (c, lo, hi) =>
+          prunedFiles(m, table, c, lo, hi,
+            types.getOrElse(c, schema(c).dataType)).toSet
+        }.reduce(_ intersect _)
+        m.files.filter(surviving.contains)
+    }
+  }
+
+  private def boxPred(ranges: Seq[(String, String, String)],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    ranges.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+
+  /** Resolve the head's file-level metadata as a DATAFRAME when its
+    * delta chain bottoms out at a parquet checkpoint: checkpoint rows,
+    * minus every path a delta removed, plus the delta adds — the fold
+    * touches O(changed files) on the driver, never the full list. None
+    * when no checkpoint anchors the chain (caller falls back to text
+    * resolution). */
+  private def distributedManifest(dir: Path, head: Long): Option[DataFrame] =
+    TxnLog.deltaChainAbove(dir, head, TxnLog.hasCheckpoint(dir, _)).map {
+      case (base, deltas) =>
+        val ckpt = ManifestCheckpoint.read(spark, dir, base)
+        if (deltas.isEmpty) ckpt
+        else {
+          import spark.implicits._
+          // a path removed anywhere is excluded from the checkpoint; its
+          // latest re-add (the stats-change encoding is remove+add) lives
+          // in `state`; adds also shadow any same-named checkpoint row
+          val excluded = scala.collection.mutable.HashSet.empty[String]
+          val state = scala.collection.mutable.LinkedHashMap
+            .empty[String, CheckpointEntry]
+          deltas.foreach { d =>
+            d.removes.foreach { r => excluded += r; state.remove(r) }
+            ManifestCheckpoint.entriesOf(dir, d.statsCols, d.adds, d.addStats)
+              .foreach { e => excluded += e.path; state.update(e.path, e) }
+          }
+          val kept =
+            if (excluded.isEmpty) ckpt
+            else ckpt.join(excluded.toSeq.toDF("path"), Seq("path"), "left_anti")
+          if (state.isEmpty) kept
+          else kept.unionByName(spark.createDataset(state.values.toSeq).toDF())
+        }
+    }
 
   /** The file-skipping half of [[readBetween]], exposed for plan/test
     * introspection: which files of `m` can contain a row with `column`
@@ -313,7 +464,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val newStats =
       if (effStats.nonEmpty) collectStats(dir, newFiles, effStats)
       else Map.empty[String, Seq[(String, String)]]
-    TxnLog.commit(dir, txnId) { cur =>
+    val committed = TxnLog.commit(dir, txnId) { cur =>
       val old = cur.map(_.files).getOrElse(Seq.empty)
       val files = policy match {
         case SinkPolicy.Append    => old ++ newFiles
@@ -332,6 +483,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
         .map(_.fileStats).getOrElse(Map.empty)
       ManifestData(partCols, files, effStats, inherited ++ newStats)
     }
+    maybeCheckpoint(dir, committed)
     LoadResult(table, policy.toString, n)
   }
 
@@ -470,7 +622,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       val newStats =
         if (cur.statsCols.nonEmpty) collectStats(dir, newFiles, cur.statsCols)
         else Map.empty[String, Seq[(String, String)]]
-      TxnLog.commit(dir, txnId) { now =>
+      val committed = TxnLog.commit(dir, txnId) { now =>
         if (now.map(_.version) != Some(cur.version))
           throw new java.util.ConcurrentModificationException(
             s"$table changed during upsert (v${cur.version} -> " +
@@ -479,6 +631,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
         ManifestData(cur.partitionCols, files, cur.statsCols,
           (cur.fileStats -- affectedRel) ++ newStats)
       }
+      maybeCheckpoint(dir, committed)
       // rows = rows the CALLER merged (same contract as load's landed-row
       // count), not the rewrite volume — the carried-over survivors of
       // affected files are an implementation detail of copy-on-write.
@@ -647,7 +800,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val newStats =
       if (cur.statsCols.nonEmpty) collectStats(dir, newFiles, cur.statsCols)
       else Map.empty[String, Seq[(String, String)]]
-    TxnLog.commit(dir) { now =>
+    val committed = TxnLog.commit(dir) { now =>
       val head = now.map(_.files).getOrElse(Seq.empty)
       val merged = TxnLog.mergeRewrite(cur.files, head, newFiles).getOrElse(
         throw new java.util.ConcurrentModificationException(
@@ -663,6 +816,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       ManifestData(cur.partitionCols, merged, cur.statsCols,
         inherited ++ newStats)
     }
+    maybeCheckpoint(dir, committed)
     LoadResult(table, label, n)
   }
 
@@ -698,13 +852,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
         .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff)).toSet
       if (chain.size > 1 && chain.init.exists(prunable)) {
         val cur = TxnLog.readVersion(dir, head)
-        TxnLog.commit(dir, cur.txnId, forceSnapshot = true)(now =>
+        val ck = TxnLog.commit(dir, cur.txnId, forceSnapshot = true)(now =>
           // rebuilt against the latest head in case a writer races us —
           // checkpointing must never roll back a concurrent commit
           now.map(m => ManifestData(m.partitionCols, m.files, m.statsCols,
               m.fileStats))
             .getOrElse(ManifestData(cur.partitionCols, cur.files,
               cur.statsCols, cur.fileStats)))
+        // a vacuum checkpoint is exactly the log-collapse point: publish
+        // the parquet form too, whatever the version's cadence position
+        maybeCheckpoint(dir, ck, force = true)
         versions = TxnLog.versions(dir)
       }
     }
@@ -754,6 +911,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
   }
 
   private def path(table: String): String = tableDir(table).toString
+
+  /** Post-commit checkpoint cadence: every [[TxnLog.SnapshotEvery]]-th
+    * version (the text-snapshot boundary) also publishes the parquet
+    * checkpoint; `force` does so regardless (vacuum's log collapse). A
+    * checkpoint is DERIVED state — its write failing must never fail an
+    * already-durable commit, so errors degrade to the text-resolution
+    * fallback instead of surfacing. */
+  private def maybeCheckpoint(dir: Path, m: Manifest,
+                              force: Boolean = false): Unit =
+    if (force || m.version % TxnLog.SnapshotEvery == 0)
+      try ManifestCheckpoint.write(spark, dir, m)
+      catch { case scala.util.control.NonFatal(_) => () }
 
   /** Stream `df` into a hidden staging directory with the landed-row
     * count observed on the same pass, then slot the files into their

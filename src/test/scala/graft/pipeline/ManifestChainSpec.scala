@@ -136,6 +136,90 @@ class ManifestChainSpec extends SparkTestBase {
     assert(w.read("t").count() == 13)
   }
 
+  private def kbatch(lo: Long, n: Int) =
+    (lo until lo + n).map(i => (i, s"r$i")).toDF("k", "payload")
+
+  test("parquet checkpoint publishes on cadence; distributed pruning equals the driver walk") {
+    val w = Warehouse(spark, tmpDir("mc8-wh"))
+    (0 until 12).foreach(i =>
+      w.load("t", kbatch(i * 100L, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    val dir = Paths.get(w.root, "t")
+    // cadence: the SnapshotEvery-th commit carries the parquet form,
+    // mid-cadence deltas do not
+    assert(TxnLog.hasCheckpoint(dir, TxnLog.SnapshotEvery))
+    assert(!TxnLog.hasCheckpoint(dir, 12L))
+    // checkpoint rows are complete and self-describing
+    val ckpt = ManifestCheckpoint.read(spark, dir, TxnLog.SnapshotEvery)
+    assert(ckpt.count() == 10)
+    assert(ckpt.where($"size".isNull).count() == 0)
+    assert(ckpt.where(org.apache.spark.sql.functions
+      .map_contains_key($"mins", "k")).count() == 10)
+    // distributed resolution (checkpoint + deltas v11, v12) prunes the
+    // SAME files the driver-side text walk does
+    val m = TxnLog.current(dir).get
+    val driver = w.prunedFiles(m, "t", "k", "150", "450").toSet
+    val dist = w.pruneBox("t", Seq(("k", "150", "450"))).toSet
+    assert(dist == driver, s"distributed $dist != driver $driver")
+    assert(dist.size == 4) // files 1..4 of the disjoint 100-row ranges
+    // the read itself matches a full scan, including post-checkpoint rows
+    val viaBox = w.readBox("t", Seq(("k", "150", "450")))
+      .select("k").as[Long].collect().toSet
+    val full = w.read("t").where($"k".between(150, 450))
+      .select("k").as[Long].collect().toSet
+    assert(viaBox == full && full.size == 301)
+    // a range living only in a DELTA-added file (v12's batch) still hits
+    assert(w.readBox("t", Seq(("k", "1150", "1160"))).count() == 11)
+    // and a range nothing matches stays an empty frame with schema
+    assert(w.readBox("t", Seq(("k", "90000", "99999"))).count() == 0)
+  }
+
+  test("vacuum collapse publishes a checkpoint and reclaims superseded ones") {
+    val w = Warehouse(spark, tmpDir("mc9-wh"))
+    (0 until 12).foreach(i =>
+      w.load("t", kbatch(i * 100L, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    val dir = Paths.get(w.root, "t")
+    assert(TxnLog.hasCheckpoint(dir, 10L))
+    w.vacuum("t", retention = java.time.Duration.ZERO)
+    val Seq(head) = TxnLog.versions(dir)
+    assert(TxnLog.hasCheckpoint(dir, head),
+      "the collapse point must carry the parquet form")
+    assert(!TxnLog.hasCheckpoint(dir, 10L),
+      "superseded checkpoints are reclaimed with their manifests")
+    // distributed pruning keeps working off the collapsed checkpoint
+    assert(w.pruneBox("t", Seq(("k", "150", "450"))).size == 4)
+    assert(w.readBox("t", Seq(("k", "150", "450"))).count() == 301)
+  }
+
+  test("a corrupt delta body line fails resolution loudly") {
+    val w = Warehouse(spark, tmpDir("mc10-wh"))
+    (1 to 3).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", 1), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    Files.writeString(dir.resolve("_log").resolve(f"v${3L}%012d.manifest"),
+      "\ndata/orphan.parquet", java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalStateException](TxnLog.readVersion(dir, 3L))
+    assert(e.getMessage.contains("corrupt delta line"))
+  }
+
+  test("a replace-heavy mid-cadence commit encodes as a snapshot, not a bloated delta") {
+    val w = Warehouse(spark, tmpDir("mc11-wh"))
+    w.load("t", kbatch(0, 10).coalesce(1), SinkPolicy.Append)
+    w.load("t", kbatch(10, 10).coalesce(1), SinkPolicy.Append)
+    // v3 overwrites: a delta would carry -f1 -f2 +f3 (3 lines) for a
+    // 1-file table — strictly worse than the 1-line snapshot
+    w.load("t", kbatch(0, 5).coalesce(1), SinkPolicy.Overwrite)
+    val dir = Paths.get(w.root, "t")
+    val txt = manifestText(dir, 3L)
+    assert(txt.linesIterator.contains("base="),
+      s"v3 should fall back to a snapshot:\n$txt")
+    assert(!txt.linesIterator.exists(l =>
+      l.startsWith("+") || l.startsWith("-")))
+    assert(TxnLog.chainVersions(dir, 3L) == Seq(3L))
+    assert(w.read("t").count() == 5)
+  }
+
   test("txn ids stay discoverable through deltas and the checkpoint carries the head's") {
     val w = Warehouse(spark, tmpDir("mc5-wh"))
     w.load("t", hits("2026-01-01", 1), SinkPolicy.Append,
