@@ -33,8 +33,13 @@ def main() -> int:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # partial fixture dirs (stress corpora carry only documents +
+        # embeddings) register what they have; a query touching a missing
+        # table then fails loudly at exec time instead of here
+        import os
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     failures = []

@@ -165,13 +165,19 @@ object Similarity {
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via banded sign-LSH: 8 bands ×
-    * 4 sign bits (dims 4b..4b+3); a pair is a candidate if it collides in
-    * ANY band (~81% recall at cos≥0.40 on the fixture, vs scanning 0.4%
-    * of n² pairs); exact quantized cosine then verifies the 0.40
-    * threshold. The banded self-join carries only (band, bucket, id) —
-    * vectors are re-joined per side AFTER candidate dedup, so the wide
-    * rows never multiply through the explode. */
+  /** CALIBRATION BASELINE — UNREGISTERED (retired from the query surface
+    * in round 6). Embedding-cosine near-duplicate pairs via 8 bands × 4
+    * raw sign bits at cos ≥ 0.40: a 4-bit band collides for ~1/16 of ALL
+    * random pairs, and the 10× stress run measured the consequence —
+    * 1.02 s → 101.9 s (100×, quadratic; STRESS_r05.md). That is not a
+    * tuning miss but the S-curve's arithmetic: at θ = 0.40 the
+    * per-hyperplane agreement p = 1 − arccos(0.40)/π ≈ 0.63 barely
+    * separates from a random pair's 0.5, so NO banding both enumerates
+    * θ = 0.40 pairs with high recall and stays sub-quadratic. Kept only
+    * as the recall-calibration baseline for the registered detectors
+    * ([[embeddingNeardupStrict]], [[embeddingNeardupProj]],
+    * [[embeddingNeardupAuto]]), the same demotion as the exact n-gram
+    * family in TextOps. */
   val embeddingNeardup: QueryDef = QueryDef.sql(
     "embedding_neardup",
     oraclePrefix +
@@ -316,10 +322,34 @@ object Similarity {
     * the same matrix from `range()`s and replays the whole pipeline.
     * Spark computes the weights ONCE driver-side (same md5) and bakes
     * them as literal vectors into the native integer dot product. */
-  val embeddingNeardupProj: QueryDef = {
-    val bands = 8; val bits = 16; val dim = 64
+  /** Sign-LSH band-count derivation (the S-curve solved for the band
+    * count): a pair at cosine θ agrees with one hyperplane with
+    * probability p(θ) = 1 − arccos(θ)/π, collides in a B-bit band with
+    * p(θ)^B, and is caught by at least one of R bands with
+    * 1 − (1 − p(θ)^B)^R — so the bands needed for `recall` at detection
+    * threshold θ are R = ⌈ln(1 − recall) / ln(1 − p(θ)^B)⌉. The SAME
+    * formula reproduces the hand-tuned [[embeddingNeardupProj]] config:
+    * projBands(0.90, 16, 0.50) = 8. Band WIDTH stays the candidate-
+    * safety dial — a random pair collides with ~R·2^−B of all pairs, so
+    * B is chosen for the corpus budget and R then buys recall. */
+  def projBands(detectCos: Double, bits: Int, recall: Double): Int = {
+    require(detectCos > 0 && detectCos < 1 && recall > 0 && recall < 1)
+    val p = 1.0 - math.acos(detectCos) / math.Pi
+    math.max(1, math.ceil(
+      math.log1p(-recall) / math.log1p(-math.pow(p, bits))).toInt)
+  }
+
+  /** Shared threshold-parameterized random-projection near-dup builder
+    * (Spark pipeline + DuckDB oracle from one geometry): md5-derived
+    * projection weights (oracle-replayable), `bands` × `bits` packed
+    * sign buckets via the native [[graft.functions.SignProjectI64]],
+    * band-collision candidates, exact quantized-cosine verification at
+    * `verifyCos`. */
+  private def projNeardup(name: String, bands: Int, bits: Int,
+                          verifyCos: String, obs: String): QueryDef = {
+    val dim = 64
     QueryDef.sql(
-      "embedding_neardup_proj",
+      name,
       oraclePrefix +
         s""",
           |w AS (
@@ -356,7 +386,7 @@ object Similarity {
           |  JOIN norms na ON na.vec_id = va
           |  JOIN norms nb ON nb.vec_id = vb)
           |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
-          |FROM sims WHERE cos >= 0.90""".stripMargin) { (s, dir) =>
+          |FROM sims WHERE cos >= $verifyCos""".stripMargin) { (s, dir) =>
       import s.implicits._
       val base = quantized(s, dir)
       // the identical md5-derived weights, computed once on the driver
@@ -391,17 +421,40 @@ object Similarity {
             $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
         .distinct()
-        .observe("proj_candidates", count(lit(1)).as("n_pairs"))
+        .observe(obs, count(lit(1)).as("n_pairs"))
       val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
       val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
       cand.join(left, Seq("va")).join(right, Seq("vb"))
         .withColumn("dot", Kit.dotI64($"qa", $"qb"))
         .select($"va".as("vec_a"), $"vb".as("vec_b"),
           cosCol($"dot", $"na", $"nb").as("cos"))
-        .where($"cos" >= 0.90)
+        .where($"cos" >= verifyCos.toDouble)
         .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
     }
   }
+
+  /** The hand-tuned 8 × 16-bit random-projection detector at cos ≥ 0.90
+    * (see [[projNeardup]] and round-5 scaladoc history): ~99.5% recall at
+    * cos 0.99, ~67% at 0.93; a 16-bit band admits ~2⁻¹⁶ of random
+    * pairs, so candidates stay ∝ duplicate density. */
+  val embeddingNeardupProj: QueryDef =
+    projNeardup("embedding_neardup_proj", 8, 16, "0.90", "proj_candidates")
+
+  /** THRESHOLD-DERIVED near-dup — the round-6 replacement for the retired
+    * quadratic [[embeddingNeardup]]: same verification contract (report
+    * candidate pairs down to cos ≥ 0.40, the calibration regime), but
+    * the band geometry comes from [[projBands]] instead of hand tuning —
+    * B = 24-bit bands hold the random-pair collision budget at
+    * R·2⁻²⁴ of all pairs (density-proportional candidates at any corpus
+    * the fixture family reaches), and R = projBands(0.95, 24, 0.99)
+    * bands buy ≥ 99% candidate recall at the cos 0.95 DETECTION
+    * threshold (≈100% at 0.99, ~79% at 0.90, fading below — the
+    * S-curve). Pairs reported between 0.40 and ~0.90 are therefore a
+    * calibration SAMPLE, not an enumeration; enumerating cos-0.40 pairs
+    * is provably quadratic (see [[embeddingNeardup]]'s demotion note). */
+  val embeddingNeardupAuto: QueryDef =
+    projNeardup("embedding_neardup_auto", projBands(0.95, 24, 0.99), 24,
+      "0.40", "auto_candidates")
 
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
@@ -519,6 +572,7 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    similarityTopk, annLshTopk, ivfTopk, embeddingNeardup,
-    embeddingNeardupStrict, embeddingNeardupProj, multimodalFeatures)
+    similarityTopk, annLshTopk, ivfTopk,
+    embeddingNeardupStrict, embeddingNeardupProj, embeddingNeardupAuto,
+    multimodalFeatures)
 }

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *     the only shape of this operation that scales (a predicate delete
   *     that rewrites a 100 TB unpartitioned table per re-land does not).
   */
+object Warehouse {
+  /** Default ceiling on how many data files one [[Warehouse.upsert]] may
+    * rewrite: bounds BOTH the probe's driver-side path collect and the
+    * copy-on-write rewrite volume. 100k files ≈ 10 MB of collected
+    * paths — inside the metadata envelope [[TxnLog]] documents; a merge
+    * wider than that should be an explicit overwrite or be preceded by
+    * compaction. */
+  val DefaultMaxRewriteFiles: Int = 100000
+}
+
 sealed trait SinkPolicy
 object SinkPolicy {
   case object Append extends SinkPolicy
@@ -568,7 +578,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * publish aborts this merge (a concurrent append could carry matched
     * keys the rewrite would silently miss) — re-run on conflict. */
   def upsert(table: String, df: DataFrame, keyCols: Seq[String],
-             txnId: Option[String] = None): LoadResult = {
+             txnId: Option[String] = None,
+             maxRewriteFiles: Int = Warehouse.DefaultMaxRewriteFiles): LoadResult = {
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val dir = tableDir(table)
@@ -596,12 +607,26 @@ final case class Warehouse(spark: SparkSession, root: String) {
         s"$table lacks key column(s) ${keyCols.filterNot(existing.columns.contains).mkString(",")}")
       def keyCond(l: DataFrame, r: DataFrame) =
         keyCols.map(c => l(c) <=> r(c)).reduce(_ && _)
-      // probe: which CURRENT files hold a matched key (reads keys only)
+      // probe: which CURRENT files hold a matched key (reads keys only).
+      // The collect is BOUNDED to maxRewriteFiles + 1 rows — the same
+      // driver-envelope discipline as the manifest: a batch whose keys
+      // touch more files than that is no longer a selective merge but a
+      // table rewrite in disguise, and silently collecting ~10^6 paths
+      // (then rewriting them all copy-on-write) is the wrong tool for it
       val probed = existing.select((keyCols.map(col) :+
         input_file_name().as("__file")): _*)
-      val affectedRel = probed
+      val affectedAbs = probed
         .join(batchKeys, keyCond(probed, batchKeys), "left_semi")
-        .select($"__file").distinct().collect().map(_.getString(0))
+        .select($"__file").distinct()
+        .limit(maxRewriteFiles + 1).collect().map(_.getString(0))
+      if (affectedAbs.length > maxRewriteFiles)
+        throw new IllegalStateException(
+          s"upsert batch matches keys in more than $maxRewriteFiles data " +
+            s"files of $table — a copy-on-write merge at this width is a " +
+            "near-full table rewrite; land it as load(Overwrite) built " +
+            "from read(table) + the batch, raise maxRewriteFiles " +
+            "explicitly, or compact the table first")
+      val affectedRel = affectedAbs
         .map { abs =>
           val p = scala.util.Try(Paths.get(new java.net.URI(abs)))
             .getOrElse(Paths.get(abs))

@@ -16,7 +16,7 @@ class ConstrainedRunSpec extends AnyFunSuite {
   test("heavy queries complete and spill under a squeezed memory pool") {
     val out = java.nio.file.Files.createTempDirectory("vc-smoke").toString
     val queries = Seq("table_checksum", "grouped_count_distinct",
-      "embedding_neardup", "q1_pricing_summary", "window_running_sum")
+      "embedding_neardup_auto", "q1_pricing_summary", "window_running_sum")
     val javaBin = java.nio.file.Paths
       .get(sys.props("java.home"), "bin", "java").toString
     val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",

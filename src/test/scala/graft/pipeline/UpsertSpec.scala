@@ -96,6 +96,32 @@ class UpsertSpec extends SparkTestBase {
     assert(out === Set((1L, "a", None), (2L, "B", Some(7L))))
   }
 
+  test("a merge wider than maxRewriteFiles is refused before rewriting the table") {
+    val w = Warehouse(spark, tmpDir("up8-wh"))
+    // 12 single-row files: a batch matching every key would rewrite all
+    // of them — with the ceiling at 5 the probe must stop (its collect is
+    // limit-bounded to the cap + 1) and refuse with guidance, leaving the
+    // table untouched
+    (1L to 12L).foreach(k =>
+      w.load("big", Seq((k, s"v$k")).toDF("k", "v").coalesce(1),
+        SinkPolicy.Append))
+    assert(w.currentFiles("big").size === 12)
+    val v = TxnLog.current(java.nio.file.Paths.get(w.root, "big")).get.version
+    val err = intercept[IllegalStateException] {
+      w.upsert("big", (1L to 12L).map(k => (k, s"V$k")).toDF("k", "v"),
+        Seq("k"), maxRewriteFiles = 5)
+    }
+    assert(err.getMessage.contains("more than 5 data files"))
+    assert(TxnLog.current(java.nio.file.Paths.get(w.root, "big")).get.version === v,
+      "refused merge must not commit")
+    // the same batch under a sufficient ceiling merges normally
+    val r = w.upsert("big", (1L to 12L).map(k => (k, s"V$k")).toDF("k", "v"),
+      Seq("k"), maxRewriteFiles = 100)
+    assert(r.action === "upserted(rewrote=12 files)")
+    assert(w.read("big").as[(Long, String)].collect().toMap ===
+      (1L to 12L).map(k => k -> s"V$k").toMap)
+  }
+
   test("empty batch is skipped without a commit") {
     val w = Warehouse(spark, tmpDir("up7-wh"))
     w.load("s", Seq((1L, "a")).toDF("k", "v"), SinkPolicy.Append)
