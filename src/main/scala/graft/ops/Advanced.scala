@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -258,21 +258,67 @@ object Advanced {
       max($"l_quantity").as("max_qty"))
   }
 
+  /** Shared pipeline for [[aggPercentilesApprox]], parameterized so the
+    * spec can prove the rank check is live: `sketchAccuracy` drives the
+    * sketch, `claimedAccuracy` the asserted rank-error bound ε = 1/claimed
+    * — a coarse sketch under a tight claim must flip the flags false.
+    *
+    * The bound is the sketch's own contract, checked by RANK (value
+    * distance means nothing for a quantile sketch): approx_percentile
+    * guarantees the returned element's exact rank is within ε·n of the
+    * target rank, so per group we re-scan and count values <,≤ the
+    * returned point — `ok` iff [count(<)+1, count(≤)] overlaps
+    * [p·n − ε·n − 1, p·n + ε·n + 1] (±1 absorbs the rank-definition
+    * off-by-ones). The second scan is the audit's price, not the
+    * operator's: the sketch itself is one pass, mergeable, O(accuracy)
+    * memory per group regardless of group size — the reason it replaces
+    * sort-based percentile at 100 TB. */
+  def percentilesApproxDf(s: SparkSession, dir: String,
+      sketchAccuracy: Int, claimedAccuracy: Int): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
+    val sk = li.groupBy($"l_returnflag").agg(
+      expr(s"approx_percentile(l_quantity, 0.5, $sketchAccuracy)").as("a50"),
+      expr(s"approx_percentile(l_quantity, 0.9, $sketchAccuracy)").as("a90"),
+      count(lit(1)).as("n_lines"))
+    // broadcast the tiny per-group sketch results back over the fact
+    // table: one extra narrow scan, no extra shuffle beyond the re-agg
+    def rankOk(p: Double, cLt: Column, cLe: Column): Column = {
+      val eps = ($"n_lines".cast("double") / claimedAccuracy) + 1.0
+      val target = $"n_lines".cast("double") * p
+      (cLe >= target - eps) && (cLt + 1 <= target + eps)
+    }
+    li.join(broadcast(sk), "l_returnflag")
+      .groupBy($"l_returnflag").agg(
+        first($"n_lines").as("n_lines"),
+        count_if($"l_quantity" < $"a50").as("lt50"),
+        count_if($"l_quantity" <= $"a50").as("le50"),
+        count_if($"l_quantity" < $"a90").as("lt90"),
+        count_if($"l_quantity" <= $"a90").as("le90"))
+      .select($"l_returnflag", $"n_lines",
+        rankOk(0.5, $"lt50", $"le50").as("p50_rank_ok"),
+        rankOk(0.9, $"lt90", $"le90").as("p90_rank_ok"))
+  }
+
   /** The 100 TB form of exact percentiles: `approx_percentile` keeps a
     * fixed-size mergeable quantile sketch per group instead of sorting
-    * the group — no per-group sort, sketches combine map-side, memory is
-    * O(accuracy) regardless of group size. Sketch internals are
-    * engine-specific, so (like the HLL row) this is rows-only for the
-    * driver; the accuracy contract vs the exact sort-based percentiles
-    * is unit-tested instead (ApproxPercentileSpec). */
-  val aggPercentilesApprox: QueryDef =
-    QueryDef.rowsOnly("agg_percentiles_approx") { (s, dir) =>
-      import s.implicits._
-      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
-        count(lit(1)).as("n_lines"))
-    }
+    * the group. Sketch internals (and even the returned element, which
+    * can shift with merge order) are engine-specific, so the ESTIMATE has
+    * no cross-engine hash; what IS oracle-checkable is the sketch's
+    * ε-rank contract, and that's what this emits: per-group flags
+    * asserting the returned p50/p90 points sit within rank ε·n (ε =
+    * 1/1000) of the true target ranks, which DuckDB replays as literal
+    * TRUEs — a hash mismatch now means a measured accuracy violation
+    * (was rows-only before round 6). ApproxPercentileSpec proves the
+    * flags are live (coarse sketch + tight claim → false). */
+  val aggPercentilesApprox: QueryDef = QueryDef.sql(
+    "agg_percentiles_approx",
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    percentilesApproxDf(s, dir, sketchAccuracy = 1000,
+      claimedAccuracy = 1000)
+  }
 
   /** Argmin/argmax + conditional aggregates: which order carries the
     * max price per priority (`max_by` / DuckDB `arg_max`), conditional

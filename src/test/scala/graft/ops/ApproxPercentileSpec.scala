@@ -2,31 +2,36 @@ package graft.ops
 
 import graft.SparkTestBase
 
-/** Accuracy contract of the approx percentile variant vs the exact
-  * sort-based percentiles: within 2% relative (±1 floor) per group. At
-  * accuracy=1000 over integer-valued quantities the sketch returns an
-  * actual data point adjacent to the interpolated exact value, so the
-  * bound is comfortably met; it is a contract check, not a tautology —
-  * lowering accuracy to ~10 breaks it. */
+/** ε-rank contract of the approx percentile variant, now emitted as
+  * in-query `p50_rank_ok`/`p90_rank_ok` flags (round 6: the DuckDB
+  * oracle replays them as literal TRUEs, so the driver hash-checks the
+  * bound). This spec proves the flag is LIVE: the registered
+  * accuracy-1000 sketch honors its own ε = 1/1000 rank claim, while a
+  * deliberately coarse accuracy-2 sketch under that same tight claim
+  * must flip at least one flag false. */
 class ApproxPercentileSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("approx_percentile tracks exact percentiles within 2% (±1)") {
-    val dir = "/root/testdata/sf0.001"
-    val exact = Advanced.aggPercentiles.fn(spark, dir)
-      .select($"l_returnflag", $"p50_q6", $"p90_q6")
-      .as[(String, Long, Long)].collect()
-      .map { case (k, p50q, p90q) => k -> (p50q / 1e6, p90q / 1e6) }.toMap
-    val approx = Advanced.aggPercentilesApprox.fn(spark, dir)
-      .select($"l_returnflag", $"p50_approx", $"p90_approx")
-      .as[(String, Double, Double)].collect()
-    assert(approx.nonEmpty && approx.length == exact.size)
-    approx.foreach { case (k, a50, a90) =>
-      val (e50, e90) = exact(k)
-      assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.02),
-        s"$k p50: approx $a50 vs exact $e50")
-      assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.02),
-        s"$k p90: approx $a90 vs exact $e90")
-    }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registered config: p50/p90 points sit within rank n/1000 of target") {
+    val rows = Advanced
+      .percentilesApproxDf(spark, dir, sketchAccuracy = 1000,
+        claimedAccuracy = 1000)
+      .select($"l_returnflag", $"p50_rank_ok", $"p90_rank_ok")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filterNot(r => r._2 && r._3)
+    assert(bad.isEmpty, s"rank flags false for: ${bad.toSeq}")
+  }
+
+  test("rank check is live: an accuracy-2 sketch fails the 1/1000 claim") {
+    val rows = Advanced
+      .percentilesApproxDf(spark, dir, sketchAccuracy = 2,
+        claimedAccuracy = 1000)
+      .select($"p50_rank_ok", $"p90_rank_ok")
+      .as[(Boolean, Boolean)].collect()
+    assert(rows.exists(r => !r._1 || !r._2),
+      "accuracy-2 sketch met the 1/1000 rank claim — check is vacuous")
   }
 }
