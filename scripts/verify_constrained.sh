@@ -27,15 +27,20 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 # (heap - 300M) * fraction 0.05 — ~2.3 MB minimum per concurrent task at
 # -Xmx1g, far below the suite's per-task working sets at sf0.1, so
 # sorts, hash aggregates, and shuffle writers must spill to disk.
-# storageFraction drops to 0.1 because the default 0.5 PROTECTS cached
-# blocks from eviction: the iterative operators (CC, PageRank) pin their
-# per-round state via localCheckpoint, and at a 36 MB pool the protected
-# half starves execution below the hash-aggregate page floor (observed:
-# UNABLE_TO_ACQUIRE_MEMORY in neardup_clusters). The 100 TB lesson is
-# real and documented in PLANS.md: size the storage floor to the pinned
-# state, not the default half.
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.05;spark.memory.storageFraction=0.1;spark.sql.autoBroadcastJoinThreshold=1048576" \
+# storageFraction stays at its 0.5 DEFAULT since round 6: the iterative
+# operators (CC, PageRank) used to OOM here (UNABLE_TO_ACQUIRE_MEMORY in
+# neardup_clusters) because their localCheckpoint state sat in the
+# protected storage region and starved execution below the
+# hash-aggregate page floor; they now pin loop state DISK_ONLY, so the
+# lesson lives in the operators, not in deployment config (history in
+# BENCH_NOTES.md / PLANS.md).
+# Concurrency is 4, not 8: a new hash-aggregate map's FIRST page (256 KB)
+# cannot reclaim memory from other TASKS' consumers, so at full pool
+# saturation the first-page grab is a cross-task race — 4 tasks × 9 MB
+# shares make completion deterministic; per-task pressure (and spill
+# volume, ~450 MB over the 8 smoke queries) stays real.
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
+SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.05;spark.sql.autoBroadcastJoinThreshold=1048576" \
 java -Xmx"$HEAP" -XX:+ExitOnOutOfMemoryError \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -41,8 +42,17 @@ object Components {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.toDF("src", "dst")
-    // undirected: propagate both ways; persisted — read every round
-    val sym = e.union(e.select($"dst", $"src")).persist()
+    // undirected: propagate both ways; persisted — read every round.
+    // DISK_ONLY, as is every localCheckpoint below: pinned loop state
+    // must not occupy the unified pool's PROTECTED storage region
+    // (spark.memory.storageFraction, default 0.5) — under a squeezed
+    // pool the protected half starves hash aggregates below their first
+    // page (measured: UNABLE_TO_ACQUIRE_MEMORY in this very loop at a
+    // 36 MB pool), while the state itself is O(V+E) rows read once per
+    // round, for which local-disk reads are ample. Eviction-safe by
+    // construction instead of by deployment config.
+    val sym = e.union(e.select($"dst", $"src"))
+      .persist(StorageLevel.DISK_ONLY)
     // Every round ends in localCheckpoint(eager): the pointer-jump
     // SELF-join references the round's plan twice, so without lineage
     // truncation the logical plan doubles per round — exponential plan
@@ -57,7 +67,8 @@ object Components {
     // just least(id, min(dst)) — one aggregation over the edge list
     // replaces the distinct AND the first loop round's three joins.
     var labels = sym.groupBy($"src".as("id"))
-      .agg(least($"id", min($"dst")).as("cluster_id")).localCheckpoint(true)
+      .agg(least($"id", min($"dst")).as("cluster_id"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var converged = sym.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -94,7 +105,8 @@ object Components {
         .select($"id", $"jump".as("cluster_id"), $"prev")
         .observe(obs, sum(when($"cluster_id" =!= $"prev", 1L)
           .otherwise(0L)).as("changed"))
-        .localCheckpoint(true) // eager: the observed action of this round
+        // eager: the observed action of this round
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       val changed = obs.get("changed") match {
         case l: Long           => l
         case l: java.lang.Long => l.longValue()
@@ -136,7 +148,11 @@ object Components {
         |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM cc JOIN cs USING (cluster_id)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = TextOps.minhashNeardupPairs(t(s, dir, "documents"))
+      // DISK_ONLY stage tables: see minhashNeardupPairs — the pair
+      // stage's caches must not hold the protected storage region
+      // through the CC loop that follows
+      val pairs = TextOps.minhashNeardupPairs(t(s, dir, "documents"),
+          StorageLevel.DISK_ONLY)
         .select($"doc_a", $"doc_b")
       val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
       val sizes = cc.groupBy($"cluster_id")

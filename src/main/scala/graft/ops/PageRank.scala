@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -44,8 +45,11 @@ object PageRank {
     val ew = e.join(out, "src")
       .select($"src", $"dst", $"w", $"totw").persist()
     val base = 1000000L - d6 // (1-d) in millionths, per node
+    // DISK_ONLY checkpoints (same rationale as Components): pinned
+    // unevictable rank state must not sit in the unified pool's
+    // protected storage region; O(V) rows per round read once.
     var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     try for (r <- 1 to rounds) {
       val contrib = ew.join(rank, ew("src") === rank("id"))
         .select($"dst",
@@ -60,7 +64,8 @@ object PageRank {
       // references `rank` once, so two unrolled rounds only double the
       // plan — half the eager checkpoint jobs for the same bounded-plan
       // guarantee (rounds are latency-dominated on small graphs).
-      if (r % 2 == 0 || r == rounds) rank = rank.localCheckpoint(true)
+      if (r % 2 == 0 || r == rounds)
+        rank = rank.localCheckpoint(true, StorageLevel.DISK_ONLY)
     } finally {
       // The final rank is an eager localCheckpoint, so nothing below it
       // is needed again — release the loop-scoped caches so repeated

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Kit
 import graft.sources.Tables
@@ -709,15 +710,22 @@ object TextOps {
       minhashNeardupPairs(t(s, dir, "documents"))
     }
 
-  /** MinHash-banded near-dup detector over ANY (doc_id, text) frame. */
-  def minhashNeardupPairs(docs: DataFrame): DataFrame = {
+  /** MinHash-banded near-dup detector over ANY (doc_id, text) frame.
+    * `stageLevel` is the storage level of the internal stage tables
+    * (shingle sets, signatures): MEMORY_AND_DISK for the standalone
+    * query's hot path; iterative compositions ([[Components
+    * .neardupClusters]]) pass DISK_ONLY so the stage tables never occupy
+    * the unified pool's protected storage region while a downstream
+    * loop's hash aggregates need execution memory. */
+  def minhashNeardupPairs(docs: DataFrame,
+      stageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
       val s = docs.sparkSession
       import s.implicits._
       // persist: without it the interpreted transform/array_distinct chain
       // under the explode re-evaluates per OUTPUT row (shingle), not per
       // document — a ~50x recompute (measured 8s of a 9s query at sf0.1)
-      val sets = shingleSets(docs).persist()
-      val bands = minhashBands(sets)
+      val sets = shingleSets(docs).persist(stageLevel)
+      val bands = minhashBands(sets, stageLevel)
       val cand = bands.toDF("doc_a", "band", "k")
         .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
         .where($"doc_a" < $"doc_b")
@@ -735,7 +743,8 @@ object TextOps {
     * (stage-table materialization: every band consumer reads it instead
     * of recomputing; at 100 TB this is a written table that INCREMENTAL
     * loads extend batch-by-batch rather than rebuild). */
-  private[ops] def minhashBands(sets: DataFrame): DataFrame = {
+  private[ops] def minhashBands(sets: DataFrame,
+      stageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val s = sets.sparkSession
     import s.implicits._
     val sh = explodedShingles(sets)
@@ -745,7 +754,8 @@ object TextOps {
     val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
     }
-    val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(stageLevel)
     val bandStructs = (0 until MH_BANDS).map { bd =>
       struct(lit(bd).as("band"),
         concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
