@@ -25,7 +25,18 @@ is FACTOR times sf0.1 with the same statistical shape:
 
 Everything is seeded; two runs produce byte-identical parquet. Usage:
 
-    python3 scripts/gen_stress.py /root/testdata/sf0.1 /tmp/sf1_stress 10
+    python3 scripts/gen_stress.py /root/testdata/sf0.1 /tmp/sf1_stress 10 [hot_frac]
+
+The optional hot_frac (default 0, which reproduces the round-5 fixture
+byte-identically) plants an LSH HOT BUCKET: that fraction of vectors get
+positive signs on dims 0..15 and 16,24,..,56 — the dims ann_lsh_topk's
+8-bit bucket and embedding_neardup_strict's band 0 read — so they all
+collide in one bucket while staying pairwise-random (cos ~ 0.3-0.6, far
+below the 0.90 verify threshold). This is the adversarial skew fixture:
+candidate volume in the hot bucket is (hot_frac*n)^2/2 regardless of true
+duplicate density, and the question measured in STRESS_r06.md is whether
+the band self-join's skewed shuffle partition is split by AQE rather than
+serializing one straggler task.
 """
 import sys
 import duckdb
@@ -35,6 +46,7 @@ import pyarrow.parquet as pq
 
 def main():
     base, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     rng = np.random.default_rng(20260813)
     con = duckdb.connect()
 
@@ -102,6 +114,15 @@ def main():
         j = int(clean[int(rng.integers(0, len(clean)))])
         v = vecs[j] + rng.normal(0, 0.02, dim).astype(np.float32)
         vecs[i] = v / np.linalg.norm(v)
+    if hot_frac > 0:
+        # hot-bucket planting AFTER dup planting (sign-flips would break
+        # a planted pair's cos ~ 0.987); abs() preserves unit norm. Dims:
+        # ann_lsh_topk buckets on signs of 0,8,..,56; strict's band 0 is
+        # dims 0..15 — force both so one fixture stresses both queries.
+        hot_dims = sorted(set(range(16)) | {8 * j for j in range(8)})
+        hot_idx = rng.choice(n_vec, int(n_vec * hot_frac), replace=False)
+        for i in hot_idx:
+            vecs[i, hot_dims] = np.abs(vecs[i, hot_dims])
     pq.write_table(pa.table({
         "vec_id": pa.array(np.arange(n_vec), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),

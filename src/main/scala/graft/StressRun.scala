@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
   *   sbt 'runMain graft.StressRun /tmp/sf1_stress minhash_lsh_neardup …'
   *
   * Each query runs twice (cold then warm, cache cleared between); both
-  * times are reported. */
+  * times are reported. The JSON line also carries `"skew": true|false` —
+  * whether any join in the EXECUTED adaptive plan was split by AQE's
+  * skew-join optimization (`skew=true` in the final plan) — and, when
+  * `SPARK_GRAFT_PLAN_DIR` is set, the executed plan of the warm run is
+  * written to `<dir>/<query>.plan.txt` (the evidence artifact for the
+  * broadcast→SMJ and skew-split claims in STRESS_r*.md). */
 object StressRun {
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -51,15 +56,26 @@ object StressRun {
               s""""$mName.$f": $v"""
             }
           }
-        (sec, rows, metrics)
+        // the EXECUTED plan (adaptive final form — collect() above has
+        // finalized AQE), not the initial one: skew splits and runtime
+        // broadcast demotions only exist here
+        val plan = df.queryExecution.executedPlan.toString
+        (sec, rows, metrics, plan)
       }
-      val (coldSec, rows, metrics) = runs.head
-      val warmSec = runs.last._1
+      val (coldSec, rows, metrics, _) = runs.head
+      val (warmSec, _, _, warmPlan) = runs.last
+      sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { pd =>
+        val dir = java.nio.file.Paths.get(pd)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"$name.plan.txt"),
+          warmPlan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       println((Seq(
         s""""query": "$name"""",
         f""""cold_sec": $coldSec%.2f""",
         f""""warm_sec": $warmSec%.2f""",
-        s""""rows": $rows""") ++ metrics)
+        s""""rows": $rows""",
+        s""""skew": ${warmPlan.contains("skew=true")}""") ++ metrics)
         .mkString("{", ", ", "}"))
     }
     spark.stop()

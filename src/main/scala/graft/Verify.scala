@@ -60,6 +60,9 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
+      // start marker BEFORE the query runs: a crash (OOM, kill) names its
+      // in-flight query instead of leaving a silent gap in the output dir
+      System.err.println(s"[verify] running $name")
       val m0 = memSpilled.get(); val d0 = diskSpilled.get()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -212,20 +212,40 @@ object Relational {
     def ok(approx: Column, exact: Column): Column =
       abs(approx - exact) <= greatest(lit(floor.toLong), ceil(exact * tolerance))
     // keyed spread: see groupedCountDistinct — sketch building runs
-    // post-shuffle at full width (here the aggs' required distribution
-    // IS l_orderkey, so the final agg rides the spread's partitioning
-    // with no further exchange). HLL and exact distinct share one
-    // grouping; HLL register-merge is max() — order-independent, so the
-    // flags are deterministic under any partitioning.
-    t(s, dir, "lineitem")
+    // post-shuffle at full width (the aggs' required distribution IS
+    // l_orderkey, so both aggregates below ride the spread's partitioning
+    // with no further exchange). HLL register-merge is max() —
+    // order-independent, so the flags are deterministic under any
+    // partitioning.
+    //
+    // The exact distincts and the sketches are SEPARATE aggregations,
+    // deliberately: fused into one groupBy, Catalyst's multi-distinct
+    // rewrite (Expand + re-aggregate) attaches the ~0.5 KB-per-sketch
+    // HLL buffers to every EXPANDED group — (l_orderkey, distinct-value)
+    // pairs, ~3× input rows — inflating aggregation state from
+    // #groups × sketch to #input-rows × sketch (~2 GB at sf0.1).
+    // Measured consequence under a squeezed pool (verify_constrained):
+    // hundreds of tiny spill files per task, and the sort-based merge
+    // then OOMs the JVM on its per-file read-ahead buffers — 2 MB of
+    // UNMANAGED heap each, all open at once — before any managed
+    // allocation can spill. Split, the sketch aggregate holds one buffer
+    // per FINAL group and the exact aggregate's expanded state is bare
+    // keys; the join is co-partitioned on l_orderkey (zero added
+    // exchange — both sides reuse the spread). At 100 TB the same rule
+    // holds: never put per-group sketch state behind a distinct-rewrite
+    // Expand.
+    val spread = t(s, dir, "lineitem")
       .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
-      .groupBy($"l_orderkey")
+    val exact = spread.groupBy($"l_orderkey")
       .agg(
         countDistinct($"l_suppkey").as("n_supp"),
         countDistinct($"l_partkey").as("n_part"),
-        count(lit(1)).as("n_lines"),
+        count(lit(1)).as("n_lines"))
+    val approx = spread.groupBy($"l_orderkey")
+      .agg(
         approx_count_distinct($"l_suppkey", rsd).as("a_supp"),
         approx_count_distinct($"l_partkey", rsd).as("a_part"))
+    exact.join(approx, Seq("l_orderkey"))
       .select($"l_orderkey", $"n_supp", $"n_part", $"n_lines",
         ok($"a_supp", $"n_supp").as("supp_ok"),
         ok($"a_part", $"n_part").as("part_ok"))
