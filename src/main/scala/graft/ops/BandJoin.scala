@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-aware candidate enumeration for LSH band self-joins.
+  *
+  * Every banded detector in this engine ([[Similarity]]'s sign-LSH and
+  * random-projection families, [[TextOps]]' MinHash) enumerates
+  * candidate pairs with a self-join on `(band, bucket)`. That join's
+  * cost is Σ m² over bucket sizes m — and a single HOT bucket (an
+  * all-zeros embedding cluster, a boilerplate-dominated shingle, an
+  * adversarial corpus) concentrates m²/2 pairs in ONE shuffle
+  * partition. AQE's skew-join split does NOT help here: its heuristic
+  * reads shuffle partition BYTES, and a hot LSH bucket is kilobytes of
+  * (id, band, bucket) rows that EXPAND to millions of output pairs —
+  * input-size-blind fan-out skew (measured in STRESS_r06.md: the
+  * planted 20%-hot-bucket fixture leaves the executed plan without a
+  * single `skew=true` split while one straggler task enumerates ~8M
+  * pairs).
+  *
+  * The fix is the classic salted self-join, applied ADAPTIVELY so the
+  * 99.99% of well-behaved buckets pay nothing:
+  *
+  *   1. one narrow aggregation counts bucket sizes (same row volume the
+  *      band join itself shuffles — O(corpus bands), not O(pairs));
+  *   2. buckets above `hotThreshold` members are broadcast as the hot
+  *      set (skew keys are few by definition — a broadcast of any size
+  *      here means the detector's geometry is wrong, not the join);
+  *   3. cold buckets take the ordinary `(band, bucket)` self-join,
+  *      byte-identical to the unsalted plan;
+  *   4. hot-bucket members get a deterministic salt `hash(id) mod S`;
+  *      each side is replicated S ways (left over peer-salt `p`, right
+  *      over peer-salt `q`) and the join key becomes
+  *      `(band, bucket, saltA, saltB)` — each (a, b) pair matches
+  *      EXACTLY once (at saltA = q, saltB = p), and a bucket's m²/2
+  *      pairs spread over S² independent shuffle keys, bounding any one
+  *      task at ~m²/S². Replication cost is S× the hot rows only.
+  *
+  * Output: distinct undirected pairs `(va, vb)` with `va < vb` — the
+  * same contract as the unsalted join the callers previously inlined,
+  * so oracles are unchanged (salting redistributes enumeration, never
+  * membership; pinned by BandJoinSpec against the naive join).
+  *
+  * At 100 TB: the sizes pass and the salted union keep every stage
+  * shuffling (band, bucket, id)-shaped rows; no stage's per-task work
+  * exceeds max(coldThreshold², hotMax²/S²) pair enumerations, so one
+  * poisoned bucket degrades a task by a bounded factor instead of
+  * serializing the stage.
+  */
+object BandJoin {
+
+  /** Distinct undirected candidate pairs (va < vb) from a `(id, band,
+    * k)` band table, salting buckets with more than `hotThreshold`
+    * members across `salts`² join keys. */
+  def selfCandidates(bands: DataFrame, hotThreshold: Long = 1024L,
+                     salts: Int = 8): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    val b = bands.toDF("id", "band", "k")
+    val hotKeys = b.groupBy($"band", $"k")
+      .agg(count(lit(1)).as("m")).where($"m" > hotThreshold)
+      .select($"band", $"k")
+    val cold = b.join(broadcast(hotKeys), Seq("band", "k"), "left_anti")
+    val hot = b.join(broadcast(hotKeys), Seq("band", "k"))
+      .withColumn("salt", pmod(xxhash64($"id"), lit(salts)))
+    val coldPairs = cold.select($"id".as("va"), $"band", $"k")
+      .join(cold.select($"id".as("vb"), $"band", $"k"), Seq("band", "k"))
+      .where($"va" < $"vb")
+    // left replicated over peer-salt p, right over peer-salt q; matching
+    // (band, k, saltA, p) = (band, k, q, saltB) pairs each (a, b) exactly
+    // once and splits one bucket's enumeration over salts^2 shuffle keys
+    val peers = explode(sequence(lit(0L), lit(salts - 1L)))
+    // disjoint column names per side: a band self-join on shared
+    // attribute references is ambiguous to the analyzer
+    val hotA = hot.select($"id".as("va"), $"band".as("band_a"),
+      $"k".as("k_a"), $"salt".as("sa")).withColumn("p", peers)
+    val hotB = hot.select($"id".as("vb"), $"band".as("band_b"),
+      $"k".as("k_b"), $"salt".as("sb")).withColumn("q", peers)
+    val hotPairs = hotA.join(hotB,
+      $"band_a" === $"band_b" && $"k_a" === $"k_b" &&
+        $"sa" === $"q" && $"p" === $"sb")
+      .where($"va" < $"vb")
+    coldPairs.select($"va", $"vb")
+      .union(hotPairs.select($"va", $"vb"))
+      .distinct()
+  }
+}

@@ -69,13 +69,24 @@ object Similarity {
       |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
       |  FROM flat GROUP BY vec_id)""".stripMargin
 
-  /** Brute-force cosine top-k: every 25th vector is a query; the query set
-    * is broadcast against a single scan of the corpus, so the corpus is
-    * read once and never shuffled; only the (queries × k) result rows move.
-    * At 100 TB the same plan holds: broadcast the (small) query set, one
-    * pass over the embedding table, per-partition partial top-k via the
-    * window's rank pushdown (Spark optimizes rn<=k to a per-partition
-    * heap in TakeOrderedAndProject-like WindowGroupLimit). */
+  /** EXACTNESS BASELINE — VERIFICATION-GRADE, not the production path
+    * (same designation as the exact n-gram family in TextOps): brute-force
+    * cosine top-k is O(queries × corpus) BY DEFINITION — measured 67× wall
+    * time at a 10× corpus with 10× queries (STRESS_r05.md), i.e. it does
+    * exactly the quadratic work it promises. Use it to calibrate recall of
+    * the registered scale paths ([[annLshTopk]] — sub-quadratic via
+    * bucketing; [[ivfTopk]] — touches ~nprobe/K of the corpus per query),
+    * or when the query set is genuinely tiny.
+    *
+    * Within that contract the plan is the best available shape: every 25th
+    * vector is a query; the query set is broadcast against a single scan
+    * of the corpus, so the corpus is read once and never shuffled; only
+    * the (queries × k) result rows move. At 100 TB with a SMALL query set
+    * the same plan holds — broadcast queries, one pass over the embedding
+    * table, per-partition partial top-k via the window's rank pushdown
+    * (Spark optimizes rn<=k to a per-partition heap via
+    * WindowGroupLimit). What does NOT scale is the arithmetic itself when
+    * queries grow with the corpus. */
   val similarityTopk: QueryDef = QueryDef.sql(
     "similarity_topk",
     oraclePrefix +
@@ -150,13 +161,22 @@ object Similarity {
       s"CASE WHEN qe[${8 * j}] > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
     val base = quantized(s, dir)
       .withColumn("bkt", expr(s"CAST($bktExpr AS BIGINT)"))
-    val a = base.select($"vec_id".as("qid"), $"qe".as("qa"),
-      $"nrm".as("na"), $"bkt")
-    val b = base.select($"vec_id".as("cid"), $"qe".as("qb"),
-      $"nrm".as("nb"), $"bkt")
+    // skew-aware bucket self-join (one logical band): a hot bucket's
+    // pairs are enumerated across salt² shuffle keys instead of one
+    // straggler task — see BandJoin; AQE cannot split this (fan-out
+    // skew is invisible to its shuffle-bytes heuristic, measured in
+    // STRESS_r06.md)
+    val und = BandJoin.selfCandidates(
+      base.select($"vec_id", lit(0L).as("band"), $"bkt"))
+    // ranking is per-query over BOTH directions of each undirected pair
+    val cand = und.select($"va".as("qid"), $"vb".as("cid"))
+      .union(und.select($"vb".as("qid"), $"va".as("cid")))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
-    a.join(b, Seq("bkt"))
-      .where($"qid" =!= $"cid")
+    cand
+      .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
+        Seq("qid"))
+      .join(base.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
+        Seq("cid"))
       .withColumn("dot",
         Kit.dotI64($"qa", $"qb"))
       .select($"qid", $"cid", cosCol($"dot", $"na", $"nb").as("cos"))
@@ -289,12 +309,9 @@ object Similarity {
       .select($"vec_id", $"qe", explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bkt", expr(s"CAST($bktExpr AS BIGINT)"))
       .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkt" === $"b.bkt" &&
-          $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
-      .distinct()
+    // skew-aware band self-join (see BandJoin): identical pair set,
+    // hot buckets salted across salt² shuffle keys
+    val cand = BandJoin.selfCandidates(bands)
       // scale telemetry, as in the text near-dup stages
       .observe("strict_candidates", count(lit(1)).as("n_pairs"))
     val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
@@ -415,12 +432,9 @@ object Similarity {
       val bandsDf = withBkts
         .select($"vec_id", posexplode($"bks").as(Seq("band", "bkt")))
         .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
-      val cand = bandsDf.as("a")
-        .join(bandsDf.as("b"),
-          $"a.band" === $"b.band" && $"a.bkt" === $"b.bkt" &&
-            $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
-        .distinct()
+      // skew-aware band self-join (see BandJoin): identical pair set,
+      // hot buckets salted across salt² shuffle keys
+      val cand = BandJoin.selfCandidates(bandsDf)
         .observe(obs, count(lit(1)).as("n_pairs"))
       val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
       val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))

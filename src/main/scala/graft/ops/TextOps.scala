@@ -726,10 +726,11 @@ object TextOps {
       // document — a ~50x recompute (measured 8s of a 9s query at sf0.1)
       val sets = shingleSets(docs).persist(stageLevel)
       val bands = minhashBands(sets, stageLevel)
-      val cand = bands.toDF("doc_a", "band", "k")
-        .join(bands.toDF("doc_b", "band", "k"), Seq("band", "k"))
-        .where($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b").distinct()
+      // skew-aware band self-join (see BandJoin): a boilerplate-heavy
+      // corpus collapses many docs into one (band, k) bucket, and that
+      // bucket's pairs would serialize into one task — salted instead
+      val cand = BandJoin.selfCandidates(bands)
+        .toDF("doc_a", "doc_b")
         // scale telemetry (see rareShingleCandidates): the LSH candidate
         // count is the number this family's 100 TB claim rests on —
         // proportional to true-duplicate density, not corpus pairs

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[BandJoin.selfCandidates]] must be a pure REDISTRIBUTION of the
+  * naive band self-join: identical pair membership on any input, with
+  * hot buckets enumerated across salt² join keys instead of one. */
+class BandJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naive(bands: Seq[(Long, Long, String)]): Set[(Long, Long)] = {
+    val byBucket = bands.groupBy(b => (b._2, b._3))
+    byBucket.values.flatMap { ms =>
+      val ids = ms.map(_._1)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  private def salted(bands: Seq[(Long, Long, String)], hotThreshold: Long,
+                     salts: Int): Set[(Long, Long)] =
+    BandJoin.selfCandidates(bands.toDF("id", "band", "k"), hotThreshold, salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("hot bucket: salted pairs equal the naive join's, exactly once each") {
+    // one hot bucket (20 members > threshold 4), two cold ones, a
+    // singleton, and a doc appearing in two buckets via two bands
+    val bands =
+      (1L to 20L).map(i => (i, 0L, "hot")) ++
+        Seq((30L, 0L, "cold1"), (31L, 0L, "cold1"), (32L, 0L, "cold1"),
+          (40L, 1L, "cold2"), (41L, 1L, "cold2"),
+          (50L, 1L, "lonely"),
+          // cross-band dup pair: same pair from band 0 AND band 1 must
+          // still appear once (distinct contract)
+          (30L, 1L, "x"), (31L, 1L, "x"))
+    val expected = naive(bands)
+    assert(salted(bands, hotThreshold = 4L, salts = 3) == expected)
+    // degenerate salts=1 (hot path with no splitting) stays correct
+    assert(salted(bands, hotThreshold = 4L, salts = 1) == expected)
+    // threshold high enough that nothing is hot: pure cold path
+    assert(salted(bands, hotThreshold = 1000L, salts = 3) == expected)
+  }
+
+  test("seeded random band table: salted == naive at several geometries") {
+    val rnd = new scala.util.Random(20260813L)
+    val bands = Seq.tabulate(400) { i =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(3).toLong, s"b${rnd.nextInt(12)}")
+    }.distinct.map { case (id, band, k) => (id, band, k) }
+    val expected = naive(bands)
+    for (thr <- Seq(2L, 8L, 64L); s <- Seq(2, 5))
+      assert(salted(bands, thr, s) == expected, s"thr=$thr salts=$s")
+  }
+
+  test("hot-bucket enumeration spreads over salt-pair join keys") {
+    // direct check of the salting arithmetic: with 20 hot members and 3
+    // salts, no single (sa, sb) cell may hold more than ~(m/S + 1)^2
+    // pairs — the bound the straggler-task claim rests on
+    val ids = (1L to 20L).toSeq
+    val salts = 3
+    val cell = ids.groupBy(i =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(i.toString), salts))
+    val maxSide = cell.values.map(_.size).max
+    assert(maxSide <= ids.size / salts + 3)
+  }
+}
