@@ -24,13 +24,24 @@ object StressRun {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val names = args.tail.toSeq
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same knob as Verify: "k=v;k=v" extra confs, so evidence runs can
+    // flip operator tunables (e.g. BandJoin's hot threshold) per run
+    val builder = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(builder0) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry is not key=value: '$kv'")
+        }
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val d = SparkEntry.defs.find(_.name == name).getOrElse(

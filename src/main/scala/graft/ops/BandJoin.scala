@@ -50,14 +50,46 @@ import org.apache.spark.sql.functions._
   */
 object BandJoin {
 
+  /** Session-tunable geometry (defaults in parentheses): a deployment
+    * facing a known-skewed corpus lowers the threshold; evidence runs
+    * disable salting entirely (threshold Long.MaxValue) to measure the
+    * straggler they are avoiding (STRESS_r06.md does exactly that). */
+  val HotThresholdConf = "spark.graft.lsh.hotThreshold" // (1024)
+  val SaltsConf = "spark.graft.lsh.salts"               // (8)
+
   /** Distinct undirected candidate pairs (va < vb) from a `(id, band,
     * k)` band table, salting buckets with more than `hotThreshold`
     * members across `salts`² join keys. */
-  def selfCandidates(bands: DataFrame, hotThreshold: Long = 1024L,
-                     salts: Int = 8): DataFrame = {
+  def selfCandidates(bands: DataFrame): DataFrame = {
+    val conf = bands.sparkSession.conf
+    selfCandidates(bands,
+      conf.get(HotThresholdConf, "1024").toLong,
+      conf.get(SaltsConf, "8").toInt)
+  }
+
+  /** As [[selfCandidates(bands:org\.apache\.spark\.sql\.DataFrame)*]],
+    * with explicit geometry. */
+  def selfCandidates(bands: DataFrame, hotThreshold: Long,
+                     salts: Int): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
     val b = bands.toDF("id", "band", "k")
+    // AQE-coalescing guard on the HOT path, learned the measured way
+    // (STRESS_r06.md): the salted join's input is SMALL IN BYTES (a
+    // band row is ~24 bytes) but EXPANDS quadratically per bucket, and
+    // AQE's partition coalescing — like its skew split — only reads
+    // shuffle bytes. Left to its defaults it merged the salted join's
+    // 32 partitions into 3 tasks and re-serialized the very straggler
+    // the salting had split (measured 41 s maxTask; 5.7 s pinned).
+    // Explicit-numPartitions repartitions pin the exchanges
+    // (user-specified counts are exempt from coalescing) on exactly the
+    // join keys, so they satisfy the join's required distribution — no
+    // extra shuffle beyond the one the join needs anyway. The COLD join
+    // is deliberately NOT pinned: its per-bucket fan-out is bounded by
+    // hotThreshold², and pinning would forfeit the broadcast-hash plan
+    // that makes well-behaved corpora cheap (measured 2.1× on the 10×
+    // MinHash fixture).
+    val n = s.sessionState.conf.numShufflePartitions
     val hotKeys = b.groupBy($"band", $"k")
       .agg(count(lit(1)).as("m")).where($"m" > hotThreshold)
       .select($"band", $"k")
@@ -75,8 +107,10 @@ object BandJoin {
     // attribute references is ambiguous to the analyzer
     val hotA = hot.select($"id".as("va"), $"band".as("band_a"),
       $"k".as("k_a"), $"salt".as("sa")).withColumn("p", peers)
+      .repartition(n, $"band_a", $"k_a", $"sa", $"p")
     val hotB = hot.select($"id".as("vb"), $"band".as("band_b"),
       $"k".as("k_b"), $"salt".as("sb")).withColumn("q", peers)
+      .repartition(n, $"band_b", $"k_b", $"q", $"sb")
     val hotPairs = hotA.join(hotB,
       $"band_a" === $"band_b" && $"k_a" === $"k_b" &&
         $"sa" === $"q" && $"p" === $"sb")
