@@ -127,8 +127,11 @@ object Similarity {
     * planes): 8-bit bucket from the signs of dims 0,8,…,56; candidates are
     * vectors sharing the bucket; exact cosine ranks within bucket. The
     * self-join shuffles on the bucket key — at 100 TB candidate volume is
-    * sum(bucket²) instead of n², and hot buckets are handled by AQE skew
-    * splitting (or more bits). Recall is traded for never touching n². */
+    * sum(bucket²) instead of n². Hot buckets are NOT left to AQE (its
+    * skew split reads shuffle bytes, blind to join fan-out — measured in
+    * STRESS_r06.md): [[BandJoin.selfCandidates]] salts buckets past a
+    * size threshold across salt² pinned join keys. Recall is traded for
+    * never touching n². */
   val annLshTopk: QueryDef = QueryDef.sql(
     "ann_lsh_topk",
     oraclePrefix +
