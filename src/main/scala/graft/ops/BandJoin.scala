@@ -59,18 +59,22 @@ object BandJoin {
 
   /** Distinct undirected candidate pairs (va < vb) from a `(id, band,
     * k)` band table, salting buckets with more than `hotThreshold`
-    * members across `salts`² join keys. */
-  def selfCandidates(bands: DataFrame): DataFrame = {
+    * members across `salts`² join keys. `dedup = false` skips the final
+    * distinct — correct ONLY when the band table has a single band per
+    * id (one bucket each, so no pair can collide twice); the dedup's
+    * shuffle of the full candidate volume is this join's single biggest
+    * non-enumeration cost (measured ~0.5 s on ann_lsh_topk at sf0.1). */
+  def selfCandidates(bands: DataFrame, dedup: Boolean = true): DataFrame = {
     val conf = bands.sparkSession.conf
     selfCandidates(bands,
       conf.get(HotThresholdConf, "1024").toLong,
-      conf.get(SaltsConf, "8").toInt)
+      conf.get(SaltsConf, "8").toInt, dedup)
   }
 
-  /** As [[selfCandidates(bands:org\.apache\.spark\.sql\.DataFrame)*]],
+  /** As [[selfCandidates(bands:org\.apache\.spark\.sql\.DataFrame,dedup:Boolean)*]],
     * with explicit geometry. */
   def selfCandidates(bands: DataFrame, hotThreshold: Long,
-                     salts: Int): DataFrame = {
+                     salts: Int, dedup: Boolean): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
     val b = bands.toDF("id", "band", "k")
@@ -115,8 +119,8 @@ object BandJoin {
       $"band_a" === $"band_b" && $"k_a" === $"k_b" &&
         $"sa" === $"q" && $"p" === $"sb")
       .where($"va" < $"vb")
-    coldPairs.select($"va", $"vb")
+    val all = coldPairs.select($"va", $"vb")
       .union(hotPairs.select($"va", $"vb"))
-      .distinct()
+    if (dedup) all.distinct() else all
   }
 }

@@ -169,8 +169,11 @@ object Similarity {
     // straggler task — see BandJoin; AQE cannot split this (fan-out
     // skew is invisible to its shuffle-bytes heuristic, measured in
     // STRESS_r06.md)
+    // dedup = false: ONE band per vector means a pair can only collide
+    // once — the distinct would shuffle the full candidate volume for
+    // nothing
     val und = BandJoin.selfCandidates(
-      base.select($"vec_id", lit(0L).as("band"), $"bkt"))
+      base.select($"vec_id", lit(0L).as("band"), $"bkt"), dedup = false)
     // ranking is per-query over BOTH directions of each undirected pair
     val cand = und.select($"va".as("qid"), $"vb".as("cid"))
       .union(und.select($"vb".as("qid"), $"va".as("cid")))

@@ -20,7 +20,8 @@ class BandJoinSpec extends SparkTestBase {
 
   private def salted(bands: Seq[(Long, Long, String)], hotThreshold: Long,
                      salts: Int): Set[(Long, Long)] =
-    BandJoin.selfCandidates(bands.toDF("id", "band", "k"), hotThreshold, salts)
+    BandJoin.selfCandidates(bands.toDF("id", "band", "k"), hotThreshold,
+        salts, dedup = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("hot bucket: salted pairs equal the naive join's, exactly once each") {
@@ -50,6 +51,17 @@ class BandJoinSpec extends SparkTestBase {
     val expected = naive(bands)
     for (thr <- Seq(2L, 8L, 64L); s <- Seq(2, 5))
       assert(salted(bands, thr, s) == expected, s"thr=$thr salts=$s")
+  }
+
+  test("dedup=false on a single-band table equals the deduped result") {
+    // one band per id: a pair can collide at most once, so skipping the
+    // distinct must not change membership OR introduce duplicates
+    val bands = (1L to 30L).map(i => (i, 0L, s"b${i % 4}"))
+    val rows = BandJoin.selfCandidates(
+      bands.toDF("id", "band", "k"), 8L, 3, dedup = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == rows.distinct.size, "dup pairs leaked")
+    assert(rows.toSet == naive(bands))
   }
 
   test("hot-bucket enumeration spreads over salt-pair join keys") {
