@@ -43,16 +43,15 @@ object Components {
     import s.implicits._
     val e = edges.toDF("src", "dst")
     // undirected: propagate both ways; persisted — read every round.
-    // DISK_ONLY, as is every localCheckpoint below: pinned loop state
-    // must not occupy the unified pool's PROTECTED storage region
-    // (spark.memory.storageFraction, default 0.5) — under a squeezed
-    // pool the protected half starves hash aggregates below their first
-    // page (measured: UNABLE_TO_ACQUIRE_MEMORY in this very loop at a
-    // 36 MB pool), while the state itself is O(V+E) rows read once per
-    // round, for which local-disk reads are ample. Eviction-safe by
-    // construction instead of by deployment config.
-    val sym = e.union(e.select($"dst", $"src"))
-      .persist(StorageLevel.DISK_ONLY)
+    // Pool-adaptive level, as is every localCheckpoint below (see
+    // StageLevels): pinned loop state must not occupy the unified
+    // pool's PROTECTED storage region when the pool is squeezed —
+    // measured UNABLE_TO_ACQUIRE_MEMORY in this very loop at a 36 MB
+    // pool — but unconditional DISK_ONLY measured 2.7× on the hot path,
+    // so the operator checks the pool's capacity and only yields to
+    // disk when memory is genuinely scarce.
+    val lvl = StageLevels.pinned(s)
+    val sym = e.union(e.select($"dst", $"src")).persist(lvl)
     // Every round ends in localCheckpoint(eager): the pointer-jump
     // SELF-join references the round's plan twice, so without lineage
     // truncation the logical plan doubles per round — exponential plan
@@ -68,7 +67,7 @@ object Components {
     // replaces the distinct AND the first loop round's three joins.
     var labels = sym.groupBy($"src".as("id"))
       .agg(least($"id", min($"dst")).as("cluster_id"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, lvl)
     var converged = sym.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -106,7 +105,7 @@ object Components {
         .observe(obs, sum(when($"cluster_id" =!= $"prev", 1L)
           .otherwise(0L)).as("changed"))
         // eager: the observed action of this round
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, lvl)
       val changed = obs.get("changed") match {
         case l: Long           => l
         case l: java.lang.Long => l.longValue()
@@ -148,11 +147,12 @@ object Components {
         |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM cc JOIN cs USING (cluster_id)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // DISK_ONLY stage tables: see minhashNeardupPairs — the pair
-      // stage's caches must not hold the protected storage region
-      // through the CC loop that follows
+      // pool-adaptive stage tables (StageLevels): under a squeezed pool
+      // the pair stage's caches must not hold the protected storage
+      // region through the CC loop that follows; with an ample pool
+      // they stay resident
       val pairs = TextOps.minhashNeardupPairs(t(s, dir, "documents"),
-          StorageLevel.DISK_ONLY)
+          StageLevels.pinned(s))
         .select($"doc_a", $"doc_b")
       val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
       val sizes = cc.groupBy($"cluster_id")

@@ -45,11 +45,12 @@ object PageRank {
     val ew = e.join(out, "src")
       .select($"src", $"dst", $"w", $"totw").persist()
     val base = 1000000L - d6 // (1-d) in millionths, per node
-    // DISK_ONLY checkpoints (same rationale as Components): pinned
-    // unevictable rank state must not sit in the unified pool's
-    // protected storage region; O(V) rows per round read once.
+    // pool-adaptive checkpoints (same rationale as Components, see
+    // StageLevels): pinned rank state yields to disk only when the
+    // unified pool is squeezed; O(V) rows per round read once.
+    val lvl = StageLevels.pinned(nodes.sparkSession)
     var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, lvl)
     try for (r <- 1 to rounds) {
       val contrib = ew.join(rank, ew("src") === rank("id"))
         .select($"dst",
@@ -65,7 +66,7 @@ object PageRank {
       // plan — half the eager checkpoint jobs for the same bounded-plan
       // guarantee (rounds are latency-dominated on small graphs).
       if (r % 2 == 0 || r == rounds)
-        rank = rank.localCheckpoint(true, StorageLevel.DISK_ONLY)
+        rank = rank.localCheckpoint(true, lvl)
     } finally {
       // The final rank is an eager localCheckpoint, so nothing below it
       // is needed again — release the loop-scoped caches so repeated

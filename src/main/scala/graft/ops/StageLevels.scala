@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Storage level chooser for PINNED state — persisted stage tables and
+  * `localCheckpoint`ed loop state (Components, PageRank, the MinHash
+  * stage tables).
+  *
+  * The tension, measured across rounds 5–6 (BENCH_NOTES.md, PLANS.md
+  * memory addendum): cached blocks live in the unified pool's PROTECTED
+  * storage region (`spark.memory.storageFraction`, default 0.5), which
+  * execution cannot evict — under a squeezed pool (36 MB in the
+  * constrained evidence run) pinned state starves hash aggregates below
+  * their first page and the job dies with UNABLE_TO_ACQUIRE_MEMORY.
+  * Round 6 first pinned everything DISK_ONLY, which fixed the squeezed
+  * run but cost 2–3× on the hot path at sf0.1 (minhash 1.3 → 4 s,
+  * neardup_clusters 3.3 → 9 s — every stage-table consumer paying disk
+  * IO the pool could trivially have held).
+  *
+  * So the operators ask the only question that matters — CAN the pool
+  * hold pinned state without squeezing execution? — at plan time, from
+  * the block managers' reported storage capacity (public
+  * `getExecutorMemoryStatus`; local mode reports the one executor).
+  * Ample pool (≥ [[MinResidentPool]] on every executor) → MEMORY_AND_DISK
+  * (fast path, evictable to disk under storage pressure); squeezed pool
+  * → DISK_ONLY (loop state is O(rows) read once per round — local-disk
+  * reads are ample, and the protected region stays empty for the hash
+  * aggregates). The decision lives in the OPERATOR, not in deployment
+  * config: the same binary passes the squeezed evidence run at the
+  * default storageFraction and keeps the in-memory hot path everywhere
+  * else. */
+object StageLevels {
+
+  /** Pool floor below which pinned state yields memory to execution:
+    * the constrained evidence run reports ~36 MB, any production
+    * executor reports GBs; 256 MB cleanly separates the regimes while
+    * leaving headroom for the suite's largest stage tables at test
+    * scale. */
+  val MinResidentPool: Long = 256L * 1024 * 1024
+
+  /** Storage level for pinned loop state / stage tables in `s`'s
+    * cluster. Overridable for evidence runs via
+    * `spark.graft.pinnedLevel` = `memory_and_disk` | `disk_only`. */
+  def pinned(s: SparkSession): StorageLevel =
+    s.conf.get("spark.graft.pinnedLevel", "") match {
+      case "memory_and_disk" => StorageLevel.MEMORY_AND_DISK
+      case "disk_only"       => StorageLevel.DISK_ONLY
+      case _ =>
+        val caps = s.sparkContext.getExecutorMemoryStatus.values.map(_._1)
+        if (caps.nonEmpty && caps.min >= MinResidentPool)
+          StorageLevel.MEMORY_AND_DISK
+        else StorageLevel.DISK_ONLY
+    }
+}

@@ -712,13 +712,17 @@ object TextOps {
 
   /** MinHash-banded near-dup detector over ANY (doc_id, text) frame.
     * `stageLevel` is the storage level of the internal stage tables
-    * (shingle sets, signatures): MEMORY_AND_DISK for the standalone
-    * query's hot path; iterative compositions ([[Components
-    * .neardupClusters]]) pass DISK_ONLY so the stage tables never occupy
-    * the unified pool's protected storage region while a downstream
-    * loop's hash aggregates need execution memory. */
+    * (shingle sets, signatures); the no-arg form picks it
+    * pool-adaptively ([[StageLevels.pinned]]): in-memory on an ample
+    * pool, DISK_ONLY on a squeezed one so the stage tables never occupy
+    * the unified pool's protected storage region while this query's —
+    * or a downstream loop's ([[Components.neardupClusters]]) — hash
+    * aggregates need execution memory. */
+  def minhashNeardupPairs(docs: DataFrame): DataFrame =
+    minhashNeardupPairs(docs, StageLevels.pinned(docs.sparkSession))
+
   def minhashNeardupPairs(docs: DataFrame,
-      stageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      stageLevel: StorageLevel): DataFrame = {
       val s = docs.sparkSession
       import s.implicits._
       // persist: without it the interpreted transform/array_distinct chain
@@ -744,8 +748,11 @@ object TextOps {
     * (stage-table materialization: every band consumer reads it instead
     * of recomputing; at 100 TB this is a written table that INCREMENTAL
     * loads extend batch-by-batch rather than rebuild). */
+  private[ops] def minhashBands(sets: DataFrame): DataFrame =
+    minhashBands(sets, StageLevels.pinned(sets.sparkSession))
+
   private[ops] def minhashBands(sets: DataFrame,
-      stageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      stageLevel: StorageLevel): DataFrame = {
     val s = sets.sparkSession
     import s.implicits._
     val sh = explodedShingles(sets)
