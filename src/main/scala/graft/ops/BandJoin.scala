@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
   * The fix is the classic salted self-join, applied ADAPTIVELY so the
   * 99.99% of well-behaved buckets pay nothing:
   *
-  *   1. one narrow aggregation counts bucket sizes (same row volume the
-  *      band join itself shuffles — O(corpus bands), not O(pairs));
-  *   2. buckets above `hotThreshold` members are broadcast as the hot
-  *      set (skew keys are few by definition — a broadcast of any size
-  *      here means the detector's geometry is wrong, not the join);
-  *   3. cold buckets take the ordinary `(band, bucket)` self-join,
-  *      byte-identical to the unsalted plan;
-  *   4. hot-bucket members get a deterministic salt `hash(id) mod S`;
-  *      each side is replicated S ways (left over peer-salt `p`, right
-  *      over peer-salt `q`) and the join key becomes
+  *   1. one windowed count over `(band, bucket)` annotates every band
+  *      row with its bucket size `m` — a single shuffle of the same
+  *      rows the band join itself shuffles (O(corpus bands), not
+  *      O(pairs)) — and the annotated table is materialized ONCE as a
+  *      cached stage table every later stage reads;
+  *   2. rows with m ≤ `hotThreshold` take the ordinary `(band, bucket)`
+  *      self-join, same plan freedom (broadcast/SMJ) as the unsalted
+  *      join;
+  *   3. hot rows get a deterministic salt `hash(id) mod S`; each side
+  *      is replicated S ways (left over peer-salt `p`, right over
+  *      peer-salt `q`) and the join key becomes
   *      `(band, bucket, saltA, saltB)` — each (a, b) pair matches
   *      EXACTLY once (at saltA = q, saltB = p), and a bucket's m²/2
   *      pairs spread over S² independent shuffle keys, bounding any one
@@ -77,7 +78,26 @@ object BandJoin {
                      salts: Int, dedup: Boolean): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
-    val b = bands.toDF("id", "band", "k")
+    // Bucket sizes via a WINDOWED count, materialized ONCE as an eager
+    // cached stage table. Two measured round-6 pathologies shaped this:
+    // (a) a separate sizes aggregation + broadcast anti-join gave the
+    // plan FIVE consumers of the lazy band input, and Spark builds
+    // broadcast exchanges on CONCURRENT threads — they raced the
+    // caller's stage-table cache before it was populated and each
+    // recomputed the full upstream lineage (for MinHash, the
+    // md5-per-shingle pipeline: 3× wall on the registered query);
+    // (b) even cache-hit, the extra subtrees cost ~2× vs the plain
+    // join. The window needs the same (band, k) shuffle the sizes
+    // aggregation needed, annotates every row in place, and the eager
+    // count() pays the lineage exactly once; hot/cold are then FILTERS
+    // over the ~32-byte-per-row cached table. At 100 TB this is the
+    // same written-stage-table discipline as the signature table
+    // itself. The cache entry is released by the harness's per-query
+    // clearCache (same lifecycle as the callers' stage tables).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"k")
+    val sized = bands.toDF("id", "band", "k")
+      .withColumn("m", count(lit(1)).over(w)).persist()
+    sized.count()
     // AQE-coalescing guard on the HOT path, learned the measured way
     // (STRESS_r06.md): the salted join's input is SMALL IN BYTES (a
     // band row is ~24 bytes) but EXPANDS quadratically per bucket, and
@@ -94,15 +114,19 @@ object BandJoin {
     // that makes well-behaved corpora cheap (measured 2.1× on the 10×
     // MinHash fixture).
     val n = s.sessionState.conf.numShufflePartitions
-    val hotKeys = b.groupBy($"band", $"k")
-      .agg(count(lit(1)).as("m")).where($"m" > hotThreshold)
-      .select($"band", $"k")
-    val cold = b.join(broadcast(hotKeys), Seq("band", "k"), "left_anti")
-    val hot = b.join(broadcast(hotKeys), Seq("band", "k"))
+    val cold = sized.where($"m" <= hotThreshold)
+    val hot = sized.where($"m" > hotThreshold)
       .withColumn("salt", pmod(xxhash64($"id"), lit(salts)))
     val coldPairs = cold.select($"id".as("va"), $"band", $"k")
       .join(cold.select($"id".as("vb"), $"band", $"k"), Seq("band", "k"))
       .where($"va" < $"vb")
+    // Common-case short-circuit: no hot bucket → the plain self-join IS
+    // the whole answer. The probe is a ~ms scan of the cached stage
+    // table, and skipping the empty hot subtree saves its 3 pinned
+    // 32-task stages plus the union from every well-behaved query.
+    if (hot.isEmpty)
+      return if (dedup) coldPairs.select($"va", $"vb").distinct()
+             else coldPairs.select($"va", $"vb")
     // left replicated over peer-salt p, right over peer-salt q; matching
     // (band, k, saltA, p) = (band, k, q, saltB) pairs each (a, b) exactly
     // once and splits one bucket's enumeration over salts^2 shuffle keys
