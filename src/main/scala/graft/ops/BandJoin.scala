@@ -19,17 +19,28 @@ import org.apache.spark.sql.functions._
   * single `skew=true` split while one straggler task enumerates ~8M
   * pairs).
   *
-  * The fix is the classic salted self-join, applied ADAPTIVELY so the
-  * 99.99% of well-behaved buckets pay nothing:
+  * The guard is gated by a PRE-PROBE so the 99.99% of well-behaved
+  * corpora pay (almost) nothing:
   *
-  *   1. one windowed count over `(band, bucket)` annotates every band
-  *      row with its bucket size `m` — a single shuffle of the same
-  *      rows the band join itself shuffles (O(corpus bands), not
-  *      O(pairs)) — and the annotated table is materialized ONCE as a
-  *      cached stage table every later stage reads;
-  *   2. rows with m ≤ `hotThreshold` take the ordinary `(band, bucket)`
-  *      self-join, same plan freedom (broadcast/SMJ) as the unsalted
-  *      join;
+  *   0. one partially-aggregated bucket count reduces to a single
+  *      driver scalar `max(m)` — map-side combine means the shuffle
+  *      carries only DISTINCT (band, bucket) keys, and the upstream
+  *      lineage is the callers' persisted signature stage tables, so
+  *      the probe is a cache scan + a tiny exchange (measured ~0.1 s
+  *      vs the ~1 s windowed sizing + eager persist it replaces on the
+  *      sf0.1 banded family — the round-6 guard paid that insurance
+  *      unconditionally, +3 s/round on corpora with no hot bucket);
+  *   1. `max(m) ≤ hotThreshold` → NO hot bucket exists; the ordinary
+  *      `(band, bucket)` self-join with full plan freedom
+  *      (broadcast/SMJ) is the whole answer, nothing is persisted;
+  *   2. otherwise one windowed count over `(band, bucket)` annotates
+  *      every band row with its bucket size `m` and the annotated
+  *      table is materialized ONCE as a cached stage table every later
+  *      stage reads (a separate sizes-aggregation + broadcast
+  *      anti-join gave the plan FIVE consumers of the lazy band input
+  *      whose concurrently-built broadcast exchanges raced the
+  *      callers' stage-table cache — 3× wall, round-6 measurement);
+  *      rows with m ≤ `hotThreshold` take the ordinary self-join;
   *   3. hot rows get a deterministic salt `hash(id) mod S`; each side
   *      is replicated S ways (left over peer-salt `p`, right over
   *      peer-salt `q`) and the join key becomes
@@ -43,11 +54,19 @@ import org.apache.spark.sql.functions._
   * so oracles are unchanged (salting redistributes enumeration, never
   * membership; pinned by BandJoinSpec against the naive join).
   *
-  * At 100 TB: the sizes pass and the salted union keep every stage
-  * shuffling (band, bucket, id)-shaped rows; no stage's per-task work
-  * exceeds max(coldThreshold², hotMax²/S²) pair enumerations, so one
-  * poisoned bucket degrades a task by a bounded factor instead of
-  * serializing the stage.
+  * CACHE LIFECYCLE CONTRACT: when (and only when) the probe finds a hot
+  * bucket, the sized band table is persisted and stays cached until the
+  * session's next `catalog.clearCache()` — the lifecycle of the callers'
+  * own stage tables, which the bench/verify harness clears per query. A
+  * long-lived session invoking banded detectors repeatedly on HOT
+  * corpora should use [[selfCandidatesManaged]] and call the returned
+  * release hook once the candidate frame has been consumed.
+  *
+  * At 100 TB: probe, sizes pass, and the salted union all shuffle
+  * (band, bucket, id)-shaped rows; no stage's per-task work exceeds
+  * max(coldThreshold², hotMax²/S²) pair enumerations, so one poisoned
+  * bucket degrades a task by a bounded factor instead of serializing
+  * the stage.
   */
 object BandJoin {
 
@@ -64,7 +83,8 @@ object BandJoin {
     * distinct — correct ONLY when the band table has a single band per
     * id (one bucket each, so no pair can collide twice); the dedup's
     * shuffle of the full candidate volume is this join's single biggest
-    * non-enumeration cost (measured ~0.5 s on ann_lsh_topk at sf0.1). */
+    * non-enumeration cost (measured ~0.5 s on ann_lsh_topk at sf0.1).
+    * See the object scaladoc for the hot-path cache lifecycle. */
   def selfCandidates(bands: DataFrame, dedup: Boolean = true): DataFrame = {
     val conf = bands.sparkSession.conf
     selfCandidates(bands,
@@ -75,28 +95,46 @@ object BandJoin {
   /** As [[selfCandidates(bands:org\.apache\.spark\.sql\.DataFrame,dedup:Boolean)*]],
     * with explicit geometry. */
   def selfCandidates(bands: DataFrame, hotThreshold: Long,
-                     salts: Int, dedup: Boolean): DataFrame = {
+                     salts: Int, dedup: Boolean): DataFrame =
+    selfCandidatesManaged(bands, hotThreshold, salts, dedup)._1
+
+  /** As [[selfCandidates(bands:org\.apache\.spark\.sql\.DataFrame,hotThreshold:Long,salts:Int,dedup:Boolean)*]],
+    * returning `(pairs, release)` where `release()` unpersists any
+    * stage table this call cached (a no-op on the cold path, which
+    * caches nothing). Call it AFTER the candidate frame has been fully
+    * consumed — the pairs plan reads the cached table lazily. */
+  def selfCandidatesManaged(bands: DataFrame, hotThreshold: Long,
+      salts: Int, dedup: Boolean): (DataFrame, () => Unit) = {
     val s = bands.sparkSession
     import s.implicits._
-    // Bucket sizes via a WINDOWED count, materialized ONCE as an eager
-    // cached stage table. Two measured round-6 pathologies shaped this:
-    // (a) a separate sizes aggregation + broadcast anti-join gave the
-    // plan FIVE consumers of the lazy band input, and Spark builds
-    // broadcast exchanges on CONCURRENT threads — they raced the
-    // caller's stage-table cache before it was populated and each
-    // recomputed the full upstream lineage (for MinHash, the
-    // md5-per-shingle pipeline: 3× wall on the registered query);
-    // (b) even cache-hit, the extra subtrees cost ~2× vs the plain
-    // join. The window needs the same (band, k) shuffle the sizes
-    // aggregation needed, annotates every row in place, and the eager
-    // count() pays the lineage exactly once; hot/cold are then FILTERS
-    // over the ~32-byte-per-row cached table. At 100 TB this is the
-    // same written-stage-table discipline as the signature table
-    // itself. The cache entry is released by the harness's per-query
-    // clearCache (same lifecycle as the callers' stage tables).
+    val src = bands.toDF("id", "band", "k")
+    def finish(pairs: DataFrame): DataFrame = {
+      val p = pairs.select($"va", $"vb")
+      if (dedup) p.distinct() else p
+    }
+    // Pre-probe (step 0 above): ONE driver scalar decides whether any
+    // hot bucket exists. Partial aggregation shrinks the exchange to
+    // distinct (band, k) keys; the lineage cost is a scan of the
+    // callers' persisted signature tables.
+    val probe = src.groupBy($"band", $"k").agg(count(lit(1)).as("m"))
+      .agg(max($"m")).collect()(0)
+    val maxM = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxM <= hotThreshold) {
+      // No hot bucket CAN exist: the plain self-join is the whole
+      // answer, with the same plan freedom (broadcast/SMJ) as the
+      // pre-guard design — well-behaved corpora keep their cheap plan.
+      val coldPairs = src.select($"id".as("va"), $"band", $"k")
+        .join(src.select($"id".as("vb"), $"band", $"k"), Seq("band", "k"))
+        .where($"va" < $"vb")
+      return (finish(coldPairs), () => ())
+    }
+    // Hot corpus: bucket sizes via a WINDOWED count, materialized ONCE
+    // as an eager cached stage table (see object scaladoc for why not
+    // a sizes aggregation + anti-join). The eager count() pays the
+    // band lineage exactly once; hot/cold are then FILTERS over the
+    // ~32-byte-per-row cached table.
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"k")
-    val sized = bands.toDF("id", "band", "k")
-      .withColumn("m", count(lit(1)).over(w)).persist()
+    val sized = src.withColumn("m", count(lit(1)).over(w)).persist()
     sized.count()
     // AQE-coalescing guard on the HOT path, learned the measured way
     // (STRESS_r06.md): the salted join's input is SMALL IN BYTES (a
@@ -120,13 +158,6 @@ object BandJoin {
     val coldPairs = cold.select($"id".as("va"), $"band", $"k")
       .join(cold.select($"id".as("vb"), $"band", $"k"), Seq("band", "k"))
       .where($"va" < $"vb")
-    // Common-case short-circuit: no hot bucket → the plain self-join IS
-    // the whole answer. The probe is a ~ms scan of the cached stage
-    // table, and skipping the empty hot subtree saves its 3 pinned
-    // 32-task stages plus the union from every well-behaved query.
-    if (hot.isEmpty)
-      return if (dedup) coldPairs.select($"va", $"vb").distinct()
-             else coldPairs.select($"va", $"vb")
     // left replicated over peer-salt p, right over peer-salt q; matching
     // (band, k, saltA, p) = (band, k, q, saltB) pairs each (a, b) exactly
     // once and splits one bucket's enumeration over salts^2 shuffle keys
@@ -145,6 +176,6 @@ object BandJoin {
       .where($"va" < $"vb")
     val all = coldPairs.select($"va", $"vb")
       .union(hotPairs.select($"va", $"vb"))
-    if (dedup) all.distinct() else all
+    (finish(all), () => { sized.unpersist(); () })
   }
 }

@@ -65,14 +65,48 @@ class BandJoinSpec extends SparkTestBase {
   }
 
   test("hot-bucket enumeration spreads over salt-pair join keys") {
-    // direct check of the salting arithmetic: with 20 hot members and 3
-    // salts, no single (sa, sb) cell may hold more than ~(m/S + 1)^2
-    // pairs — the bound the straggler-task claim rests on
+    // direct check of the salting arithmetic with the IMPLEMENTATION's
+    // salt expression (xxhash64(id) mod S, not an unrelated hash): with
+    // 20 hot members and 3 salts, no salt cell may hold more than
+    // ~(m/S + slack) members, so no (sa, sb) join key sees more than
+    // ~that² pairs — the bound the straggler-task claim rests on
     val ids = (1L to 20L).toSeq
     val salts = 3
-    val cell = ids.groupBy(i =>
-      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(i.toString), salts))
-    val maxSide = cell.values.map(_.size).max
-    assert(maxSide <= ids.size / salts + 3)
+    val cells = ids.toDF("id")
+      .select(pmod(xxhash64($"id"), lit(salts)).as("salt"))
+      .groupBy($"salt").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells.keySet.subsetOf((0L until salts.toLong).toSet))
+    assert(cells.values.max <= ids.size / salts + 3)
+  }
+
+  test("cold corpus: pre-probe skips the guard and caches nothing") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val bands = (1L to 30L).map(i => (i, 0L, s"b${i % 5}"))
+    val (pairs, release) = BandJoin.selfCandidatesManaged(
+      bands.toDF("id", "band", "k"), hotThreshold = 1024L, salts = 8,
+      dedup = true)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive(bands))
+    // no hot bucket existed, so the sized stage table was never built
+    assert(sc.getPersistentRDDs.keySet == before, "cold path persisted a stage table")
+    release() // must be a harmless no-op on the cold path
+    assert(got == naive(bands))
+  }
+
+  test("hot corpus: managed release unpersists the sized stage table") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val bands = (1L to 20L).map(i => (i, 0L, "hot")) ++
+      Seq((30L, 0L, "cold"), (31L, 0L, "cold"))
+    val (pairs, release) = BandJoin.selfCandidatesManaged(
+      bands.toDF("id", "band", "k"), hotThreshold = 4L, salts = 3,
+      dedup = true)
+    assert(sc.getPersistentRDDs.keySet != before, "hot path should cache the sized table")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive(bands))
+    release()
+    assert(sc.getPersistentRDDs.keySet == before, "release() must unpersist the stage table")
   }
 }
