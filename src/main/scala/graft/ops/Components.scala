@@ -52,22 +52,22 @@ object Components {
     // disk when memory is genuinely scarce.
     val lvl = StageLevels.pinned(s)
     val sym = e.union(e.select($"dst", $"src")).persist(lvl)
-    // Every round ends in localCheckpoint(eager): the pointer-jump
+    // Every round ends in an eager LoopState.pin: the pointer-jump
     // SELF-join references the round's plan twice, so without lineage
     // truncation the logical plan doubles per round — exponential plan
-    // size that OOMs the driver before any data moves. Checkpointing
-    // pins each round's labels (O(V), the only state) and restarts the
-    // plan from it; superseded rounds are reclaimed by the context
-    // cleaner once unreferenced. On a real cluster this is the same
-    // discipline at executor-memory scale (or `checkpoint()` to
-    // reliable storage for fault tolerance across rounds).
+    // size that OOMs the driver before any data moves. Pinning each
+    // round's labels (O(V), the only state) restarts the plan from it;
+    // superseded rounds are reclaimed by the context cleaner once
+    // unreferenced. Default pin is localCheckpoint (fast, but executor
+    // loss mid-loop is unrecoverable); clusters with routine executor
+    // churn set spark.graft.checkpointDir for reliable checkpoints —
+    // see LoopState for the resilience contract.
     // Seed = the first neighbor step fused into vertex discovery: with
     // initial labels id→id, round 1's "min of own + neighbors' labels" is
     // just least(id, min(dst)) — one aggregation over the edge list
     // replaces the distinct AND the first loop round's three joins.
-    var labels = sym.groupBy($"src".as("id"))
-      .agg(least($"id", min($"dst")).as("cluster_id"))
-      .localCheckpoint(true, lvl)
+    var labels = LoopState.pin(sym.groupBy($"src".as("id"))
+      .agg(least($"id", min($"dst")).as("cluster_id")), lvl)
     var converged = sym.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -104,14 +104,14 @@ object Components {
         .select($"id", $"jump".as("cluster_id"), $"prev")
         .observe(obs, sum(when($"cluster_id" =!= $"prev", 1L)
           .otherwise(0L)).as("changed"))
-        // eager: the observed action of this round
-        .localCheckpoint(true, lvl)
+      // eager: the observed action of this round
+      val pinnedNext = LoopState.pin(next, lvl)
       val changed = obs.get("changed") match {
         case l: Long           => l
         case l: java.lang.Long => l.longValue()
         case other => throw new IllegalStateException(s"bad metric: $other")
       }
-      labels = next.select($"id", $"cluster_id")
+      labels = pinnedNext.select($"id", $"cluster_id")
       converged = changed == 0
       iter += 1
     }

@@ -24,8 +24,10 @@ import graft.sources.Tables
   * Scale shape per round: one shuffle joining the edge list with the
   * rank vector on src (O(E)), one aggregation onto dst (O(E) partial-
   * combined), one left join back onto the vertex set (O(V)); state
-  * between rounds is the O(V) rank vector, pinned by localCheckpoint so
-  * the plan never grows with the round count (same discipline as
+  * between rounds is the O(V) rank vector, pinned per round
+  * ([[LoopState.pin]] — localCheckpoint by default, reliable
+  * `checkpoint()` under `spark.graft.checkpointDir`) so the plan never
+  * grows with the round count (same discipline as
   * [[Components.connectedComponents]]).
   */
 object PageRank {
@@ -48,9 +50,12 @@ object PageRank {
     // pool-adaptive checkpoints (same rationale as Components, see
     // StageLevels): pinned rank state yields to disk only when the
     // unified pool is squeezed; O(V) rows per round read once.
+    // LoopState.pin upgrades to reliable checkpoints when
+    // spark.graft.checkpointDir is set (executor-loss safety — see
+    // LoopState's resilience contract).
     val lvl = StageLevels.pinned(nodes.sparkSession)
-    var rank = nodes.select($"id", lit(1000000L).as("rank_q6"))
-      .localCheckpoint(true, lvl)
+    var rank = LoopState.pin(
+      nodes.select($"id", lit(1000000L).as("rank_q6")), lvl)
     try for (r <- 1 to rounds) {
       val contrib = ew.join(rank, ew("src") === rank("id"))
         .select($"dst",
@@ -66,9 +71,9 @@ object PageRank {
       // plan — half the eager checkpoint jobs for the same bounded-plan
       // guarantee (rounds are latency-dominated on small graphs).
       if (r % 2 == 0 || r == rounds)
-        rank = rank.localCheckpoint(true, lvl)
+        rank = LoopState.pin(rank, lvl)
     } finally {
-      // The final rank is an eager localCheckpoint, so nothing below it
+      // The final rank is an eager pin, so nothing below it
       // is needed again — release the loop-scoped caches so repeated
       // invocations (bench median-of-3, determinism re-runs) don't
       // accumulate partitions until LRU eviction.

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[LoopState.pin]]'s two modes must be RESULT-IDENTICAL: the default
+  * localCheckpoint pin and the `spark.graft.checkpointDir`-gated
+  * reliable checkpoint differ only in where round state survives
+  * (executor memory vs fault-tolerant storage), never in what the loop
+  * computes. Both iterative operators are exercised end-to-end in both
+  * modes on the same inputs. */
+class CheckpointModeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withReliable[A](f: String => A): A = {
+    val dir = tmpDir("graft-ckpt")
+    spark.conf.set(LoopState.CheckpointDirConf, dir)
+    try f(dir)
+    finally spark.conf.unset(LoopState.CheckpointDirConf)
+  }
+
+  private def ccResult(): Set[(Long, Long)] = {
+    // two chains, a clique, and a singleton-free isolate pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain -> cluster 1
+      (10L, 11L), (11L, 12L),                // chain -> cluster 10
+      (20L, 21L), (21L, 22L), (20L, 22L),    // triangle -> cluster 20
+      (30L, 31L))                            // pair -> cluster 30
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def prResult(): Seq[(Long, Long)] = {
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L), (4L, 1L, 5L))
+    PageRank.pageRank(edges.toDF("src", "dst", "w"), rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
+  test("connected components: reliable checkpoint mode matches local mode") {
+    val local = ccResult()
+    val reliable = withReliable { dir =>
+      val got = ccResult()
+      // the reliable pin must actually have written round state there
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written in reliable mode")
+      got
+    }
+    assert(reliable == local)
+    assert(local.nonEmpty)
+  }
+
+  test("pagerank: reliable checkpoint mode is bit-identical to local mode") {
+    val local = prResult()
+    val reliable = withReliable(_ => prResult())
+    assert(reliable == local)
+  }
+
+  test("reliable mode leaves no stray cache entries behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    withReliable(_ => ccResult())
+    // LoopState.pin persists each round only for the checkpoint write
+    // and unpersists immediately; the loop's own stage caches are
+    // released by the operators themselves
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+}
