@@ -16,8 +16,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the in-process master — the
+    // local-cluster evidence run (scripts/verify_local_cluster.sh) uses
+    // `local-cluster[2,4,N]` to put PROCESS-SEPARATED executors under
+    // the whole surface: serialized custom expressions, cross-executor
+    // StageLevels capacity probes, BandJoin stage tables, checkpoints.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder0 = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); set once at session build
