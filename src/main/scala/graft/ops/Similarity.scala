@@ -369,11 +369,38 @@ object Similarity {
     * band-collision candidates, exact quantized-cosine verification at
     * `verifyCos`. */
   private def projNeardup(name: String, bands: Int, bits: Int,
-                          verifyCos: String, obs: String): QueryDef = {
+                          verifyCos: String, obs: String,
+                          plant: Boolean = false): QueryDef = {
     val dim = 64
+    // `plant = true` (embedding_neardup_planted): the corpus is the
+    // fixture PLUS a deterministic near-duplicate of every 37th vector
+    // (vec_id + 1_000_000, +5000 on every 7th quantized dim — ~0.5% of
+    // a typical component, cos ≈ 0.999) applied identically in Spark
+    // and the oracle. The random-vector fixture yields zero true pairs
+    // (CORRECTNESS_r06 verified this family green on 0 rows), so the
+    // planted variant is what makes the driver's own sweep exercise the
+    // SignProjectI64 weights, band packing, and candidate verification
+    // on NON-EMPTY output — the in-protocol form of the round-6
+    // scripts/verify_planted.sh cross-engine evidence run.
+    val prefix =
+      if (!plant) oraclePrefix
+      else
+        """WITH flat0 AS (
+          |  SELECT vec_id, i,
+          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+          |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+          |flat AS (
+          |  SELECT vec_id, i, v FROM flat0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000, i,
+          |    v + CASE WHEN (i - 1) % 7 = 0 THEN 5000 ELSE 0 END
+          |  FROM flat0 WHERE vec_id % 37 = 0),
+          |norms AS (
+          |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+          |  FROM flat GROUP BY vec_id)""".stripMargin
     QueryDef.sql(
       name,
-      oraclePrefix +
+      prefix +
         s""",
           |w AS (
           |  SELECT b, t, d,
@@ -411,7 +438,22 @@ object Similarity {
           |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
           |FROM sims WHERE cos >= $verifyCos""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val base = quantized(s, dir)
+      val base = {
+        val b0 = quantized(s, dir)
+        if (!plant) b0
+        else {
+          // the oracle's planted copies, in the quantized integer domain
+          // (transform's lambda index is 0-based = the oracle's i - 1)
+          val copies = b0.where($"vec_id" % 37 === 0)
+            .select(($"vec_id" + 1000000L).as("vec_id"),
+              expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+                "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+                .as("qe"))
+            .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+          b0.select($"vec_id", $"qe", $"nrm")
+            .union(copies.select($"vec_id", $"qe", $"nrm"))
+        }
+      }
       // the identical md5-derived weights, computed once on the driver
       val md = java.security.MessageDigest.getInstance("MD5")
       def weight(b: Int, t: Int, d: Int): Long = {
@@ -475,6 +517,19 @@ object Similarity {
   val embeddingNeardupAuto: QueryDef =
     projNeardup("embedding_neardup_auto", projBands(0.95, 24, 0.99), 24,
       "0.40", "auto_candidates")
+
+  /** PLANTED-PAIR in-protocol proof for the projection family: the
+    * random-vector fixture contains no true near-dups, so
+    * `embedding_neardup_proj`/`_auto` verify green on ZERO rows — this
+    * variant plants deterministic near-duplicates inside the query
+    * (fixture ∪ perturbed copies, identically in Spark and DuckDB — see
+    * [[projNeardup]]'s plant note) so the driver's own sweep checks the
+    * SignProjectI64 weight matrix, band packing, and exact-cosine
+    * verification on NON-EMPTY output: every planted pair sits at
+    * cos ≈ 0.999 where the 8 × 16-bit geometry's recall is ~99.5%. */
+  val embeddingNeardupPlanted: QueryDef =
+    projNeardup("embedding_neardup_planted", 8, 16, "0.90",
+      "planted_candidates", plant = true)
 
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
@@ -594,5 +649,5 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     similarityTopk, annLshTopk, ivfTopk,
     embeddingNeardupStrict, embeddingNeardupProj, embeddingNeardupAuto,
-    multimodalFeatures)
+    embeddingNeardupPlanted, multimodalFeatures)
 }
