@@ -45,14 +45,19 @@ object MetaBench {
     val dir = Paths.get(root, "t")
 
     // file i covers k ∈ [i*100, i*100+99] — the append-ordered monotonic
-    // column shape zone maps exist for
+    // column shape zone maps exist for — and lives in partition
+    // p = i mod NParts (a date-ish low-cardinality identity: ~nFiles/1024
+    // files per partition), so the fabricated table exercises BOTH
+    // metadata-prune dimensions: partition identity ∩ zone map
+    val NParts = 1024
     def stats(i: Int) = Seq(((i * 100L).toString, (i * 100L + 99).toString))
-    val files = (0 until nFiles).map(i => f"data/f$i%08d.parquet")
+    def fname(i: Int) = f"data/p=${i % NParts}/f$i%08d.parquet"
+    val files = (0 until nFiles).map(fname)
     val fileStats = files.zipWithIndex
       .map { case (f, i) => f -> stats(i) }.toMap
 
     var t0 = System.nanoTime()
-    val m10 = Manifest(10L, Seq.empty, files, None, Seq("k"), fileStats)
+    val m10 = Manifest(10L, Seq("p"), files, None, Seq("k"), fileStats)
     require(TxnLog.tryCommit(dir, m10))
     val snapSec = (System.nanoTime() - t0) / 1e9
     val snapBytes = Files.size(
@@ -74,12 +79,16 @@ object MetaBench {
     var serial = nFiles
     (11L to 13L).foreach { v =>
       val removed = prev.files.take(2)
+      // name and stats generated TOGETHER per file: each added file's
+      // zone map matches ITS serial (a frozen serial would stamp all
+      // three with the last one's range — internally inconsistent
+      // metadata that could mask pruning differences)
       val added = (1 to 3).map { _ =>
-        serial += 1; f"data/f$serial%08d.parquet"
+        serial += 1; (fname(serial), stats(serial))
       }
-      val next = Manifest(v, Seq.empty,
-        prev.files.drop(2) ++ added, None, Seq("k"),
-        (prev.fileStats -- removed) ++ added.map(f => f -> stats(serial)))
+      val next = Manifest(v, Seq("p"),
+        prev.files.drop(2) ++ added.map(_._1), None, Seq("k"),
+        (prev.fileStats -- removed) ++ added.map { case (f, s) => f -> s })
       require(TxnLog.tryCommit(dir, next, Some(prev)))
       prev = next
     }
@@ -98,6 +107,14 @@ object MetaBench {
     t0 = System.nanoTime()
     val dist2 = w.pruneBox("t", Seq(("k", lo, hi)), types)
     val distWarmSec = (System.nanoTime() - t0) / 1e9
+    // combined partition ∩ zone-map prune: same executor-side filter,
+    // one more conjunct — of the zone survivors only those inside the
+    // named partition remain (here exactly one file by construction)
+    val part = ((nFiles / 2) % NParts).toString
+    t0 = System.nanoTime()
+    val distCombined = w.pruneBox("t", Seq(("k", lo, hi)), types,
+      Seq(("p", part)))
+    val distCombinedSec = (System.nanoTime() - t0) / 1e9
 
     // DRIVER path: full text resolution + list walk (the contrast number).
     // Hide the checkpoint so pruneBox takes the text branch.
@@ -112,11 +129,17 @@ object MetaBench {
     val driverSurvivors = w.pruneBox("t", Seq(("k", lo, hi)), types)
     val driverPruneSec = (System.nanoTime() - t0) / 1e9
     val driverHeapMb = gcUsedMb() - heapBase2 // retains `resolved`
+    val driverCombined = w.pruneBox("t", Seq(("k", lo, hi)), types,
+      Seq(("p", part)))
     Files.move(hidden, ckptDir)
 
     require(distSurvivors.toSet == driverSurvivors.toSet &&
       dist2.toSet == distSurvivors.toSet,
       s"pruning paths disagree: dist=${distSurvivors.size} driver=${driverSurvivors.size}")
+    require(distCombined.toSet == driverCombined.toSet &&
+      distCombined.toSet.subsetOf(distSurvivors.toSet) &&
+      distCombined.size == 1,
+      s"combined prune disagrees: dist=${distCombined.size} driver=${driverCombined.size}")
     require(resolved.files.size == nFiles + 3)
 
     println(Seq(
@@ -129,6 +152,8 @@ object MetaBench {
       f""""dist_prune_cold_sec": $distColdSec%.2f""",
       f""""dist_prune_warm_sec": $distWarmSec%.2f""",
       s""""dist_survivors": ${distSurvivors.size}""",
+      f""""dist_combined_prune_sec": $distCombinedSec%.2f""",
+      s""""combined_survivors": ${distCombined.size}""",
       f""""dist_retained_heap_mb": $distHeapMb%.1f""",
       f""""driver_resolve_sec": $driverResolveSec%.2f""",
       f""""driver_prune_sec": $driverPruneSec%.2f""",

@@ -131,41 +131,73 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * compound-predicate payoff of declaring several `statsCols` (a
     * time-and-key box query opens the files in the intersection, not
     * the union). Pruning stays pure driver-side manifest arithmetic;
-    * the probe file's schema is resolved ONCE for all columns. */
+    * the probe file's schema is resolved ONCE for all columns.
+    *
+    * `parts` adds PARTITION-IDENTITY pruning: `(column, value)`
+    * equalities on the table's partition columns, composed with the
+    * zone maps in the SAME pruning pass (partition ∩ zone-map — the
+    * survivors are the files inside the named partitions whose ranges
+    * also intersect). Values are the `col=value` path-segment form the
+    * writer produced. A file without the partition segment (landed
+    * before the column partitioned the table) is never pruned — the
+    * residual predicate still filters its rows. */
   def readBox(table: String,
-              ranges: Seq[(String, String, String)]): DataFrame = {
-    require(ranges.nonEmpty, "readBox needs at least one (column, lo, hi)")
+              ranges: Seq[(String, String, String)],
+              parts: Seq[(String, String)] = Nil): DataFrame = {
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "readBox needs at least one (column, lo, hi) range or (column, value) partition")
     val dir = tableDir(table)
     val head = TxnLog.versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     distributedManifest(dir, head) match {
-      case Some(meta) => readBoxDistributed(dir, table, head, meta, ranges)
-      case None       => readBoxDriver(dir, table, ranges)
+      case Some(meta) => readBoxDistributed(dir, table, head, meta, ranges, parts)
+      case None       => readBoxDriver(dir, table, ranges, parts)
     }
   }
+
+  /** Does `f`'s partition identity admit every `(column, value)`
+    * equality? Missing segments admit anything (see [[readBox]]). */
+  private def partMatches(f: String, parts: Seq[(String, String)]): Boolean =
+    parts.forall { case (c, v) =>
+      TxnLog.partitionSegments(f).find(_.startsWith(c + "="))
+        .forall(_ == s"$c=$v")
+    }
 
   /** Driver-side pruning (tables whose chain has no parquet checkpoint):
     * manifest-string comparison over the resolved text manifest. At
     * ~10^6 files this is the ~100 MB-envelope path the checkpoint form
     * exists to supersede; below that it is the cheaper one (no job). */
   private def readBoxDriver(dir: Path, table: String,
-      ranges: Seq[(String, String, String)]): DataFrame = {
+      ranges: Seq[(String, String, String)],
+      parts: Seq[(String, String)]): DataFrame = {
     val m = TxnLog.current(dir).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
-    val schema = probeSchema(dir, table, m)
-    val survivors = ranges
-      .map { case (c, lo, hi) =>
-        prunedFiles(m, table, c, lo, hi, schema(c).dataType).toSet
+    parts.foreach { case (c, _) =>
+      require(m.partitionCols.contains(c),
+        s"$table is not partitioned by $c (partition columns: ${m.partitionCols.mkString(",")})")
+    }
+    val pFiles = m.files.filter(partMatches(_, parts))
+    val survivors =
+      if (ranges.isEmpty) pFiles.toSet
+      else {
+        val schema = probeSchema(dir, table, m)
+        ranges
+          .map { case (c, lo, hi) =>
+            prunedFiles(m, table, c, lo, hi, schema(c).dataType).toSet
+          }
+          .reduce(_ intersect _)
+          .intersect(pFiles.toSet)
       }
-      .reduce(_ intersect _)
-    val pred = boxPred(ranges, schema)
     // pruning everything is a legitimate answer (query range outside every
     // file's [min,max]): the result is an EMPTY frame with the table
-    // schema, not a failed read
-    if (survivors.isEmpty) readSnapshot(dir, table, m.version, m.files)
-      .limit(0).where(pred)
-    else readSnapshot(dir, table, m.version,
-      m.files.filter(survivors)).where(pred)
+    // schema, not a failed read. The residual predicate is built from the
+    // READ frame's schema — partition columns exist only there (they are
+    // directory segments, not footer columns).
+    val out =
+      if (survivors.isEmpty) readSnapshot(dir, table, m.version, m.files)
+        .limit(0)
+      else readSnapshot(dir, table, m.version, m.files.filter(survivors))
+    out.where(boxPartsPred(ranges, parts, out.schema))
   }
 
   /** DISTRIBUTED pruning: zone-map file skipping evaluated as a
@@ -177,36 +209,61 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * never pruned; comparisons are typed via cast (the stats strings are
     * the documented lossless round-trip forms). */
   private def readBoxDistributed(dir: Path, table: String, head: Long,
-      meta: DataFrame, ranges: Seq[(String, String, String)]): DataFrame = {
+      meta: DataFrame, ranges: Seq[(String, String, String)],
+      parts: Seq[(String, String)]): DataFrame = {
     val hdr = TxnLog.readHeader(dir, head)
     ranges.foreach { case (c, _, _) =>
       require(hdr.statsCols.contains(c),
         s"$table carries no zone map for $c (stats columns: ${hdr.statsCols.mkString(",")})")
     }
+    parts.foreach { case (c, _) =>
+      require(hdr.partitionCols.contains(c),
+        s"$table is not partitioned by $c (partition columns: ${hdr.partitionCols.mkString(",")})")
+    }
+    // partition-identity pruning composes with the zone maps INSIDE the
+    // same executor-side filter: the checkpoint row's `partition` map is
+    // the file's col=value identity, and a partition equality becomes
+    // one more conjunct next to the range intersections — one metadata
+    // job either way
+    val metaP =
+      if (parts.isEmpty) meta
+      else meta.filter(parts.map { case (c, v) =>
+        val p = try_element_at(col("partition"), lit(c))
+        p.isNull || p === lit(v)
+      }.reduce(_ && _))
     // probe-file schema: a file carrying stats for every ranged column
     // certainly carries the columns themselves (schema-evolution-safe,
     // same rationale as [[probeSchema]])
-    val withStats = ranges.map { case (c, _, _) =>
-      map_contains_key(col("mins"), lit(c)) }.reduce(_ && _)
-    meta.filter(withStats).select("path")
+    val withStats =
+      if (ranges.isEmpty) lit(true)
+      else ranges.map { case (c, _, _) =>
+        map_contains_key(col("mins"), lit(c)) }.reduce(_ && _)
+    metaP.filter(withStats).select("path")
       .head(1).headOption.map(_.getString(0)) match {
       case None =>
-        // no file has stats for the ranged columns — nothing is prunable;
-        // scan the full snapshot with the residual predicate
-        val m = TxnLog.readVersion(dir, head)
-        val full = readSnapshot(dir, table, head, m.files)
-        full.where(boxPred(ranges, full.schema))
+        // no partition survivor carries stats for the ranged columns —
+        // zone pruning is impossible, but the partition prune still
+        // holds; scan its survivors with the residual predicate
+        val paths = metaP.select("path").collect().map(_.getString(0)).toSeq
+        val out =
+          if (paths.isEmpty) {
+            val m = TxnLog.readVersion(dir, head)
+            readSnapshot(dir, table, head, m.files).limit(0)
+          } else readSnapshot(dir, table, head, paths)
+        out.where(boxPartsPred(ranges, parts, out.schema))
       case Some(pf) =>
         val schema = readSnapshot(dir, table, head, Seq(pf)).schema
-        val survive = ranges.map { case (c, lo, hi) =>
-          val dt = schema(c).dataType
-          val mn = try_element_at(col("mins"), lit(c)).cast(dt)
-          val mx = try_element_at(col("maxs"), lit(c)).cast(dt)
-          mn.isNull || (mn <= lit(hi).cast(dt) && mx >= lit(lo).cast(dt))
-        }.reduce(_ && _)
-        val survivors = meta.filter(survive)
+        val survive =
+          if (ranges.isEmpty) lit(true)
+          else ranges.map { case (c, lo, hi) =>
+            val dt = schema(c).dataType
+            val mn = try_element_at(col("mins"), lit(c)).cast(dt)
+            val mx = try_element_at(col("maxs"), lit(c)).cast(dt)
+            mn.isNull || (mn <= lit(hi).cast(dt) && mx >= lit(lo).cast(dt))
+          }.reduce(_ && _)
+        val survivors = metaP.filter(survive)
           .select("path").collect().map(_.getString(0)).toSeq
-        val pred = boxPred(ranges, schema)
+        val pred = boxPartsPred(ranges, parts, schema)
         if (survivors.isEmpty)
           readSnapshot(dir, table, head, Seq(pf)).limit(0).where(pred)
         else readSnapshot(dir, table, head, survivors).where(pred)
@@ -219,8 +276,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * when the caller already knows the ranged columns' types. */
   def pruneBox(table: String, ranges: Seq[(String, String, String)],
                types: Map[String, org.apache.spark.sql.types.DataType] =
-                 Map.empty): Seq[String] = {
-    require(ranges.nonEmpty, "pruneBox needs at least one (column, lo, hi)")
+                 Map.empty,
+               parts: Seq[(String, String)] = Nil): Seq[String] = {
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "pruneBox needs at least one (column, lo, hi) range or (column, value) partition")
     val dir = tableDir(table)
     val head = TxnLog.versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -231,50 +290,83 @@ final case class Warehouse(spark: SparkSession, root: String) {
           require(hdr.statsCols.contains(c),
             s"$table carries no zone map for $c (stats columns: ${hdr.statsCols.mkString(",")})")
         }
+        parts.foreach { case (c, _) =>
+          require(hdr.partitionCols.contains(c),
+            s"$table is not partitioned by $c (partition columns: ${hdr.partitionCols.mkString(",")})")
+        }
+        // partition ∩ zone-map in ONE executor-side filter (see
+        // readBoxDistributed)
+        val metaP =
+          if (parts.isEmpty) meta
+          else meta.filter(parts.map { case (c, v) =>
+            val p = try_element_at(col("partition"), lit(c))
+            p.isNull || p === lit(v)
+          }.reduce(_ && _))
         val needProbe = ranges.exists { case (c, _, _) => !types.contains(c) }
         val probedSchema =
           if (!needProbe) None
           else {
             val withStats = ranges.map { case (c, _, _) =>
               map_contains_key(col("mins"), lit(c)) }.reduce(_ && _)
-            meta.filter(withStats).select("path")
+            metaP.filter(withStats).select("path")
               .head(1).headOption.map(_.getString(0))
               .map(f => readSnapshot(dir, table, head, Seq(f)).schema)
           }
         if (needProbe && probedSchema.isEmpty)
-          // no file carries stats for the ranged columns (and the caller
-          // supplied no types): nothing is prunable
-          TxnLog.readVersion(dir, head).files
+          // no partition survivor carries stats for the ranged columns
+          // (and the caller supplied no types): zone pruning is
+          // impossible — the partition prune still applies
+          metaP.select("path").collect().map(_.getString(0)).toSeq
         else {
           def dt(c: String) = types.getOrElse(c, probedSchema.get(c).dataType)
-          val survive = ranges.map { case (c, lo, hi) =>
-            val t = dt(c)
-            val mn = try_element_at(col("mins"), lit(c)).cast(t)
-            val mx = try_element_at(col("maxs"), lit(c)).cast(t)
-            mn.isNull || (mn <= lit(hi).cast(t) && mx >= lit(lo).cast(t))
-          }.reduce(_ && _)
-          meta.filter(survive).select("path").collect().map(_.getString(0)).toSeq
+          val survive =
+            if (ranges.isEmpty) lit(true)
+            else ranges.map { case (c, lo, hi) =>
+              val t = dt(c)
+              val mn = try_element_at(col("mins"), lit(c)).cast(t)
+              val mx = try_element_at(col("maxs"), lit(c)).cast(t)
+              mn.isNull || (mn <= lit(hi).cast(t) && mx >= lit(lo).cast(t))
+            }.reduce(_ && _)
+          metaP.filter(survive).select("path").collect().map(_.getString(0)).toSeq
         }
       case None =>
         val m = TxnLog.current(dir).get
-        // the probe-file footer read only happens when the caller did not
-        // already supply every ranged column's type
-        lazy val schema = probeSchema(dir, table, m)
-        val surviving = ranges.map { case (c, lo, hi) =>
-          prunedFiles(m, table, c, lo, hi,
-            types.getOrElse(c, schema(c).dataType)).toSet
-        }.reduce(_ intersect _)
-        m.files.filter(surviving.contains)
+        parts.foreach { case (c, _) =>
+          require(m.partitionCols.contains(c),
+            s"$table is not partitioned by $c (partition columns: ${m.partitionCols.mkString(",")})")
+        }
+        val pFiles = m.files.filter(partMatches(_, parts))
+        if (ranges.isEmpty) pFiles
+        else {
+          // the probe-file footer read only happens when the caller did
+          // not already supply every ranged column's type
+          lazy val schema = probeSchema(dir, table, m)
+          val surviving = ranges.map { case (c, lo, hi) =>
+            prunedFiles(m, table, c, lo, hi,
+              types.getOrElse(c, schema(c).dataType)).toSet
+          }.reduce(_ intersect _)
+          pFiles.filter(surviving.contains)
+        }
     }
   }
 
-  private def boxPred(ranges: Seq[(String, String, String)],
+  /** Exact residual predicate of a box-and-partition read: range
+    * conjuncts plus partition equalities, each typed via the read
+    * frame's schema (partition columns only exist there — they are
+    * directory segments, not footer columns). */
+  private def boxPartsPred(ranges: Seq[(String, String, String)],
+      parts: Seq[(String, String)],
       schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.Column =
-    ranges.map { case (c, lo, hi) =>
+      : org.apache.spark.sql.Column = {
+    val rs = ranges.map { case (c, lo, hi) =>
       val dt = schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
-    }.reduce(_ && _)
+    }
+    val ps = parts.map { case (c, v) =>
+      col(c) === lit(v).cast(schema(c).dataType)
+    }
+    (rs ++ ps).reduce(_ && _)
+  }
 
   /** Resolve the head's file-level metadata as a DATAFRAME when its
     * delta chain bottoms out at a parquet checkpoint: checkpoint rows,

@@ -174,6 +174,69 @@ class ManifestChainSpec extends SparkTestBase {
     assert(w.readBox("t", Seq(("k", "90000", "99999"))).count() == 0)
   }
 
+  test("partition-identity pruning composes with zone maps in both paths") {
+    // partitioned by event_date (RelandByDate), zone maps on k; 12
+    // distinct dates -> 12 one-file partitions with disjoint k ranges,
+    // parquet checkpoint at v10 + deltas v11, v12 (distributed path)
+    def batch(d: String, lo: Long) = (lo until lo + 100).toDF("k")
+      .withColumn("event_date", org.apache.spark.sql.functions.lit(d).cast("date"))
+      .coalesce(1)
+    val w = Warehouse(spark, tmpDir("mc11-wh"))
+    (0 until 12).foreach { i =>
+      w.load("t", batch(f"2026-01-${i + 1}%02d", i * 100L),
+        SinkPolicy.RelandByDate("event_date"), statsCol = Some("k"))
+    }
+    val dir = Paths.get(w.root, "t")
+    assert(TxnLog.hasCheckpoint(dir, TxnLog.SnapshotEvery))
+    // the checkpoint rows carry the col=value partition identity
+    val ckpt = ManifestCheckpoint.read(spark, dir, TxnLog.SnapshotEvery)
+    assert(ckpt.where(org.apache.spark.sql.functions
+      .try_element_at($"partition", org.apache.spark.sql.functions.lit("event_date"))
+      .isNotNull).count() == 10)
+    // partition-only prune: exactly the one file of the named partition
+    val pOnly = w.pruneBox("t", Nil, parts = Seq(("event_date", "2026-01-03")))
+    assert(pOnly.size == 1 && pOnly.head.contains("event_date=2026-01-03"))
+    // combined partition ∩ zone-map: the range lives in that partition -> 1
+    // file; a range outside the partition's k span -> pruned to nothing
+    assert(w.pruneBox("t", Seq(("k", "250", "260")),
+      parts = Seq(("event_date", "2026-01-03"))).size == 1)
+    assert(w.pruneBox("t", Seq(("k", "700", "710")),
+      parts = Seq(("event_date", "2026-01-03"))).isEmpty)
+    // a delta-added partition (v12 = 2026-01-12) prunes correctly too
+    assert(w.pruneBox("t", Nil, parts = Seq(("event_date", "2026-01-12")))
+      .size == 1)
+    // the reads agree with a full-scan filter, including the residual
+    assert(w.readBox("t", Nil, Seq(("event_date", "2026-01-03")))
+      .count() == 100)
+    assert(w.readBox("t", Seq(("k", "250", "260")),
+      Seq(("event_date", "2026-01-03"))).count() == 11)
+    assert(w.readBox("t", Seq(("k", "700", "710")),
+      Seq(("event_date", "2026-01-03"))).count() == 0)
+    // DRIVER path (no checkpoint yet): same answers at 5 loads
+    val w2 = Warehouse(spark, tmpDir("mc12-wh"))
+    (0 until 5).foreach { i =>
+      w2.load("t", batch(f"2026-01-${i + 1}%02d", i * 100L),
+        SinkPolicy.RelandByDate("event_date"), statsCol = Some("k"))
+    }
+    assert(!TxnLog.hasCheckpoint(Paths.get(w2.root, "t"), 5L))
+    assert(w2.pruneBox("t", Nil, parts = Seq(("event_date", "2026-01-03")))
+      .size == 1)
+    assert(w2.pruneBox("t", Seq(("k", "250", "260")),
+      parts = Seq(("event_date", "2026-01-03"))).size == 1)
+    assert(w2.pruneBox("t", Seq(("k", "700", "710")),
+      parts = Seq(("event_date", "2026-01-03"))).isEmpty)
+    assert(w2.readBox("t", Seq(("k", "250", "260")),
+      Seq(("event_date", "2026-01-03"))).count() == 11)
+    // asking for a partition column the table is not partitioned by is
+    // a loud error in both paths, not a silent full scan
+    intercept[IllegalArgumentException] {
+      w.pruneBox("t", Nil, parts = Seq(("user", "u1")))
+    }
+    intercept[IllegalArgumentException] {
+      w2.pruneBox("t", Nil, parts = Seq(("user", "u1")))
+    }
+  }
+
   test("vacuum collapse publishes a checkpoint and reclaims superseded ones") {
     val w = Warehouse(spark, tmpDir("mc9-wh"))
     (0 until 12).foreach(i =>
