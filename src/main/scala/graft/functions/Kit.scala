@@ -83,6 +83,16 @@ object Kit {
         .create(bloomBytes, BinaryType),
       org.apache.spark.sql.GraftExpr.expression(key)))
 
+  /** Exact per-group top-k as bounded aggregate state (see [[CosTopK]]):
+    * `ARRAY<STRUCT<cos, cid>>` of the k best (score DESC, id ASC) pairs.
+    * Map-side partials are O(k) heaps, so the exchange moves state, not
+    * candidate rows — the scale shape for top-k over huge pair streams. */
+  def cosTopK(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(CosTopK(
+      org.apache.spark.sql.GraftExpr.expression(score),
+      org.apache.spark.sql.GraftExpr.expression(id),
+      k).toAggregateExpression())
+
   /** Deterministic float quantization: floor(x * 10^scale) as BIGINT.
     * floor (not cast) because Spark truncates double→bigint while other
     * engines round — floor is unambiguous everywhere. Used to make

@@ -123,6 +123,45 @@ object Similarity {
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
+  /** EXACT top-k for query sets too large to broadcast — the missing
+    * regime between [[similarityTopk]] (tiny query set, broadcast) and
+    * the ANN paths (recall traded for sub-quadratic work). Same answer as
+    * `similarity_topk` (same oracle SQL, verified independently), two
+    * deliberate plan changes:
+    *
+    *  - pairing is a SHUFFLE_REPLICATE_NL block product, not a broadcast:
+    *    both sides stay partitioned and each (corpus-split × query-split)
+    *    task streams its block. No driver-side broadcast build, no
+    *    8 GB/executor-memory broadcast ceiling on the query side — the
+    *    shape that survives when queries grow with the corpus (the exact
+    *    arithmetic is O(n·q) either way, by definition).
+    *  - per-query top-k is [[graft.functions.CosTopK]] aggregation, not a
+    *    rank window: map-side partials fold each task's candidate stream
+    *    into O(k) heap state per query, the exchange moves serialized
+    *    heaps instead of candidate rows, and the final merge needs no
+    *    per-group sort. With q queries and P pair tasks the shuffle is
+    *    ≤ P·q·k pairs of primitives regardless of corpus size.
+    */
+  val similarityTopkBigq: QueryDef = QueryDef(
+    "similarity_topk_bigq",
+    (s, dir) => {
+      import s.implicits._
+      val base = quantized(s, dir)
+      val qs = base.where($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qn"))
+      base.crossJoin(qs.hint("shuffle_replicate_nl"))
+        .where($"vec_id" =!= $"qid")
+        .withColumn("dot", Kit.dotI64($"qe", $"qqe"))
+        .select($"qid", $"vec_id".as("cid"),
+          cosCol($"dot", $"qn", $"nrm").as("cos"))
+        .groupBy($"qid")
+        .agg(Kit.cosTopK($"cos", $"cid", 10).as("top"))
+        .select($"qid", explode($"top").as("t"))
+        .select($"qid", $"t.cid".as("cid"),
+          Kit.quantize($"t.cos", 6).as("cos_q6"))
+    },
+    similarityTopk.oracle)
+
   /** ANN top-k via sign-random-projection bucketing (SimHash over axis
     * planes): 8-bit bucket from the signs of dims 0,8,…,56; candidates are
     * vectors sharing the bucket; exact cosine ranks within bucket. The
@@ -647,7 +686,7 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    similarityTopk, annLshTopk, ivfTopk,
+    similarityTopk, similarityTopkBigq, annLshTopk, ivfTopk,
     embeddingNeardupStrict, embeddingNeardupProj, embeddingNeardupAuto,
     embeddingNeardupPlanted, multimodalFeatures)
 }

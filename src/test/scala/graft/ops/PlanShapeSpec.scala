@@ -41,6 +41,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("similarity_topk_bigq pairs by partitioned block product and ships heap state, not rows") {
+    val p = plan("similarity_topk_bigq")
+    // SHUFFLE_REPLICATE_NL honored: no broadcast build of the query side
+    assert(p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // CosTopK is object-state aggregation with a map-side partial below
+    // the exchange — the shuffle carries O(k) heaps per (task, query)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // plan text prints root-first: final agg, then the qid exchange, then
+    // the map-side partial below it
+    assert("(?s)Exchange hashpartitioning\\(qid.*partial_cos_topk".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("flagship aggregates shrink before the join") {
     val p = plan("flagship_missing_stats")
     // the count-distinct side aggregates below the join: HashAggregate
