@@ -50,6 +50,18 @@ object GraftExtensions {
         require(children.size == 2,
           s"bloom_might_contain takes 2 arguments, got ${children.size}")
         BloomMightContain(children.head, children(1))
+      }),
+    (FunctionIdentifier("cos_topk"),
+      new ExpressionInfo(classOf[CosTopK].getName, "cos_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"cos_topk takes 3 arguments (score, id, k), got ${children.size}")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cos_topk k must be an integer literal, got $other")
+        }
+        CosTopK(children.head, children(1), k).toAggregateExpression()
       }))
 
   /** Register into an existing session's function registry (and the

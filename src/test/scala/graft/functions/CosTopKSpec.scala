@@ -61,6 +61,18 @@ class CosTopKSpec extends SparkTestBase {
     assert(one.values.forall(_.length == 5))
   }
 
+  test("SQL name via extensions: cos_topk callable from spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 0.9, 10L), (1L, 0.5, 11L), (1L, 0.7, 12L))
+      .toDF("g", "s", "id").createOrReplaceTempView("ctk_in")
+    val top = spark.sql(
+      "SELECT cos_topk(s, id, 2) AS top FROM ctk_in GROUP BY g")
+      .select(expr("transform(top, t -> t.cid)").as("ids"))
+      .as[Seq[Long]].collect().head
+    assert(top == Seq(10L, 12L))
+  }
+
   test("aggregate matches the window-rank formulation per group") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
