@@ -25,12 +25,15 @@ import graft.ops.{Components, LoopState}
   * JSON line per mode. */
 object FaultDemo {
 
-  private def executorPids(): Seq[Int] = {
+  private def executorPids(appId: String): Seq[Int] = {
     import scala.sys.process._
     // executor JVMs are CoarseGrainedExecutorBackend children; the
-    // driver/worker JVM is not
+    // driver/worker JVM is not. Filter by THIS app's id (present as
+    // --app-id in the executor command line) so a concurrent Spark
+    // application on the same host (e.g. a verify run) is never hit.
     "jps -m".!!.linesIterator
       .filter(_.contains("CoarseGrainedExecutorBackend"))
+      .filter(_.contains(appId))
       .map(_.split("\\s+")(0).toInt).toSeq
   }
 
@@ -58,9 +61,10 @@ object FaultDemo {
     // every vertex labeled 0
     val edges = spark.range(n - 1).select($"id".as("src"), ($"id" + 1).as("dst"))
 
+    val appId = spark.sparkContext.applicationId
     val killer = new Thread(() => {
       Thread.sleep(killAfterMs)
-      val pids = executorPids()
+      val pids = executorPids(appId)
       pids.headOption.foreach { pid =>
         System.err.println(s"[fault] kill -9 executor pid $pid (of ${pids.size})")
         Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()

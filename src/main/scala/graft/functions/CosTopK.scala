@@ -20,9 +20,16 @@ final class TopKHeap(val k: Int) extends Serializable {
   val ids = new Array[Long](math.max(k, 1))
   var n = 0
 
-  // element i ranks STRICTLY below element j under (score DESC, id ASC)
-  private def worse(si: Double, ii: Long, sj: Double, ij: Long): Boolean =
-    si < sj || (si == sj && ii > ij)
+  // Element i ranks STRICTLY below element j under (score DESC, id ASC).
+  // Total order via Double.compare — `<` on raw doubles is false for any
+  // NaN operand, which would let an under-full-admitted NaN reach the
+  // root and reject every later candidate. Double.compare ranks NaN
+  // above every real score (and -0.0 below 0.0), matching Spark's own
+  // DESC sort order, so the heap keeps window-rank parity on NaN input.
+  private def worse(si: Double, ii: Long, sj: Double, ij: Long): Boolean = {
+    val c = java.lang.Double.compare(si, sj)
+    c < 0 || (c == 0 && ii > ij)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n < k) {
@@ -54,10 +61,14 @@ final class TopKHeap(val k: Int) extends Serializable {
     val d = ids(i); ids(i) = ids(j); ids(j) = d
   }
 
-  /** Kept pairs best-first: (score DESC, id ASC). */
+  /** Kept pairs best-first: (score DESC, id ASC) under the same total
+    * order as admission (NaN first, like Spark's DESC sort). */
   def sortedPairs: IndexedSeq[(Double, Long)] =
     (0 until n).map(i => (scores(i), ids(i)))
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 }
 
 /** Exact per-group top-k as a native [[TypedImperativeAggregate]]:

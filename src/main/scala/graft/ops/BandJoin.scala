@@ -84,7 +84,15 @@ object BandJoin {
     * id (one bucket each, so no pair can collide twice); the dedup's
     * shuffle of the full candidate volume is this join's single biggest
     * non-enumeration cost (measured ~0.5 s on ann_lsh_topk at sf0.1).
-    * See the object scaladoc for the hot-path cache lifecycle. */
+    *
+    * EAGER AT CALL TIME: the hot-bucket pre-probe runs a Spark job
+    * (one driver scalar) before this method returns, and on the cold
+    * path the returned plan re-reads `bands` on both self-join sides —
+    * up to 3 evaluations of the band lineage when `bands` is not
+    * persisted. Callers should persist their band table first (all
+    * current callers do); an unpersisted call is correct but pays the
+    * band computation up to 3×. See the object scaladoc for the
+    * hot-path cache lifecycle. */
   def selfCandidates(bands: DataFrame, dedup: Boolean = true): DataFrame = {
     val conf = bands.sparkSession.conf
     selfCandidates(bands,

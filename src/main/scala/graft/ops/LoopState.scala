@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
@@ -38,24 +39,32 @@ object LoopState {
     * `localCheckpoint` — see the resilience contract above. */
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
-  /** The context's checkpoint dir is process-global: remember what we
-    * set so a changed conf value re-points it (last writer wins, the
-    * standard SparkContext.setCheckpointDir semantics). */
-  private var appliedDir: Option[String] = None
-
   /** Eagerly pin `ds` as this round's loop state: reliable
     * `checkpoint()` when `spark.graft.checkpointDir` is set, else
-    * `localCheckpoint` at `lvl`. */
+    * `localCheckpoint` at `lvl`.
+    *
+    * The checkpoint dir lives on the (process-global) `SparkContext`, so
+    * it is LAST-WRITER-WINS across every session in the JVM: two
+    * sessions pinning with different `spark.graft.checkpointDir` values
+    * will repoint each other's context dir between rounds. That is safe
+    * for the loops here (each `checkpoint()` call resolves the dir at
+    * write time and keeps its own file paths) but means checkpoint files
+    * from interleaved sessions land under whichever dir was set last.
+    * The dir is re-checked against the LIVE context on every pin — not a
+    * JVM-cached value — so a restarted `SparkContext` (fresh context,
+    * same conf) is re-pointed instead of failing with "Checkpoint
+    * directory has not been set". */
   def pin[T](ds: Dataset[T], lvl: StorageLevel): Dataset[T] = {
     val s = ds.sparkSession
     val dir = s.conf.get(CheckpointDirConf, "")
     if (dir.isEmpty) ds.localCheckpoint(true, lvl)
     else {
       LoopState.synchronized {
-        if (!appliedDir.contains(dir)) {
-          s.sparkContext.setCheckpointDir(dir)
-          appliedDir = Some(dir)
-        }
+        // setCheckpointDir stores <dir>/<uuid>; match on the parent path.
+        val want = new Path(dir).toUri.getPath
+        val applied = s.sparkContext.getCheckpointDir
+          .map(p => new Path(p).getParent.toUri.getPath)
+        if (!applied.contains(want)) s.sparkContext.setCheckpointDir(dir)
       }
       val cached = ds.persist(lvl)
       val pinned = cached.checkpoint(eager = true)

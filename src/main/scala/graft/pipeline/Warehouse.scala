@@ -495,10 +495,21 @@ final case class Warehouse(spark: SparkSession, root: String) {
   private def readSnapshot(dir: Path, table: String, version: Long,
                            files: Seq[String]): DataFrame = {
     require(files.nonEmpty, s"$table v$version lists no files")
-    spark.read
+    def read(fs: Seq[String]): DataFrame = spark.read
       .option("mergeSchema", "true")
       .option("basePath", dir.toString)
-      .parquet(files.map(f => dir.resolve(f).toString): _*)
+      .parquet(fs.map(f => dir.resolve(f).toString): _*)
+    // MIXED-LAYOUT transition: a table that gained partition columns
+    // mid-life lists both flat (pre-partitioning) and col=value files.
+    // One basePath read over both fails partition discovery
+    // ("conflicting directory structures"), so read each layout
+    // separately and align by name — flat files that carry the column
+    // as a DATA column keep their values; files lacking it entirely
+    // read NULL. Residual predicates (readBox) then filter those rows
+    // by value exactly as the zone-map docs promise.
+    val (part, flat) = files.partition(TxnLog.partitionSegments(_).nonEmpty)
+    if (part.isEmpty || flat.isEmpty) read(files)
+    else read(part).unionByName(read(flat), allowMissingColumns = true)
   }
 
   /** The commit history of a table, oldest first: version, commit time,

@@ -27,6 +27,43 @@ class CosTopKSpec extends SparkTestBase {
     assert(h.sortedPairs == IndexedSeq((0.5, 3L), (0.5, 5L)))
   }
 
+  test("NaN scores keep a total order: NaN ranks first and never wedges the heap") {
+    // raw `<` is false for any NaN comparison — an under-full-admitted
+    // NaN at the root would then reject every later candidate. The
+    // Double.compare order ranks NaN above all real scores (Spark's
+    // DESC sort does the same), so admission keeps working.
+    val h = new TopKHeap(2)
+    h.insert(Double.NaN, 9L)
+    h.insert(0.5, 1L); h.insert(0.8, 2L); h.insert(0.9, 3L)
+    val kept = h.sortedPairs
+    assert(kept.map(_._2) == IndexedSeq(9L, 3L), s"got $kept")
+    assert(kept.head._1.isNaN)
+    // a heap full of real scores still rejects below-root candidates
+    val h2 = new TopKHeap(2)
+    h2.insert(0.9, 1L); h2.insert(0.8, 2L)
+    h2.insert(Double.NaN, 5L) // NaN ranks above both: evicts 0.8
+    assert(h2.sortedPairs.map(_._2) == IndexedSeq(5L, 1L))
+  }
+
+  test("NaN parity with the window-rank formulation (Spark ranks NaN largest)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Double.NaN, 1L), (1L, 0.9, 2L), (1L, 0.7, 3L),
+      (1L, Double.NaN, 4L), (1L, 0.8, 5L)).toDF("g", "s", "id")
+      .repartition(3).cache()
+    val viaAgg = df.groupBy($"g")
+      .agg(graft.functions.Kit.cosTopK($"s", $"id", 3).as("top"))
+      .select(expr("transform(top, t -> t.cid)").as("ids"))
+      .as[Seq[Long]].collect().head
+    val w = Window.partitionBy($"g").orderBy($"s".desc, $"id".asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3).orderBy($"rk")
+      .select($"id").as[Long].collect().toSeq
+    assert(viaAgg == viaWindow, s"agg $viaAgg vs window $viaWindow")
+    assert(viaAgg == Seq(1L, 4L, 2L))
+    df.unpersist()
+  }
+
   test("under-full buffer returns everything it saw, best first") {
     val h = new TopKHeap(10)
     h.insert(0.2, 2L); h.insert(0.8, 1L)

@@ -58,6 +58,26 @@ class CheckpointModeSpec extends SparkTestBase {
     assert(reliable == local)
   }
 
+  test("changing the checkpoint dir re-points the live context (no JVM-cached dir)") {
+    import org.apache.spark.storage.StorageLevel
+    def filesUnder(d: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+    val dirA = tmpDir("graft-ckpt-a")
+    val dirB = tmpDir("graft-ckpt-b")
+    try {
+      spark.conf.set(LoopState.CheckpointDirConf, dirA)
+      LoopState.pin(spark.range(10).toDF(), StorageLevel.MEMORY_ONLY).count()
+      assert(filesUnder(dirA) > 0, "first pin wrote nothing under dir A")
+      // a later session (or a restarted context) pins with a DIFFERENT
+      // dir: the pin must check the LIVE context, not a cached var, and
+      // re-point — files land under B
+      spark.conf.set(LoopState.CheckpointDirConf, dirB)
+      LoopState.pin(spark.range(10).toDF(), StorageLevel.MEMORY_ONLY).count()
+      assert(filesUnder(dirB) > 0, "second pin did not re-point to dir B")
+    } finally spark.conf.unset(LoopState.CheckpointDirConf)
+  }
+
   test("reliable mode leaves no stray cache entries behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     withReliable(_ => ccResult())
