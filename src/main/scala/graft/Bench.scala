@@ -9,8 +9,40 @@ import java.nio.file.{Files, Paths}
   * Each query is forced through the noop sink — `count()` would let
   * Catalyst prune every unused projection, so scalar-heavy queries would
   * measure nothing but parquet row counting (the r01 failure mode).
+  *
+  * Load self-diagnosis (round-8, after BENCH_r07 shipped 86.5 s of
+  * machine-load noise that read as a regression): every run records
+  * `/proc/loadavg` before/after and per-query process-CPU seconds next
+  * to the wall times, and — when a committed `bench_clean.json` exists —
+  * lists under `"load_suspect"` any query whose median wall exceeds 3×
+  * its clean median. External load inflates wall while leaving this
+  * process's CPU time flat, so `cpu/wall` collapsing together with a
+  * high loadavg identifies contamination without a re-run.
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+      _.mkString.trim.split("\\s+").take(3).mkString(","))
+    catch { case _: Throwable => "" }
+
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Clean medians from a committed bench_clean.json (flat scan of the
+    * "queries" object; no JSON lib on the classpath worth pulling in). */
+  private def cleanMedians(path: String): Map[String, Double] =
+    try {
+      val txt = Files.readString(Paths.get(path))
+      val qs = txt.split("\"queries\"\\s*:\\s*\\{", 2)
+      if (qs.length < 2) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+        .findAllMatchIn(qs(1).takeWhile(_ != '}'))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,9 +72,12 @@ object Bench {
     // adjudicate. The median discards one arbitrarily-inflated run per
     // query; per-run values are kept in the JSON for transparency.
     val REPS = 3
+    val loadBefore = loadavg()
     val results = SparkEntry.defs.map { d =>
+      var cpuSec = 0.0
       val runs = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
+        val c0 = processCpuNanos()
         try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
@@ -50,22 +85,35 @@ object Bench {
         // internal stage-table caches count toward the query's own time
         // and are dropped before the next run starts
         finally spark.catalog.clearCache()
+        val c1 = processCpuNanos()
+        if (c0 >= 0 && c1 >= 0) cpuSec += (c1 - c0) / 1e9
         (System.nanoTime() - t0) / 1e9
       }
-      (d.name, runs.sorted.apply(REPS / 2), runs)
+      (d.name, runs.sorted.apply(REPS / 2), runs, cpuSec / REPS)
+    }
+    val loadAfter = loadavg()
+    val clean = cleanMedians("bench_clean.json")
+    val suspects = results.collect {
+      case (name, med, _, _) if clean.get(name).exists(c => c > 0 && med > 3 * c) =>
+        name
     }
     val total = results.map(_._2).sum
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Full-precision medians + all per-run values go to the file.
-    val fullQs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
+    val fullQs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val perRun = results.map { case (k, _, rs) =>
+    val perRun = results.map { case (k, _, rs, _) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cpuQs = results.map { case (k, _, _, cpu) => s"\"" + k + "\":" + fmt(cpu) }
+      .mkString("{", ",", "}")
+    val suspectArr = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadMeta =
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","cpu_sec":$cpuQs,"load_suspect":$suspectArr"""
     Files.writeString(
       Paths.get("bench_result.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","queries":$fullQs,"runs":$perRun,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","queries":$fullQs,"runs":$perRun,$loadMeta,"sf":"$sfDir"}""" + "\n")
     // The stdout line MUST fit, with room for sbt's trailing "[success]"
     // line, inside the driver's 2000-char output-tail window — round 3's
     // 6 KB line (full precision + per-run arrays) was clipped mid-line and
@@ -77,9 +125,11 @@ object Bench {
       val m = qs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$REPS","queries":$m$om,"sf":"$sfDir"}"""
+      val ld =
+        s""","loadavg":"$loadBefore;$loadAfter","load_suspect":${suspects.length}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$REPS","queries":$m$om$ld,"sf":"$sfDir"}"""
     }
-    val bySlow = results.map { case (k, med, _) => (k, med) }
+    val bySlow = results.map { case (k, med, _, _) => (k, med) }
       .sortBy(-_._2)
     var keep = bySlow.length
     while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep).length > budget)

@@ -15,6 +15,47 @@ trait Fetcher extends Serializable {
 final case class Fetched(key: String, url: String, body: String,
                          error: String, attempts: Int)
 
+/** Real-socket [[Fetcher]] over `java.net.http.HttpClient` — the
+  * deployment implementation of the seam (reference: `requests.get(url,
+  * timeout=…)`, `datasources.py:66-73,224`). Serializable by holding only
+  * the timeout config; the client itself is rebuilt lazily per executor
+  * JVM (`@transient lazy`), so one connection pool is shared by all of a
+  * partition's sequential fetches. Non-2xx statuses and transport faults
+  * (connect/read timeout, refused connection) both land in `Left` — the
+  * retry/skip ladder in [[Fetch.fetchPartitioned]] treats them alike,
+  * matching the reference's blanket `except requests.exceptions.*` skip.
+  *
+  * Egress is environment-blocked in this sandbox; IngestSpec exercises
+  * this class against a loopback `com.sun.net.httpserver` listener with
+  * injected 500s and read-timeout stalls, so the socket path itself —
+  * not a fake — is what the suite verifies.
+  */
+final class HttpFetcher(connectTimeoutMs: Long = 5000L,
+                        readTimeoutMs: Long = 30000L) extends Fetcher {
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+      .build()
+
+  def get(url: String): Either[String, String] =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(readTimeoutMs))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Right(resp.body())
+      else Left(s"HTTP ${resp.statusCode()}")
+    } catch {
+      case e: java.net.http.HttpTimeoutException =>
+        Left(s"timeout: ${e.getMessage}")
+      case e: java.io.IOException =>
+        Left(s"io: ${e.getMessage}")
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); Left(s"interrupted: ${e.getMessage}")
+    }
+}
+
 /** Partition-parallel fetch over a keys DataFrame — the Spark shape of
   * the reference's driver-side fetch loops (S5 `datasources.py:218-261`,
   * S8 `:494-545`): each partition walks its keys sequentially (natural

@@ -23,23 +23,31 @@ object Tables {
 
   /** Lazy scan of one fixture table.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must be
-    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (every entry
-    * point in this repo does — Verify/Bench/Plans/SparkTestBase); the
-    * nanos then arrive as raw longs and are converted to a microsecond
-    * TimestampType here — integer `div` so the 1.7e18-scale nanos never
-    * round-trip through a double. Fixture timestamps are whole
-    * microseconds, so this is lossless and oracle-parity-safe. (No
-    * session-conf mutation in this hot path: a reader that mutates
-    * global conf races against concurrent planners.)
+    * `events.ts` has shipped in two physical layouts across driver
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — sessions set `spark.sql.legacy.parquet
+    * .nanosAsLong=true` so the nanos arrive as raw longs, converted here
+    * with integer `div` so the 1.7e18-scale nanos never round-trip
+    * through a double) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both are normalized
+    * to a session-zone `TimestampType` column — sessions run UTC, so the
+    * NTZ→LTZ cast is value-identical and oracle-parity-safe. The
+    * dispatch is on the READ schema, not an assumed generation, so
+    * either fixture vintage (and the gen_stress 10× corpora) loads
+    * unchanged. (No session-conf mutation in this hot path: a reader
+    * that mutates global conf races against concurrent planners.)
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    if (name == "events")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    } else df
   }
 
   /** One fixture table spread across the session's full parallelism —
