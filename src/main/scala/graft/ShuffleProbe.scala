@@ -20,12 +20,18 @@ import graft.functions.Kit
   * shuffle write/read bytes and records from task metrics — the measured
   * number behind the scaladoc's ≤P·q·k claim, recorded in STRESS_r08.md.
   *
-  *   sbt 'runMain graft.ShuffleProbe /tmp/sf1_stress 5'
+  *   sbt 'runMain graft.ShuffleProbe /tmp/sf1_stress 5 [P]'
   *
   * arg 1 = fixture dir, arg 2 = query density modulus (vec_id % m == 0
   * selects queries; 5 → 1-in-5, the "query set grows with the corpus"
   * regime the bigq form exists for — at sf0.1 the registered query uses
-  * 1-in-25). Spark's WindowGroupLimit partial pushdown DOES pre-filter
+  * 1-in-25). Optional arg 3 repartitions the corpus side to P partitions
+  * before the block product — a single-file fixture coalesces to P≈2,
+  * which understates the per-partition shuffle constant a real cluster
+  * pays (P = corpus/split-size there); forcing P=32 shows both forms'
+  * records scale with P (heap: P·q heaps, window: P·q·k rows), i.e. the
+  * k-factor gap is per-partition. Spark's WindowGroupLimit partial
+  * pushdown DOES pre-filter
   * the window form map-side (each pair task keeps its local top-k per
   * qid), so the honest comparison is not rows-into-exchange but bytes:
   * full candidate rows that survive the partial limit vs fixed-width
@@ -36,6 +42,7 @@ object ShuffleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1_stress")
     val qmod = if (args.length > 1) args(1).toInt else 5
+    val baseParts = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,13 +75,17 @@ object ShuffleProbe {
       }
     }
 
-    def quantized(): DataFrame =
-      spark.read.parquet(s"$dir/embeddings.parquet").select(
+    def quantized(): DataFrame = {
+      val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      // the repartition shuffle runs during materialization, BEFORE the
+      // metric adders are reset — only the pair/rank machinery is counted
+      (if (baseParts > 0) raw.repartition(baseParts) else raw).select(
         $"vec_id",
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qe"))
         .withColumn("nrm", Kit.dotI64(col("qe"), col("qe")))
         .persist()
+    }
 
     def pairs(base: DataFrame): DataFrame = {
       val qs = base.where($"vec_id" % qmod === 0)
@@ -116,7 +127,7 @@ object ShuffleProbe {
       drain()
       val rows = df.count()
       println(
-        s"""{"form":"$form","dir":"$dir","qmod":$qmod,"sec":${f"$sec%.3f"},""" +
+        s"""{"form":"$form","dir":"$dir","qmod":$qmod,"base_parts":$baseParts,"sec":${f"$sec%.3f"},""" +
         s""""shuffle_write_bytes":${wBytes.sum},"shuffle_write_records":${wRecs.sum},""" +
         s""""shuffle_read_bytes":${rBytes.sum},"rows":$rows}""")
       sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { pd =>
