@@ -189,22 +189,43 @@ object Similarity {
     similarityTopk.oracle)
 
   /** ANN top-k via sign-random-projection bucketing (SimHash over axis
-    * planes): 8-bit bucket from the signs of dims 0,8,…,56; candidates are
-    * vectors sharing the bucket; exact cosine ranks within bucket. The
-    * self-join shuffles on the bucket key — at 100 TB candidate volume is
-    * sum(bucket²) instead of n². Hot buckets are NOT left to AQE (its
-    * skew split reads shuffle bytes, blind to join fan-out — measured in
-    * STRESS_r06.md): [[BandJoin.selfCandidates]] salts buckets past a
-    * size threshold across salt² pinned join keys. Recall is traded for
-    * never touching n². */
+    * planes): a b-bit bucket from the signs of b evenly-strided dims;
+    * candidates are vectors sharing the bucket; exact cosine ranks
+    * within bucket. The self-join shuffles on the bucket key — candidate
+    * volume is sum(bucket²) instead of n². Hot buckets are NOT left to
+    * AQE (its skew split reads shuffle bytes, blind to join fan-out —
+    * measured in STRESS_r06.md): [[BandJoin.selfCandidates]] salts
+    * buckets past a size threshold across salt² pinned join keys.
+    * Recall is traded for never touching n².
+    *
+    * BUCKET BITS SCALE WITH THE CORPUS (round 8): b = clamp(⌈log₂(n/256)⌉,
+    * 8, 16), i.e. the bucket count tracks n/256 so expected bucket SIZE
+    * — and with it per-query candidate count and total candidate volume
+    * ÷ n — stays ~constant as the corpus grows. The round-8 100× run
+    * measured why: at n = 200k the former fixed 8-bit bucketing left
+    * 256 buckets of ~780 vectors → 156M candidate pairs and a 296 s
+    * warm wall (quadratic/256, STRESS_r08.md §4). The floor of 8 keeps
+    * every fixture scale (n ≤ 20k → b = 8) byte-identical to the
+    * pre-adaptive results; the cap of 16 is the tested envelope (dims
+    * are strided ⌊64/b⌋ apart, so up to 64 planes are available past
+    * it). The DuckDB oracle computes the SAME b from COUNT(*), so the
+    * contract is replayed, not approximated. Final per-query ranking is
+    * [[graft.functions.CosTopK]] aggregation, not a rank window — the
+    * window form local-sorts the full candidate stream per task before
+    * its partial limit (measured 2× wall at 10×, STRESS_r08.md §2). */
   val annLshTopk: QueryDef = QueryDef.sql(
     "ann_lsh_topk",
     oraclePrefix +
       """,
+        |bb AS (
+        |  SELECT b, CAST(64 // b AS INT) AS st FROM (
+        |    SELECT GREATEST(8, LEAST(16,
+        |      CAST(CEIL(LOG2(COUNT(*) / 256.0)) AS INT))) AS b
+        |    FROM embeddings)),
         |sigs AS (
         |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST((i - 1) // 8 AS INT) ELSE 0 END) AS BIGINT) AS bkt
-        |  FROM flat WHERE (i - 1) % 8 = 0
+        |    CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST((i - 1) // st AS INT) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM flat, bb WHERE (i - 1) % st = 0 AND (i - 1) // st < b
         |  GROUP BY vec_id),
         |dots AS (
         |  SELECT fa.vec_id AS qid, fb.vec_id AS cid,
@@ -225,9 +246,16 @@ object Similarity {
         |FROM sims
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val bktExpr = (0 until 8).map(j =>
-      s"CASE WHEN qe[${8 * j}] > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
-    val base = quantized(s, dir)
+    val base0 = quantized(s, dir)
+    // adaptive bucket width (see scaladoc): same clamp formula as the
+    // oracle's bb CTE; the count is a cache-table scan
+    val n = base0.count()
+    val b = math.max(8, math.min(16,
+      math.ceil(math.log(n / 256.0) / math.log(2)).toInt))
+    val st = 64 / b
+    val bktExpr = (0 until b).map(j =>
+      s"CASE WHEN qe[${st * j}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val base = base0
       .withColumn("bkt", expr(s"CAST($bktExpr AS BIGINT)"))
     // skew-aware bucket self-join (one logical band): a hot bucket's
     // pairs are enumerated across salt² shuffle keys instead of one
@@ -239,10 +267,12 @@ object Similarity {
     // nothing
     val und = BandJoin.selfCandidates(
       base.select($"vec_id", lit(0L).as("band"), $"bkt"), dedup = false)
-    // ranking is per-query over BOTH directions of each undirected pair
+    // ranking is per-query over BOTH directions of each undirected pair;
+    // CosTopK aggregation, not a rank window — candidates stream into
+    // O(k) heap state per query with no per-task sort of the candidate
+    // stream, and the exchange moves serialized heaps
     val cand = und.select($"va".as("qid"), $"vb".as("cid"))
       .union(und.select($"vb".as("qid"), $"va".as("cid")))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     cand
       .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
         Seq("qid"))
@@ -251,9 +281,10 @@ object Similarity {
       .withColumn("dot",
         Kit.dotI64($"qa", $"qb"))
       .select($"qid", $"cid", cosCol($"dot", $"na", $"nb").as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .where($"rk" <= 5)
-      .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"cos", $"cid", 5).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
   }
 
   /** CALIBRATION BASELINE — UNREGISTERED (retired from the query surface
@@ -599,19 +630,31 @@ object Similarity {
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
     * path"; this engine ships both). Deterministic coarse quantizer so
-    * the DuckDB oracle replays it exactly: centroids = every 61st vector
-    * (cell count grows ~n/61, i.e. with the corpus, as IVF wants), each
-    * vector is assigned to its max-cosine centroid, a query probes its 2
-    * nearest cells, and exact cosine re-ranks the probed candidates to
-    * top-5. At 100 TB: assignment is one broadcast-centroids pass over
-    * the corpus (written as a stage table alongside the embeddings), and
-    * a query touches ~2/K of the corpus instead of all of it — the
-    * recall/cost dial is (K, nprobe), not data size. */
+    * the DuckDB oracle replays it exactly: centroids = every m-th vector
+    * with m = ⌈√n⌉, each vector is assigned to its max-cosine centroid,
+    * a query probes its 2 nearest cells, and exact cosine re-ranks the
+    * probed candidates to top-5.
+    *
+    * CENTROID COUNT IS ⌈√n⌉ (round 8) — the standard IVF balance:
+    * K ≈ √n cells of ~√n members puts assignment at n·√n dots and
+    * per-query probe work at nprobe·√n, both sub-quadratic. The
+    * round-8 100× run measured what the former fixed divisor (every
+    * 61st vector → K = n/61) does instead: assignment degenerates to
+    * n²/61 dots — 656M at n = 200k, 573 s warm (STRESS_r08.md §4).
+    * The DuckDB oracle computes the same m from COUNT(*). Assignment
+    * and both rankings are [[graft.functions.CosTopK]] aggregations
+    * (k = 1 for assignment), not rank windows — no window shuffle or
+    * per-task sort of the n·K assignment stream.
+    *
+    * At 100 TB: assignment is one broadcast-centroids pass over the
+    * corpus (written as a stage table alongside the embeddings), and a
+    * query touches ~nprobe/√n of the corpus instead of all of it. */
   val ivfTopk: QueryDef = QueryDef.sql(
     "ivf_topk",
     oraclePrefix +
       """,
-        |cents AS (SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 61 = 0),
+        |mm AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS m FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id FROM embeddings, mm WHERE vec_id % m = 0),
         |cdots AS (
         |  SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * g.v) AS BIGINT) AS dot
         |  FROM flat f
@@ -654,22 +697,26 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
     import s.implicits._
     val base = quantized(s, dir)
+    val m = math.ceil(math.sqrt(base.count().toDouble)).toLong
     val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
-      $"nrm".as("cn")).where($"cent_id" % 61 === 0)
+      $"nrm".as("cn")).where($"cent_id" % m === 0)
     val ccos = base.crossJoin(broadcast(cents))
       .select($"vec_id", $"cent_id",
         cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"cos".desc, $"cent_id".asc)
-    val ranked = ccos.withColumn("rk", row_number().over(wAssign))
-    val assign = ranked.where($"rk" === 1)
-      .select($"vec_id", $"cent_id".as("cell"))
-    val probes = ranked.where($"vec_id" % 25 === 0 && $"rk" <= 2)
-      .select($"vec_id".as("qid"), $"cent_id".as("cell"))
+    // assignment = per-vector top-1 centroid as a CosTopK aggregation:
+    // the n·K assignment stream folds map-side into one (cos, cent)
+    // pair per vector — no window shuffle, no per-task sort
+    val assign = ccos.groupBy($"vec_id")
+      .agg(Kit.cosTopK($"cos", $"cent_id", 1).as("top"))
+      .select($"vec_id", $"top"(0)("cid").as("cell"))
+    val probes = ccos.where($"vec_id" % 25 === 0)
+      .groupBy($"vec_id")
+      .agg(Kit.cosTopK($"cos", $"cent_id", 2).as("top"))
+      .select($"vec_id".as("qid"), explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid")).distinct()
-    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     cand
       .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
         Seq("qid"))
@@ -677,9 +724,10 @@ object Similarity {
         Seq("cid"))
       .select($"qid", $"cid",
         cosCol(Kit.dotI64($"qa", $"qb"), $"na", $"nb").as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .where($"rk" <= 5)
-      .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"cos", $"cid", 5).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
   }
 
   /** Multimodal-column plumbing: treat content as an opaque binary column
