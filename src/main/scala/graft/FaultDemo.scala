@@ -45,6 +45,10 @@ object FaultDemo {
     val builder = SparkSession.builder()
       .master("local-cluster[2,2,1024]")
       .config("spark.sql.shuffle.partitions", "8")
+      // CosTopK-family aggregations hold 10^3-10^5 groups per task; the
+      // 128-row default falls back to sort-based aggregation (and its
+      // spill cascade) on every such query - see CosTopK scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .config("spark.jars", sys.env.getOrElse("SPARK_GRAFT_JAR", ""))
     val spark =

@@ -37,6 +37,10 @@ object MetaBench {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // CosTopK-family aggregations hold 10^3-10^5 groups per task; the
+      // 128-row default falls back to sort-based aggregation (and its
+      // spill cascade) on every such query - see CosTopK scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

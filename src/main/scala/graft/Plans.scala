@@ -158,6 +158,10 @@ object Plans {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // CosTopK-family aggregations hold 10^3-10^5 groups per task; the
+      // 128-row default falls back to sort-based aggregation (and its
+      // spill cascade) on every such query - see CosTopK scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

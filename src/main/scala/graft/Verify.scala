@@ -25,6 +25,10 @@ object Verify {
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // CosTopK-family aggregations hold 10^3-10^5 groups per task; the
+      // 128-row default falls back to sort-based aggregation (and its
+      // spill cascade) on every such query - see CosTopK scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); set once at session build
       // (the ONLY place — Tables.load deliberately performs no session-conf

@@ -93,7 +93,23 @@ final class TopKHeap(val k: Int) extends Serializable {
   * Admission, merge, and serialization all run on primitive arrays; no
   * boxing in the hot path (brief preference order: native expression
   * over UDAF/Aggregator, which would pay Encoder round-trips per row).
-  */
+  *
+  * DEPLOYMENT NOTE — `spark.sql.objectHashAggregate.sortBased
+  * .fallbackThreshold` (default 128). `ObjectHashAggregateExec` counts
+  * in-memory hash-map GROUPS and falls back to sort-based aggregation
+  * past the threshold — and every CosTopK call site holds 10³–10⁵ query
+  * groups per task, so at the 128-row default NONE of them actually
+  * aggregate hash-wise: the candidate stream gets sorted by group key
+  * (the very sort this aggregate exists to avoid) and, at scale, spilled.
+  * Measured on the 100× corpus (1.6G-pair block product, 8k groups,
+  * STRESS_r08.md §5): default threshold OOMs an 8 GiB harness outright
+  * (spill read-ahead buffers × 32 tasks); with 48 GiB it completes in
+  * 157.6 s warm; raising the threshold to 65,536 completes on the
+  * DEFAULT 8 GiB heap in 43.5 s — 3.6× faster than the 6×-memory
+  * sort-based run. Every session builder in this repo sets 65,536
+  * (worst-case map cost ≈ threshold × ~300 B ≈ 20 MB/task — bounded
+  * insurance); deployments embedding this aggregate elsewhere should
+  * size the threshold to expected groups-per-task the same way. */
 case class CosTopK(
     score: Expression,
     id: Expression,
