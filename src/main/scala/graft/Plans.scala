@@ -39,9 +39,13 @@ object Plans {
         "join would be O(clicks × views-per-user). The oracle runs " +
         "DuckDB's native ASOF JOIN — different algorithm, same rows."),
     "ivf_topk" ->
-      ("IVF ANN: one broadcast-centroids pass assigns cells (the " +
-        "InMemoryTableScan is the persisted quantization stage), probes " +
-        "touch ~nprobe/K of the corpus, exact cosine re-ranks via the " +
+      ("IVF ANN: one broadcast-centroids pass over the corpus scores " +
+        "K = ceil(sqrt(n)) centroids per vector (n*sqrt(n) dots — the " +
+        "round-8 fix; a fixed divisor made this n^2/61 at 100x), cell " +
+        "assignment and both rankings are native cos_topk " +
+        "ObjectHashAggregates (k=1 for assignment — no window shuffle, " +
+        "no per-task sort of the assignment stream), probes touch " +
+        "~nprobe/sqrt(n) of the corpus, exact cosine re-ranks via the " +
         "native dot_i64 expression."),
     "ngram_jaccard_neardup" ->
       ("Round-3 rework: the shingled corpus is shuffled ONCE (window " +
