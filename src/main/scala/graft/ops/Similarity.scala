@@ -37,6 +37,30 @@ object Similarity {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Adaptive sign-LSH bucket width for [[annLshTopk]]:
+    * b = clamp(⌈log₂(n/256)⌉, 8, 16), so the bucket count tracks n/256
+    * and expected bucket SIZE stays ~constant as the corpus grows —
+    * candidates ∝ n, not n² (the fixed 8-bit bucket measured 156M pairs
+    * at n = 200k, STRESS_r08.md §4). The floor of 8 keeps every fixture
+    * scale (n ≤ 20k) byte-identical to the pre-adaptive results; the
+    * oracle SQL computes the identical clamp from COUNT(*). */
+  def adaptiveBits(n: Long): Int =
+    math.max(8, math.min(16,
+      math.ceil(math.log(n / 256.0) / math.log(2)).toInt))
+
+  /** Stride between the dims a b-bit bucket reads (64-dim vectors):
+    * ⌊64/b⌋, so planes stay evenly spread; b = 8 reads dims 0,8,…,56 —
+    * the original fixed geometry. */
+  def bitStride(bits: Int): Int = 64 / bits
+
+  /** IVF centroid modulus for [[ivfTopk]]: m = ⌈√n⌉ ⇒ K ≈ √n cells of
+    * ~√n members — assignment n·√n dots, probe nprobe·√n per query, the
+    * standard IVF balance (the fixed divisor 61 measured n²/61 = 656M
+    * assignment dots at n = 200k, STRESS_r08.md §4). Oracle replays the
+    * same ⌈√COUNT(*)⌉. */
+  def ivfModulus(n: Long): Long =
+    math.ceil(math.sqrt(n.toDouble)).toLong
+
   /** vec_id, qe (quantized int64 vector), nrm (int64 squared norm).
     * Persisted: the interpreted `transform` would otherwise re-evaluate
     * under downstream self-joins/explodes (per consumer, and per OUTPUT
@@ -249,10 +273,8 @@ object Similarity {
     val base0 = quantized(s, dir)
     // adaptive bucket width (see scaladoc): same clamp formula as the
     // oracle's bb CTE; the count is a cache-table scan
-    val n = base0.count()
-    val b = math.max(8, math.min(16,
-      math.ceil(math.log(n / 256.0) / math.log(2)).toInt))
-    val st = 64 / b
+    val b = adaptiveBits(base0.count())
+    val st = bitStride(b)
     val bktExpr = (0 until b).map(j =>
       s"CASE WHEN qe[${st * j}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     val base = base0
@@ -697,7 +719,7 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
     import s.implicits._
     val base = quantized(s, dir)
-    val m = math.ceil(math.sqrt(base.count().toDouble)).toLong
+    val m = ivfModulus(base.count())
     val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
       $"nrm".as("cn")).where($"cent_id" % m === 0)
     val ccos = base.crossJoin(broadcast(cents))
