@@ -162,5 +162,75 @@ object Components {
           when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("keep"))
     }
 
-  val all: Seq[QueryDef] = Seq(neardupClusters)
+  /** CLUSTER-LEVEL KEEP-BEST dedup — the end step a training-data
+    * pipeline actually runs after near-dup detection: every document is
+    * assigned to its near-dup cluster (its own doc_id when it has no
+    * near-dups), and the cluster's SURVIVOR is the member with the
+    * highest quality score (ties to the lowest doc_id) rather than
+    * [[neardupClusters]]'s blind minimum id. Covers the whole corpus —
+    * singletons trivially keep themselves — so `WHERE keep = 1` IS the
+    * deduplicated training set.
+    *
+    * Scale shape: the CC loop is [[connectedComponents]] unchanged; the
+    * winner is ONE map-side-combined `max(struct(q, -doc_id))` per
+    * cluster (no window over the corpus, no member list on any node —
+    * a 10⁸-member boilerplate cluster shuffles one partial per
+    * partition), and the verdict join moves (cluster_id, q, doc_id)
+    * triples, never text. Oracle: the pair CTE chain + recursive
+    * closure reused from [[neardupClusters]], winner via QUALIFY
+    * ROW_NUMBER — an independent formulation of the same argmax. */
+  val neardupKeepBest: QueryDef =
+    QueryDef.sql(
+      "neardup_keep_best",
+      s"""WITH RECURSIVE ${TextOps.mhPairsCteSql},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id, ${TextOps.SCORE_SQL} AS q FROM documents),
+        |cl AS (
+        |  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id, q.q
+        |  FROM q LEFT JOIN cc ON cc.doc_id = q.doc_id),
+        |win AS (
+        |  SELECT cluster_id, doc_id AS wdoc FROM cl
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1)
+        |SELECT cl.doc_id, cl.cluster_id, cl.q AS quality_score,
+        |  CAST(CASE WHEN cl.doc_id = w.wdoc THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cl JOIN win w USING (cluster_id)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.minhashNeardupPairs(docs, StageLevels.pinned(s))
+        .select($"doc_a", $"doc_b")
+      keepBestVerdicts(docs, pairs)
+    }
+
+  /** The keep-best machinery behind [[neardupKeepBest]], reusable with
+    * any pair detector: `docs` is (doc_id, text, …), `pairs` is two
+    * doc-id columns from a near-dup detector. Returns (doc_id,
+    * cluster_id, quality_score, keep) covering EVERY document. */
+  def keepBestVerdicts(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val scored = docs.select($"doc_id", TextOps.qualityScore($"text").as("q"))
+    val cl = scored.join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        $"q")
+    // argmax(q) with min-doc_id tiebreak as ONE associative aggregate:
+    // max over (q, -doc_id) lexicographic struct order
+    val winners = cl.groupBy($"cluster_id")
+      .agg(max(struct($"q".as("q"), (-$"doc_id").as("nid"))).as("w"))
+      .select($"cluster_id", (-$"w.nid").as("wdoc"))
+    cl.join(winners, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"q".as("quality_score"),
+        when($"doc_id" === $"wdoc", 1L).otherwise(0L).as("keep"))
+  }
+
+  val all: Seq[QueryDef] = Seq(neardupClusters, neardupKeepBest)
 }

@@ -278,7 +278,7 @@ object TextOps {
     * document length in a sane band, alphabetic character ratio, mean
     * word length in the natural-language band. Integer arithmetic
     * throughout so the score is engine-exact. */
-  private val SCORE_SQL: String =
+  private[ops] val SCORE_SQL: String =
     """CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
       |  + CASE WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
       |         >= length(text) * 60 THEN 1 ELSE 0 END
@@ -286,7 +286,7 @@ object TextOps {
       |         AND length(text) >= 3 * len(string_split(text, ' '))
       |         THEN 1 ELSE 0 END""".stripMargin
 
-  private def qualityScore(text: org.apache.spark.sql.Column)
+  private[ops] def qualityScore(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val lenOk = when(length(text).between(100, 20000), 1).otherwise(0)
     val alphaOk = when(

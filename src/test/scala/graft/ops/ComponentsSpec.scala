@@ -57,4 +57,23 @@ class ComponentsSpec extends SparkTestBase {
     // every vertex labels to its ring's minimum id
     assert(got.forall { case (id, lbl) => lbl == (id / 50) * 50 })
   }
+
+  test("keep-best picks the highest-quality member, not the minimum id") {
+    // doc 10: quality 1 (short, too-short words); doc 11: quality 3
+    val good = Seq.fill(30)("word").mkString(" ") // len 149, all checks pass
+    val docs = Seq(
+      (10L, "a b"), (11L, good),          // clustered: 11 must win on quality
+      (20L, good), (21L, good),            // tie on quality: 20 wins on id
+      (50L, "solo doc never paired " + good)) // singleton keeps itself
+      .toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Components.keepBestVerdicts(docs, pairs)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((10L, 1, 0L)), "low-quality min-id member dropped")
+    assert(got(11L) == ((10L, 3, 1L)), "high-quality member is the survivor")
+    assert(got(20L)._3 == 1L && got(21L)._3 == 0L, "quality tie breaks to min id")
+    assert(got(50L) == ((50L, 3, 1L)), "singleton keeps itself")
+    assert(got.size == 5)
+  }
 }
