@@ -215,10 +215,17 @@ object Clustering {
       import s.implicits._
       // ONE cached frame (with norms) shared by training and assignment —
       // the harness clearCache()s it after the query, like every other
-      // persisted stage table in this repo
-      val q = t(s, dir, "embeddings").select($"vec_id",
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("qe"))
+      // persisted stage table in this repo. Parallelism floor BEFORE the
+      // persist (see [[ParallelismFloor]]): every Lloyd pass is a
+      // compute-bound scan of this cache (k dot products per row + the
+      // partial-sum explode), and a single-file corpus otherwise caches
+      // as 1-2 partitions — measured at 100×: 12 of 13 task threads
+      // parked, 111 s warm; floored, the same loop runs at full width.
+      val q = ParallelismFloor(
+        t(s, dir, "embeddings").select($"vec_id",
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qe")),
+        s"$dir/embeddings.parquet")
         .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
         .persist()
       val centroids = kmeansCentroids(q, k = 8, iters = 3)

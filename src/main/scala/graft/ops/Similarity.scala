@@ -171,32 +171,16 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val base = quantized(s, dir)
-      // Parallelism floor on the corpus side: a small/single-file corpus
-      // arrives as 1-2 splits, so the block product plans 1-2 tasks and
-      // the O(n·q) dot-product compute — the entire cost of this exact
-      // regime — runs on that many cores (measured on the 10× corpus:
-      // P=2 heap form 95.8 s vs P=32 6.6 s, ShuffleProbe/STRESS_r08.md
-      // §2). The floor is sized from the SCAN BYTES (~256 KB of corpus
-      // per task — per-task work is bytes × q, quadratic in scale, so
-      // small tasks are cheap insurance) rather than jumping straight to
-      // defaultParallelism: a full-width floor costs more in task
-      // scheduling than it buys back at sf0.1 (measured 0.27 → 0.9 s),
-      // while the bytes rule reproduces the natural plan there and still
-      // opens the 10× corpus to 22 tasks. A real 100 TB corpus is
-      // already thousands of splits ≥ the floor — no extra shuffle.
-      // NOT base.inputFiles: persist() has already rewritten the plan
-      // leaf to an InMemoryRelation, so inputFiles is empty there —
-      // stat the fixture path itself (works for a file or a directory).
-      val scanBytes = {
-        val p0 = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-        p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .getContentSummary(p0).getLength
-      }
-      val floor = math.min(s.sparkContext.defaultParallelism.toLong,
-        math.max(1L, scanBytes / (256L << 10))).toInt
-      val corpus =
-        if (base.rdd.getNumPartitions < floor) base.repartition(floor)
-        else base
+      // Parallelism floor on the corpus side (see [[ParallelismFloor]]):
+      // a small/single-file corpus arrives as 1-2 splits, so the block
+      // product plans 1-2 tasks and the O(n·q) dot-product compute — the
+      // entire cost of this exact regime — runs on that many cores
+      // (measured on the 10× corpus: P=2 heap form 95.8 s vs P=32 6.6 s,
+      // ShuffleProbe/STRESS_r08.md §2). ~256 KB of corpus per task —
+      // per-task work is bytes × q, quadratic in scale, so small tasks
+      // are cheap insurance; a full-width floor measured 0.27 → 0.9 s at
+      // sf0.1, so bytes-sizing, not defaultParallelism.
+      val corpus = ParallelismFloor(base, s"$dir/embeddings.parquet")
       val qs = base.where($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qn"))
       corpus.crossJoin(qs.hint("shuffle_replicate_nl"))
