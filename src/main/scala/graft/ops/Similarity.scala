@@ -69,10 +69,18 @@ object Similarity {
     * the cache between queries. */
   private def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "embeddings").select(
-      $"vec_id",
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("qe"))
+    // Parallelism floor BEFORE the persist (see [[ParallelismFloor]]):
+    // every family member's compute-bound corpus pass — ivf_topk's n·√n
+    // assignment dots, ann_lsh bucket projection, the block products —
+    // reads THIS cache, and a single-file fixture otherwise caches as
+    // 1-2 partitions, starving all but 1-2 cores (measured on k-means at
+    // 100×: 111 s starved vs 9.4 s floored, same arithmetic).
+    ParallelismFloor(
+      t(s, dir, "embeddings").select(
+        $"vec_id",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qe")),
+      s"$dir/embeddings.parquet")
       .withColumn("nrm", Kit.dotI64(col("qe"), col("qe")))
       .persist()
   }
@@ -171,16 +179,10 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val base = quantized(s, dir)
-      // Parallelism floor on the corpus side (see [[ParallelismFloor]]):
-      // a small/single-file corpus arrives as 1-2 splits, so the block
-      // product plans 1-2 tasks and the O(n·q) dot-product compute — the
-      // entire cost of this exact regime — runs on that many cores
-      // (measured on the 10× corpus: P=2 heap form 95.8 s vs P=32 6.6 s,
-      // ShuffleProbe/STRESS_r08.md §2). ~256 KB of corpus per task —
-      // per-task work is bytes × q, quadratic in scale, so small tasks
-      // are cheap insurance; a full-width floor measured 0.27 → 0.9 s at
-      // sf0.1, so bytes-sizing, not defaultParallelism.
-      val corpus = ParallelismFloor(base, s"$dir/embeddings.parquet")
+      // Corpus-side parallelism comes from the [[quantized]] cache's
+      // scan-bytes floor (P=2 vs P=32 measured 95.8 vs 6.6 s on the 10×
+      // corpus's block product — ShuffleProbe/STRESS_r08.md §2).
+      val corpus = base
       val qs = base.where($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qn"))
       corpus.crossJoin(qs.hint("shuffle_replicate_nl"))
