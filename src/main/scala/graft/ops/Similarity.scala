@@ -466,6 +466,42 @@ object Similarity {
       math.log1p(-recall) / math.log1p(-math.pow(p, bits))).toInt)
   }
 
+  /** ⌈log₂ x⌉ by bit position — exact integer arithmetic, because the
+    * oracle must replay it and `ceil(log2(x))` in floating point can
+    * land on either side of 2^k boundaries depending on the engine's
+    * libm. Mirrors DuckDB's `LENGTH(bin(x - 1))` for x ≥ 2. */
+  def ceilLog2(x: Long): Int = {
+    require(x >= 1, s"ceilLog2 of $x")
+    if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+  }
+
+  /** ADAPTIVE projection-band geometry — the §9.6 closure. The fixed
+    * 16-bit band admits random-pair collisions at R·2⁻¹⁶ of ALL pairs
+    * (∝ n² in the limit); holding the expected random collisions PER
+    * VECTOR at the fixture-calibrated ~25 (n = 200k, B = 16, R = 8 →
+    * n·R/2^B ≈ 24.4) requires 2^B ∝ n, i.e. band width growing with
+    * ⌈log₂ n⌉:
+    *
+    *   B(n) = clamp(⌈log₂(n·8/25)⌉, 16, 32)     (integer arithmetic)
+    *   R(n) = projBands(0.90, B(n), 0.50)        (recall re-bought)
+    *
+    * The floor of 16 keeps every fixture scale up to n ≈ 200k on the
+    * hand-tuned [[embeddingNeardupProj]] geometry (byte-identical
+    * results); the cap of 32 bounds the band table the oracle embeds
+    * (R ≤ 99) and covers corpora to ~10¹⁰ vectors. Growing B costs
+    * recall, so R is recomputed from the S-curve for the same 50%
+    * recall at the cos-0.90 detection threshold — R grows ~1.17× per
+    * bit (R ∝ p(θ)⁻ᴮ ∝ n^0.22). Net: random collisions per vector are
+    * ≤ R·25/8 (grows only with R, ∝ n^0.22), total candidates and
+    * projection work both ~n^1.22 — the sub-quadratic price that
+    * replaces the fixed geometry's n²·2⁻¹⁶. Recall at the planted cos-0.999
+    * pairs stays ≈ 1 at every geometry this returns (p(0.999)^32 ≈ 0.63,
+    * and R ≥ 8 bands) — measured, not assumed: see STRESS_r08 §8. */
+  def adaptiveProjGeometry(n: Long): (Int, Int) = {
+    val bits = math.max(16, math.min(32, ceilLog2(math.max(2L, n * 8L / 25L))))
+    (projBands(0.90, bits, 0.50), bits)
+  }
+
   /** Shared threshold-parameterized random-projection near-dup builder
     * (Spark pipeline + DuckDB oracle from one geometry): md5-derived
     * projection weights (oracle-replayable), `bands` × `bits` packed
@@ -486,22 +522,7 @@ object Similarity {
     // SignProjectI64 weights, band packing, and candidate verification
     // on NON-EMPTY output — the in-protocol form of the round-6
     // scripts/verify_planted.sh cross-engine evidence run.
-    val prefix =
-      if (!plant) oraclePrefix
-      else
-        """WITH flat0 AS (
-          |  SELECT vec_id, i,
-          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
-          |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
-          |flat AS (
-          |  SELECT vec_id, i, v FROM flat0
-          |  UNION ALL
-          |  SELECT vec_id + 1000000, i,
-          |    v + CASE WHEN (i - 1) % 7 = 0 THEN 5000 ELSE 0 END
-          |  FROM flat0 WHERE vec_id % 37 = 0),
-          |norms AS (
-          |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-          |  FROM flat GROUP BY vec_id)""".stripMargin
+    val prefix = if (!plant) oraclePrefix else plantedOraclePrefix
     QueryDef.sql(
       name,
       prefix +
@@ -512,91 +533,131 @@ object Similarity {
           |      concat(CAST(b AS VARCHAR), '_', CAST(t AS VARCHAR), '_', CAST(d AS VARCHAR))
           |    ), 1, 15)) AS BIGINT) % 2001 - 1000 AS wv
           |  FROM range($bands) r1(b), range($bits) r2(t), range($dim) r3(d)),
-          |projs AS (
-          |  SELECT f.vec_id, w.b, w.t,
-          |    CASE WHEN SUM(w.wv * f.v) > 0 THEN 1 ELSE 0 END AS bit
-          |  FROM flat f JOIN w ON w.d = f.i - 1
-          |  GROUP BY f.vec_id, w.b, w.t),
-          |bkts AS (
-          |  SELECT vec_id, b AS band,
-          |    CAST(SUM(bit << CAST(t AS INT)) AS BIGINT) AS bkt
-          |  FROM projs GROUP BY vec_id, b),
-          |cand AS (
-          |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          |  FROM bkts a
-          |  JOIN bkts b ON a.band = b.band AND a.bkt = b.bkt
-          |    AND a.vec_id < b.vec_id),
-          |dots AS (
-          |  SELECT va, vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
-          |  FROM cand
-          |  JOIN flat fa ON fa.vec_id = va
-          |  JOIN flat fb ON fb.vec_id = vb AND fb.i = fa.i
-          |  GROUP BY va, vb),
-          |sims AS (
-          |  SELECT va, vb,
-          |    CAST(dot AS DOUBLE)
-          |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
-          |  FROM dots
-          |  JOIN norms na ON na.vec_id = va
-          |  JOIN norms nb ON nb.vec_id = vb)
-          |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
-          |FROM sims WHERE cos >= $verifyCos""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val base = {
-        val b0 = quantized(s, dir)
-        if (!plant) b0
-        else {
-          // the oracle's planted copies, in the quantized integer domain
-          // (transform's lambda index is 0-based = the oracle's i - 1)
-          val copies = b0.where($"vec_id" % 37 === 0)
-            .select(($"vec_id" + 1000000L).as("vec_id"),
-              expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
-                "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-                .as("qe"))
-            .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
-          b0.select($"vec_id", $"qe", $"nrm")
-            .union(copies.select($"vec_id", $"qe", $"nrm"))
-        }
-      }
-      // the identical md5-derived weights, computed once on the driver
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def weight(b: Int, t: Int, d: Int): Long = {
-        val hex = md.digest(s"${b}_${t}_$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(15)
-        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
-      }
-      // flattened weight matrix, projection p = band * bits + t: ALL 128
-      // hyperplanes evaluate in ONE native expression's tight loop
-      // (128 separate dot-product expressions in one Project measured 9×
-      // superlinear — see SignProjectI64's scaladoc)
-      val flatWeights = Array.tabulate(bands * bits * dim) { i =>
-        val p = i / dim; val d = i % dim
-        weight(p / bits, p % bits, d)
-      }
-      val bks = org.apache.spark.sql.GraftExpr.column(
-        graft.functions.SignProjectI64(
-          org.apache.spark.sql.GraftExpr.expression($"qe"),
-          flatWeights, dim, bits))
-      // stage table: projections computed once per vector, persisted
-      // BEFORE the band explode (the explode would otherwise re-run the
-      // projection per output row — the minhashBands trap)
-      val withBkts = base.select($"vec_id", bks.as("bks")).persist()
-      val bandsDf = withBkts
-        .select($"vec_id", posexplode($"bks").as(Seq("band", "bkt")))
-        .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
-      // skew-aware band self-join (see BandJoin): identical pair set,
-      // hot buckets salted across salt² shuffle keys
-      val cand = BandJoin.selfCandidates(bandsDf)
-        .observe(obs, count(lit(1)).as("n_pairs"))
-      val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
-      val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
-      cand.join(left, Seq("va")).join(right, Seq("vb"))
-        .withColumn("dot", Kit.dotI64($"qa", $"qb"))
-        .select($"va".as("vec_a"), $"vb".as("vec_b"),
-          cosCol($"dot", $"na", $"nb").as("cos"))
-        .where($"cos" >= verifyCos.toDouble)
-        .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
+          |""".stripMargin + projOracleTail(verifyCos)) { (s, dir) =>
+      val base = if (plant) plantedQuantized(s, dir) else quantized(s, dir)
+      projPipeline(base, bands, bits, verifyCos.toDouble, obs)
     }
+  }
+
+  /** Oracle CTE tail shared by the fixed and adaptive projection
+    * detectors: project (a `w` hyperplane CTE must already be in
+    * scope), pack band buckets, band-collision candidates, exact
+    * quantized-cosine verify at `verifyCos`. */
+  private def projOracleTail(verifyCos: String): String =
+    s"""projs AS (
+      |  SELECT f.vec_id, w.b, w.t,
+      |    CASE WHEN SUM(w.wv * f.v) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM flat f JOIN w ON w.d = f.i - 1
+      |  GROUP BY f.vec_id, w.b, w.t),
+      |bkts AS (
+      |  SELECT vec_id, b AS band,
+      |    CAST(SUM(bit << CAST(t AS INT)) AS BIGINT) AS bkt
+      |  FROM projs GROUP BY vec_id, b),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bkts a
+      |  JOIN bkts b ON a.band = b.band AND a.bkt = b.bkt
+      |    AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT va, vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+      |  FROM cand
+      |  JOIN flat fa ON fa.vec_id = va
+      |  JOIN flat fb ON fb.vec_id = vb AND fb.i = fa.i
+      |  GROUP BY va, vb),
+      |sims AS (
+      |  SELECT va, vb,
+      |    CAST(dot AS DOUBLE)
+      |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+      |  FROM dots
+      |  JOIN norms na ON na.vec_id = va
+      |  JOIN norms nb ON nb.vec_id = vb)
+      |SELECT va AS vec_a, vb AS vec_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
+      |FROM sims WHERE cos >= $verifyCos""".stripMargin
+
+  /** The planted-corpus oracle prefix: the fixture's quantized flat
+    * rows ∪ the planted copies (see [[plantedQuantized]]), plus norms. */
+  private val plantedOraclePrefix: String =
+    """WITH flat0 AS (
+      |  SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |flat AS (
+      |  SELECT vec_id, i, v FROM flat0
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, i,
+      |    v + CASE WHEN (i - 1) % 7 = 0 THEN 5000 ELSE 0 END
+      |  FROM flat0 WHERE vec_id % 37 = 0),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+      |  FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** The [[quantized]] corpus ∪ the oracle's planted copies, in the
+    * quantized integer domain (transform's lambda index is 0-based =
+    * the oracle's i - 1): every 37th vector re-appears as vec_id +
+    * 1_000_000 with +5000 on every 7th quantized dim — cos ≈ 0.999. */
+  private def plantedQuantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b0 = quantized(s, dir)
+    val copies = b0.where($"vec_id" % 37 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .as("qe"))
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    b0.select($"vec_id", $"qe", $"nrm")
+      .union(copies.select($"vec_id", $"qe", $"nrm"))
+  }
+
+  /** md5-derived flattened projection weight matrix (driver-side, the
+    * identical arithmetic the oracle replays from `range()`s),
+    * projection p = band · bits + t: ALL hyperplanes evaluate in ONE
+    * native expression's tight loop (bands × bits separate dot-product
+    * expressions in one Project measured 9× superlinear — see
+    * SignProjectI64's scaladoc). */
+  private def projWeights(bands: Int, bits: Int, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(b: Int, t: Int, d: Int): Long = {
+      val hex = md.digest(s"${b}_${t}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    Array.tabulate(bands * bits * dim) { i =>
+      val p = i / dim; val d = i % dim
+      weight(p / bits, p % bits, d)
+    }
+  }
+
+  /** Shared Spark pipeline of the projection detectors: native
+    * sign-projection buckets, band-collision candidates via the
+    * skew-aware [[BandJoin]], exact quantized-cosine verification. */
+  private def projPipeline(base: DataFrame, bands: Int, bits: Int,
+                           verifyCos: Double, obs: String): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val dim = 64
+    val bks = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.SignProjectI64(
+        org.apache.spark.sql.GraftExpr.expression($"qe"),
+        projWeights(bands, bits, dim), dim, bits))
+    // stage table: projections computed once per vector, persisted
+    // BEFORE the band explode (the explode would otherwise re-run the
+    // projection per output row — the minhashBands trap)
+    val withBkts = base.select($"vec_id", bks.as("bks")).persist()
+    val bandsDf = withBkts
+      .select($"vec_id", posexplode($"bks").as(Seq("band", "bkt")))
+      .select($"vec_id", $"band".cast(LongType).as("band"), $"bkt")
+    // skew-aware band self-join (see BandJoin): identical pair set,
+    // hot buckets salted across salt² shuffle keys
+    val cand = BandJoin.selfCandidates(bandsDf)
+      .observe(obs, count(lit(1)).as("n_pairs"))
+    val left = base.select($"vec_id".as("va"), $"qe".as("qa"), $"nrm".as("na"))
+    val right = base.select($"vec_id".as("vb"), $"qe".as("qb"), $"nrm".as("nb"))
+    cand.join(left, Seq("va")).join(right, Seq("vb"))
+      .withColumn("dot", Kit.dotI64($"qa", $"qb"))
+      .select($"va".as("vec_a"), $"vb".as("vec_b"),
+        cosCol($"dot", $"na", $"nb").as("cos"))
+      .where($"cos" >= verifyCos)
+      .select($"vec_a", $"vec_b", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
   /** The hand-tuned 8 × 16-bit random-projection detector at cos ≥ 0.90
@@ -634,6 +695,55 @@ object Similarity {
   val embeddingNeardupPlanted: QueryDef =
     projNeardup("embedding_neardup_planted", 8, 16, "0.90",
       "planted_candidates", plant = true)
+
+  /** ADAPTIVE-GEOMETRY projection near-dup — the §9.6 closure, planted
+    * so recall is measurable IN-PROTOCOL at every scale: band width
+    * B(n) and count R(n) come from [[adaptiveProjGeometry]] at runtime
+    * (one count over the cached corpus), so the random-collision
+    * candidate budget stays ∝ n where the fixed 16-bit geometry's grows
+    * ∝ n²·2⁻¹⁶. At fixture scales (n ≤ ~200k) the clamp returns the
+    * hand-tuned (8, 16) and results are byte-identical to
+    * `embedding_neardup_planted`; past it, B grows with ⌈log₂ n⌉ and R
+    * re-buys the same 50% S-curve recall at cos 0.90 (planted cos-0.999
+    * recall stays ≈ 1 — measured at 100×, STRESS_r08 §8).
+    *
+    * Oracle replay of a DATA-DEPENDENT geometry: B is integer-exact in
+    * both engines (`LENGTH(bin(x-1))` ≡ 64 − numberOfLeadingZeros(x−1);
+    * no floating log2 whose libm could land either side of a 2^k
+    * boundary), and the B→R table is embedded as LITERALS computed by
+    * [[projBands]] at registration — the oracle never evaluates the
+    * S-curve's transcendentals, so cross-engine ulp drift cannot flip a
+    * ceil. The `w` CTE ranges over the 32 × 99 maximum and filters by
+    * the geometry, so only the chosen hyperplanes are evaluated. */
+  val embeddingNeardupAdaptive: QueryDef = {
+    val bandsByBits = (16 to 32)
+      .map(b => s"WHEN $b THEN ${projBands(0.90, b, 0.50)}")
+      .mkString(" ")
+    QueryDef.sql(
+      "embedding_neardup_adaptive",
+      plantedOraclePrefix +
+        s""",
+          |geo AS (
+          |  SELECT bits, CAST(CASE bits $bandsByBits END AS INT) AS bands
+          |  FROM (
+          |    SELECT GREATEST(16, LEAST(32, LENGTH(bin(
+          |      GREATEST((SELECT COUNT(*) FROM norms) * 8 // 25, 2) - 1)))) AS bits)),
+          |w AS (
+          |  SELECT b, t, d,
+          |    CAST(concat('0x', substring(md5(
+          |      concat(CAST(b AS VARCHAR), '_', CAST(t AS VARCHAR), '_', CAST(d AS VARCHAR))
+          |    ), 1, 15)) AS BIGINT) % 2001 - 1000 AS wv
+          |  FROM range(99) r1(b), range(32) r2(t), range(64) r3(d), geo
+          |  WHERE b < geo.bands AND t < geo.bits),
+          |""".stripMargin + projOracleTail("0.90")) { (s, dir) =>
+      val base = plantedQuantized(s, dir)
+      // ONE count job over the (cached-underneath) corpus prices the
+      // geometry; at 100 TB this is the metadata the embedding table's
+      // stats already carry
+      val (bands, bits) = adaptiveProjGeometry(base.count())
+      projPipeline(base, bands, bits, 0.90, "adaptive_candidates")
+    }
+  }
 
   /** IVF-style ANN top-k — the coarse-quantizer counterpart to the sign-
     * LSH variant (brief: "an IVF or LSH-bucketed variant as the scale
@@ -770,5 +880,5 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     similarityTopk, similarityTopkBigq, annLshTopk, ivfTopk,
     embeddingNeardupStrict, embeddingNeardupProj, embeddingNeardupAuto,
-    embeddingNeardupPlanted, multimodalFeatures)
+    embeddingNeardupPlanted, embeddingNeardupAdaptive, multimodalFeatures)
 }
