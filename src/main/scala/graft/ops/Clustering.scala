@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.Kit
 import graft.sources.Tables
@@ -158,6 +159,18 @@ object Clustering {
     cte("sl",
       """SELECT CAST(i AS INT) AS pos, qe[i+1] AS v
         |FROM sd, UNNEST(range(len(qe))) t(i)""".stripMargin)
+    kmeansChain(cte, k, iters, poolMult)
+    ctes.result().mkString("WITH ", ",\n", "") +
+      "\nSELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cl"
+  }
+
+  /** The k-means CTE chain shared by [[kmeansOracleSql]] and the
+    * semantic-dedup oracle: pool seeding, k−1 greedy farthest-first
+    * picks, `iters` Lloyd rounds, final assignment `af` (vec_id, cl).
+    * Callers must already have emitted `ql` (vec_id, pos, v — the long
+    * corpus) and `sl` (pos, v — the lowest-vec_id seed vector). */
+  private def kmeansChain(cte: (String, String) => Unit,
+                          k: Int, iters: Int, poolMult: Int): Unit = {
     cte("pool",
       s"""SELECT l.vec_id FROM ql l JOIN sl s ON l.pos = s.pos
          |GROUP BY l.vec_id
@@ -200,8 +213,7 @@ object Clustering {
          |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
          |  FROM ql l JOIN k$iters c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1""".stripMargin)
-    ctes.result().mkString("WITH ", ",\n", "") +
-      "\nSELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cl"
+    ()
   }
 
   /** Registered form: k=8, 3 iterations over the embeddings fixture;
@@ -234,5 +246,106 @@ object Clustering {
         .agg(count(lit(1)).as("n_vecs"))
     }
 
-  val all: Seq[QueryDef] = Seq(kmeansHistogram)
+  /** Oracle for [[semdedupPrune]]: the planted-corpus flat/norms prefix
+    * (shared with the projection near-dup family), the k-means chain
+    * over it, then exact intra-cluster pairwise cosine and the
+    * keep-lowest-id verdict. */
+  private def semdedupOracleSql(k: Int, iters: Int, poolMult: Int,
+                                tau: String): String = {
+    val ctes = Seq.newBuilder[String]
+    def cte(name: String, body: String): Unit =
+      ctes += s"$name AS MATERIALIZED ($body)"
+    cte("ql",
+      "SELECT vec_id, CAST(i - 1 AS INT) AS pos, v FROM flat")
+    cte("sl",
+      """SELECT CAST(i - 1 AS INT) AS pos, v FROM flat
+        |WHERE vec_id = (SELECT MIN(vec_id) FROM flat)""".stripMargin)
+    kmeansChain(cte, k, iters, poolMult)
+    cte("pairs",
+      """SELECT a.vec_id AS va, b.vec_id AS vb
+        |FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id""".stripMargin)
+    cte("pdots",
+      """SELECT p.va, p.vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |FROM pairs p
+        |JOIN ql fa ON fa.vec_id = p.va
+        |JOIN ql fb ON fb.vec_id = p.vb AND fb.pos = fa.pos
+        |GROUP BY p.va, p.vb""".stripMargin)
+    cte("drops",
+      s"""SELECT DISTINCT d.vb AS vec_id
+         |FROM pdots d
+         |JOIN norms na ON na.vec_id = d.va
+         |JOIN norms nb ON nb.vec_id = d.vb
+         |WHERE CAST(d.dot AS DOUBLE)
+         |  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+         |  >= $tau""".stripMargin)
+    Similarity.plantedOraclePrefix + ",\n" +
+      ctes.result().mkString(",\n") +
+      """
+        |SELECT a.cl AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM af a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+        |GROUP BY a.cl""".stripMargin
+  }
+
+  /** Cosine threshold above which two same-cluster vectors are semantic
+    * duplicates. Planted copies sit at cos ≈ 0.999; the fixture's random
+    * unit vectors pair at cos ~ N(0, 1/√64), so 0.90 is ≈ 7σ above the
+    * chance tail — the verdict is deterministic in both engines. */
+  private val SemdedupTau = "0.90"
+
+  /** SEMANTIC dedup (SemDeDup-style: cluster the embedding space with
+    * k-means, then exact pairwise cosine WITHIN each cluster only;
+    * cross-cluster pairs are never considered — the clustering IS the
+    * candidate generator): a vector is dropped when a lower-vec_id
+    * vector in its cluster is within cosine [[SemdedupTau]]. Runs on
+    * the planted corpus (every 37th vector duplicated at cos ≈ 0.999,
+    * the same plant as `embedding_neardup_planted`) so the driver's
+    * sweep checks the drop verdict on NON-EMPTY output; output is the
+    * per-cluster (n_vecs, n_dropped, n_kept) census — compact at any
+    * scale.
+    *
+    * Scale design: the pairwise stage is hash-partitioned by cluster
+    * id, so its cost is Σᵢ nᵢ²/2, bounded by k — at 100 TB you grow k
+    * with the corpus (k ≈ n / target-cluster-size, e.g. SemDeDup's
+    * 50k clusters for 1e9 embeddings) so per-cluster pairwise stays a
+    * constant-size block and the whole stage is one shuffle wide.
+    * With k fixed at the fixture's 8 the join has only 8 distinct
+    * keys — correct but deliberately small-scale; the adaptive-k form
+    * is the [[Similarity.adaptiveProjGeometry]] pattern applied to k
+    * and is exercised by the stress protocol, not the oracle (the
+    * unrolled-CTE oracle's cost is linear in k). Deduplication against
+    * an ANN index instead of exact intra-cluster pairs is the
+    * `embedding_neardup_*` family. */
+  val semdedupPrune: QueryDef = QueryDef.sql(
+    "semdedup_prune",
+    semdedupOracleSql(k = 8, iters = 3, poolMult = 16, tau = SemdedupTau)) {
+    (s, dir) =>
+      import s.implicits._
+      val q = Similarity.plantedQuantized(s, dir).persist()
+      val centroids = kmeansCentroids(q, k = 8, iters = 3)
+      val asg = kmeansAssign(q, centroids).persist()
+      val m = q.join(asg, Seq("vec_id"))
+      val a = m.select($"cluster", $"vec_id".as("va"), $"qe".as("qa"),
+        $"nrm".as("na"))
+      val b = m.select($"cluster", $"vec_id".as("vb"), $"qe".as("qb"),
+        $"nrm".as("nb"))
+      val drops = a.join(b, Seq("cluster"))
+        .where($"va" < $"vb" &&
+          Kit.dotI64($"qa", $"qb").cast(DoubleType)
+            / (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType)))
+            >= SemdedupTau.toDouble)
+        .select($"vb".as("vec_id"))
+        .distinct()
+        .withColumn("dropped", lit(1L))
+      asg.join(drops, Seq("vec_id"), "left")
+        .groupBy($"cluster")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+          (count(lit(1)) - sum(coalesce($"dropped", lit(0L)))).as("n_kept"))
+  }
+
+  val all: Seq[QueryDef] = Seq(kmeansHistogram, semdedupPrune)
 }

@@ -532,9 +532,111 @@ object Curation {
       .select($"doc_id", $"lang", $"n_chars")
   }
 
+  /** Chunk window (tokens) and stride for [[docChunkOverlap]]. Stride <
+    * window ⇒ consecutive chunks overlap by `ChunkW - ChunkS` tokens —
+    * the context-preserving sliding window of RAG/pretraining chunkers. */
+  private val ChunkW = 32L
+  private val ChunkS = 24L
+
+  /** Overlapping token-window chunking: split every document into
+    * fixed-size windows of [[ChunkW]] tokens advancing by [[ChunkS]]
+    * (chunk i covers tokens [i·S, i·S+W)); a document of n ≤ W tokens is
+    * one chunk, else ⌈(n−W)/S⌉+1 chunks so the last window reaches the
+    * end. Output is the chunked corpus itself — (doc_id, chunk_id,
+    * n_tok, chunk) — what a retrieval indexer or a fixed-context
+    * pretraining tokenizer consumes downstream.
+    *
+    * Scale design: pure map + generator — split once, explode a ≤⌈n/S⌉
+    * int sequence, slice per chunk. No shuffle, no window, nothing
+    * driver-side; at 100 TB this pipelines scan→chunk→sink in one
+    * stage, and chunk count per task is bounded by the doc-length cap
+    * upstream quality filters enforce. Chunk boundaries are token
+    * offsets (pure integer arithmetic) so output is engine-exact. */
+  val docChunkOverlap: QueryDef = QueryDef.sql(
+    "doc_chunk_overlap",
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, words, CAST(i AS BIGINT) AS chunk_id
+      |  FROM w, UNNEST(range(CASE WHEN n <= $ChunkW THEN 1
+      |    ELSE (n - $ChunkW + $ChunkS - 1) // $ChunkS + 1 END)) t(i))
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(list_slice(words, chunk_id * $ChunkS + 1,
+      |    chunk_id * $ChunkS + $ChunkW)) AS BIGINT) AS n_tok,
+      |  array_to_string(list_slice(words, chunk_id * $ChunkS + 1,
+      |    chunk_id * $ChunkS + $ChunkW), ' ') AS chunk
+      |FROM c""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ", -1).as("words"))
+      .withColumn("n", size($"words").cast(LongType))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          when($"n" <= ChunkW, 0L)
+            .otherwise(expr(s"(n - $ChunkW + $ChunkS - 1) div $ChunkS")))))
+      .withColumn("chunk_toks",
+        expr(s"slice(words, CAST(chunk_id * $ChunkS + 1 AS INT), $ChunkW)"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk_toks").cast(LongType).as("n_tok"),
+        array_join($"chunk_toks", " ").as("chunk"))
+  }
+
+  /** Training shards for [[shardShufflePlan]]. */
+  private val NShards = 16L
+
+  /** Deterministic global corpus shuffle into training shards: shard =
+    * md5(doc_id) mod [[NShards]], order within a shard = md5 hex order.
+    * The output is the shard PLAN — per-shard doc/token totals plus an
+    * order-proof digest (md5 of the comma-joined doc_id sequence in
+    * shard order), so the full permutation is hash-verified without
+    * materializing 100 TB of reordered text. A writer then streams each
+    * shard in this order to produce the shuffled training files.
+    *
+    * Scale design: this is how you shuffle a corpus you cannot
+    * globally sort — hashing gives uniform shard sizes with NO range
+    * sampling or global ordering stage; each shard's order is a
+    * partition-local sort after one hash exchange (`repartition(shard)`
+    * + sortWithinPartitions in the writer). No RNG: the permutation is
+    * a pure function of the data, reproducible across engines, runs,
+    * and cluster sizes — and auditable per shard via the digest. */
+  val shardShufflePlan: QueryDef = QueryDef.sql(
+    "shard_shuffle_plan",
+    s"""WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, hx, n_tok,
+      |    CAST(concat('0x', substring(hx, 1, 13)) AS BIGINT) % $NShards
+      |      AS shard
+      |  FROM h)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+      |    ORDER BY hx, doc_id)) AS order_digest
+      |FROM s GROUP BY shard""") { (s, dir) =>
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        md5($"doc_id".cast(StringType)).as("hx"),
+        size(split($"text", " ", -1)).cast(LongType).as("n_tok"))
+      .withColumn("shard",
+        expr("CAST(conv(substring(hx, 1, 13), 16, 10) AS BIGINT)")
+          % NShards)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tok_sum"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(hx, doc_id))), x -> CAST(x.doc_id AS STRING))")))
+          .as("order_digest"))
+  }
+
   /** Registration order for SparkEntry. */
   val all: Seq[QueryDef] = Seq(
     repetitionQuality, contaminationCheck, stratifiedSample, sampleExactK,
     sequencePacking, domainMixing, mixApply, outlierMadFilter,
-    winsorizeClip, weightedSample)
+    winsorizeClip, weightedSample, docChunkOverlap, shardShufflePlan)
 }

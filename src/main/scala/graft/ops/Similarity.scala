@@ -575,8 +575,10 @@ object Similarity {
       |FROM sims WHERE cos >= $verifyCos""".stripMargin
 
   /** The planted-corpus oracle prefix: the fixture's quantized flat
-    * rows ∪ the planted copies (see [[plantedQuantized]]), plus norms. */
-  private val plantedOraclePrefix: String =
+    * rows ∪ the planted copies (see [[plantedQuantized]]), plus norms.
+    * Package-visible: [[Clustering]]'s semantic-dedup oracle reuses the
+    * same planted corpus so its expected output is non-empty. */
+  private[ops] val plantedOraclePrefix: String =
     """WITH flat0 AS (
       |  SELECT vec_id, i,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
@@ -595,7 +597,7 @@ object Similarity {
     * quantized integer domain (transform's lambda index is 0-based =
     * the oracle's i - 1): every 37th vector re-appears as vec_id +
     * 1_000_000 with +5000 on every 7th quantized dim — cos ≈ 0.999. */
-  private def plantedQuantized(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def plantedQuantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b0 = quantized(s, dir)
     val copies = b0.where($"vec_id" % 37 === 0)

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantics of the round-8 batch-shaping/semantic-dedup additions:
+  * chunk windows cover every token with the documented overlap, the
+  * shard shuffle is a verified permutation, and semantic dedup drops
+  * exactly the planted duplicates. */
+class ChunkShardSemdedupSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("chunkdocs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // -------------------------------------------------------------------
+  // doc_chunk_overlap  (W = 32, S = 24)
+  // -------------------------------------------------------------------
+
+  test("chunking: short doc is exactly one whole-doc chunk") {
+    val dir = writeDocs(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))))
+    val out = Curation.docChunkOverlap.fn(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("chunk_id") === 0L)
+    assert(out.head.getAs[Long]("n_tok") === 10L)
+    assert(out.head.getAs[String]("chunk") ===
+      (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunking: 40-token doc → two chunks overlapping by W−S=8 tokens") {
+    val toks = (1 to 40).map(i => s"t$i")
+    val dir = writeDocs(Seq((1L, toks.mkString(" "))))
+    val out = Curation.docChunkOverlap.fn(spark, dir)
+      .orderBy("chunk_id").collect()
+    assert(out.length === 2) // ceil((40-32)/24)+1
+    assert(out(0).getAs[String]("chunk") === toks.take(32).mkString(" "))
+    // chunk 1 starts at token 25 (0-based 24) and runs to the end
+    assert(out(1).getAs[String]("chunk") === toks.drop(24).mkString(" "))
+    assert(out(1).getAs[Long]("n_tok") === 16L)
+  }
+
+  test("chunking laws on the fixture: coverage, width cap, last reaches end") {
+    import spark.implicits._
+    val chunks = Curation.docChunkOverlap.fn(spark, sfDir)
+    // every chunk ≤ W tokens; non-final chunks exactly W
+    val perDoc = chunks.groupBy($"doc_id")
+      .agg(max($"chunk_id").as("last"), max($"n_tok").as("max_tok"),
+        min($"n_tok").as("min_tok"), count(lit(1)).as("n_chunks"))
+    assert(perDoc.where($"max_tok" > 32).count() === 0)
+    val joined = chunks.join(perDoc, "doc_id")
+    assert(joined.where($"chunk_id" < $"last" && $"n_tok" =!= 32)
+      .count() === 0)
+    // the last chunk reaches the document end: last·S + n_tok_last = n
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", " ", -1)).cast("long").as("n"))
+    val lastRows = joined.where($"chunk_id" === $"last").join(docs, "doc_id")
+    assert(lastRows.where($"last" * 24 + $"n_tok" =!= $"n").count() === 0)
+  }
+
+  // -------------------------------------------------------------------
+  // shard_shuffle_plan  (16 shards, md5 order)
+  // -------------------------------------------------------------------
+
+  test("sharding: conserves docs and tokens, digests are deterministic") {
+    import spark.implicits._
+    val plan = Curation.shardShufflePlan.fn(spark, sfDir).collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    assert(plan.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val totTok = docs
+      .agg(sum(size(split($"text", " ", -1)).cast("long"))).as[Long].head()
+    assert(plan.map(_.getAs[Long]("tok_sum")).sum === totTok)
+    val again = Curation.shardShufflePlan.fn(spark, sfDir).collect()
+    assert(plan.map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_digest")).toMap ===
+      again.map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_digest")).toMap)
+  }
+
+  test("sharding: digest matches a locally computed md5-ordered permutation") {
+    val docIds = Seq(3L, 17L, 40L, 55L, 101L, 9999L)
+    val dir = writeDocs(docIds.map(id => (id, "a b c")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docIds
+      .map(id => (java.lang.Long.parseLong(md5hex(id.toString).take(13), 16) % 16,
+        md5hex(id.toString), id))
+      .groupBy(_._1)
+      .map { case (shard, rows) =>
+        shard -> md5hex(rows.sortBy(r => (r._2, r._3)).map(_._3).mkString(","))
+      }
+    val got = Curation.shardShufflePlan.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_digest")).toMap
+    assert(got === expected)
+  }
+
+  // -------------------------------------------------------------------
+  // semdedup_prune
+  // -------------------------------------------------------------------
+
+  test("semdedup: drops exactly the planted duplicates, conserves counts") {
+    import spark.implicits._
+    val out = Clustering.semdedupPrune.fn(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    val nPlanted = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .where($"vec_id" % 37 === 0).count()
+    // census conserves the planted corpus
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === nVecs + nPlanted)
+    out.foreach(r => assert(
+      r.getAs[Long]("n_vecs") ===
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")))
+    // every planted copy (cos ≈ 0.999 to its source) is dropped; the
+    // random fixture contributes no pairs at cos ≥ 0.90 (≈7σ), so the
+    // drop count is EXACTLY the plant count
+    assert(out.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
+    spark.catalog.clearCache()
+  }
+}
