@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Clustering, ParallelismFloor}
+
+/** Scale evidence for ADAPTIVE-K semantic dedup — the production form of
+  * `semdedup_prune` (which pins k = 8 for its unrolled-CTE oracle).
+  * Runs the full pipeline at k = semdedupK(n) (≈ n / target-cluster-
+  * size, so intra-cluster pairwise work is n·target/2, linear in the
+  * corpus) over a gen_stress.py corpus, whose ~1% planted near-identical
+  * pairs (cos ≈ 0.987) give the τ = 0.90 verdict true positives without
+  * any in-query plant. Prints one JSON line: n, k, census totals, wall.
+  *
+  *   sbt 'runMain graft.SemdedupScale /tmp/sf1_stress [targetClusterSize]'
+  */
+object SemdedupScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: SemdedupScale <fixtureDir> [targetClusterSize]"))
+    val target = if (args.length > 1) args(1).toLong else 1024L
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val q = ParallelismFloor(
+      spark.read.parquet(s"$dir/embeddings.parquet").select(
+        $"vec_id",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qe")),
+      s"$dir/embeddings.parquet")
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+      .persist()
+    val n = q.count()
+    val k = Clustering.semdedupK(n, target)
+    def phase[T](name: String)(body: => T): T = {
+      val t = System.nanoTime()
+      val r = body
+      println(f"[semdedup-scale] $name: ${(System.nanoTime() - t) / 1e9}%.1f s")
+      r
+    }
+    val t0 = System.nanoTime()
+    val centroids = phase("train")(
+      Clustering.kmeansCentroidsJoin(q, k, iters = 3))
+    val asg = phase("assign")(
+      Clustering.kmeansAssignJoin(q, centroids).persist())
+    phase("assign-count")(asg.count())
+    val top = phase("cluster-histogram")(
+      asg.groupBy("cluster").count().orderBy(desc("count")).limit(5)
+        .collect().map(_.getLong(1)).mkString(","))
+    println(s"[semdedup-scale] top-5 cluster sizes: $top")
+    val census = phase("census")(
+      Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val nVecs = census.map(_.getAs[Long]("n_vecs")).sum
+    val nDropped = census.map(_.getAs[Long]("n_dropped")).sum
+    val maxCluster = census.map(_.getAs[Long]("n_vecs")).max
+    println(f"""{"n": $n, "k": $k, "target": $target, """ +
+      f""""n_vecs": $nVecs, "n_dropped": $nDropped, """ +
+      f""""max_cluster": $maxCluster, "wall_sec": $wall%.2f}""")
+    spark.stop()
+  }
+}

@@ -322,29 +322,159 @@ object Clustering {
     "semdedup_prune",
     semdedupOracleSql(k = 8, iters = 3, poolMult = 16, tau = SemdedupTau)) {
     (s, dir) =>
-      import s.implicits._
       val q = Similarity.plantedQuantized(s, dir).persist()
-      val centroids = kmeansCentroids(q, k = 8, iters = 3)
-      val asg = kmeansAssign(q, centroids).persist()
-      val m = q.join(asg, Seq("vec_id"))
-      val a = m.select($"cluster", $"vec_id".as("va"), $"qe".as("qa"),
-        $"nrm".as("na"))
-      val b = m.select($"cluster", $"vec_id".as("vb"), $"qe".as("qb"),
-        $"nrm".as("nb"))
-      val drops = a.join(b, Seq("cluster"))
-        .where($"va" < $"vb" &&
-          Kit.dotI64($"qa", $"qb").cast(DoubleType)
-            / (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType)))
-            >= SemdedupTau.toDouble)
-        .select($"vb".as("vec_id"))
-        .distinct()
-        .withColumn("dropped", lit(1L))
-      asg.join(drops, Seq("vec_id"), "left")
-        .groupBy($"cluster")
-        .agg(
-          count(lit(1)).as("n_vecs"),
-          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
-          (count(lit(1)) - sum(coalesce($"dropped", lit(0L)))).as("n_kept"))
+      semdedupCensus(q, kmeansAssign(q, kmeansCentroids(q, k = 8, iters = 3)),
+        SemdedupTau.toDouble)
+  }
+
+  /** The pairwise half of semantic dedup, over any (vec_id, qe, nrm) ×
+    * (vec_id, cluster) assignment: exact intra-cluster cosine at `tau`,
+    * keep-lowest-vec_id verdict, per-cluster census. Hash-partitioned by
+    * cluster id — Σᵢ nᵢ²/2 work, so the caller controls cost through k
+    * (see [[semdedupK]]). */
+  def semdedupCensus(q: DataFrame, asg0: DataFrame, tau: Double): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val asg = asg0.persist()
+    val m = q.join(asg, Seq("vec_id"))
+    val a = m.select($"cluster", $"vec_id".as("va"), $"qe".as("qa"),
+      $"nrm".as("na"))
+    val b = m.select($"cluster", $"vec_id".as("vb"), $"qe".as("qb"),
+      $"nrm".as("nb"))
+    val drops = a.join(b, Seq("cluster"))
+      .where($"va" < $"vb" &&
+        Kit.dotI64($"qa", $"qb").cast(DoubleType)
+          / (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType)))
+          >= tau)
+      .select($"vb".as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(1L))
+    asg.join(drops, Seq("vec_id"), "left")
+      .groupBy($"cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce($"dropped", lit(0L)))).as("n_kept"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Large-k forms — the 100 TB shape of semantic dedup
+  // ---------------------------------------------------------------------
+
+  /** Corpus-adaptive cluster count: k = max(8, ⌈n / target⌉), so the
+    * intra-cluster pairwise stage stays Σᵢ nᵢ²/2 ≈ n·target/2 — LINEAR
+    * in the corpus — instead of the fixed-k n²/k. The oracle-pinned
+    * query keeps k = 8 (the unrolled-CTE oracle is linear in k); this
+    * rule is the production path, measured in STRESS_r08.md §10. */
+  def semdedupK(n: Long, targetClusterSize: Long = 1024L): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
+  /** Broadcast-join assignment — the large-k form of [[kmeansAssign]].
+    * [[nearest]] inlines k literal centroids into ONE Catalyst
+    * projection, which is the right shape for k ≤ a few dozen but stops
+    * being codegen-friendly (and starts re-evaluating a k-wide array
+    * per row) as k grows; here the centroids become a broadcast TABLE,
+    * the corpus joins it (n·k rows, each one codegen'd dot product),
+    * and the nearest is min(d·S + cl) with S the next power of two ≥ k
+    * — ONE long, so the aggregation is a map-side-partial HashAggregate,
+    * and ties break to the lowest cluster index exactly as [[nearest]]'s
+    * array_position-first-min does (parity spec). min(struct(d, cl))
+    * would give the same verdict but CANNOT hash-aggregate (struct
+    * buffers aren't mutable-hashmap types) and silently falls to
+    * SortAggregate — measured at 500×: one straggler task sorting the
+    * 10⁹-row join output for 380+ s, the same trap class as the
+    * ObjectHashAggregate fallback threshold. Packing bound: d ≤
+    * 64·(2·10⁶)² ≈ 2.6·10¹⁴ for unit-vector quantization, so S ≤ 2¹⁵
+    * keeps d·S within int64 → k ≤ 32,768 (a coarse/fine two-level
+    * quantizer is the right tool past that, not a wider pack). */
+  def kmeansAssignJoin(quantized: DataFrame,
+                       centroids: Seq[Seq[Long]]): DataFrame = {
+    require(centroids.size <= 32768,
+      s"kmeansAssignJoin supports k <= 32768 (got ${centroids.size}); " +
+        "use a two-level coarse/fine quantizer beyond that")
+    val s = quantized.sparkSession
+    import s.implicits._
+    val shift = java.lang.Long.highestOneBit(
+      math.max(1L, centroids.size.toLong - 1)) << 1
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c, c.map(v => v * v).sum) }
+      .toDF("cl", "cqe", "cnrm")
+    val base =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    base.join(broadcast(cdf))
+      .select($"vec_id",
+        (($"nrm" - lit(2L) * Kit.dotI64($"qe", $"cqe") + $"cnrm")
+          * lit(shift) + $"cl").as("packed"))
+      .groupBy($"vec_id")
+      .agg(min($"packed").as("p"))
+      .select($"vec_id", ($"p" % lit(shift)).cast("int").as("cluster"))
+  }
+
+  /** Lloyd iterations with join-based assignment — the large-k form of
+    * [[kmeansCentroids]] (same deterministic farthest-first init over a
+    * 16·k pool, same exact-integer centroid updates; only the
+    * per-iteration assignment differs). Identical output to
+    * [[kmeansCentroids]] for any k (parity spec at k = 8). */
+  def kmeansCentroidsJoin(quantized: DataFrame, k: Int,
+                          iters: Int): Seq[Seq[Long]] = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    val base0 =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    val ownCache =
+      base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base = if (ownCache) base0.persist() else base0
+    try {
+      val seed: Seq[Long] =
+        base.orderBy($"vec_id").limit(1).select($"qe").as[Seq[Long]].head()
+      val pool: Seq[(Long, Seq[Long])] = base
+        .select($"vec_id", $"qe", dist2($"qe", $"nrm", seed).as("d"))
+        .orderBy($"d".desc, $"vec_id".asc).limit(16 * k)
+        .select($"vec_id", $"qe").as[(Long, Seq[Long])].collect().toSeq
+      def sqDist(a: Seq[Long], b: Seq[Long]): Long = {
+        var acc = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      var centroids: Seq[Seq[Long]] = Seq(seed)
+      // greedy farthest-first over the pool, driver-side: each pick only
+      // compares against the LAST added centroid's distances (cached
+      // running min), so k picks cost O(k·pool) not O(k²·pool)
+      val minD = scala.collection.mutable.Map.empty[Long, Long]
+      pool.foreach { case (id, v) => minD(id) = sqDist(v, seed) }
+      val byId = pool.toMap
+      while (centroids.size < k && minD.nonEmpty) {
+        val (nextId, _) = minD.toSeq
+          .reduceLeft((x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        val next = byId(nextId)
+        centroids = centroids :+ next
+        // picked points are NOT removed (their running min drops to 0) —
+        // bit-identical to kmeansCentroids' fresh-min scan, including
+        // the degenerate all-zero-distance pool
+        minD.keys.foreach { id =>
+          val d = sqDist(byId(id), next)
+          if (d < minD(id)) minD(id) = d
+        }
+      }
+      for (_ <- 1 to iters) {
+        val sums = kmeansAssignJoin(base, centroids)
+          .join(base.select($"vec_id", $"qe"), Seq("vec_id"))
+          .select($"cluster".as("cl"), posexplode($"qe").as(Seq("pos", "v")))
+          .groupBy($"cl", $"pos")
+          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+          .groupBy($"cl")
+          .agg(array_sort(collect_list(struct($"pos",
+            expr("sv div n").as("cv")))).as("vec"))
+          .select($"cl", expr("transform(vec, x -> x.cv)").as("centroid"))
+          .as[(Int, Seq[Long])].collect().toMap
+        centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally { if (ownCache) base.unpersist(); () }
   }
 
   val all: Seq[QueryDef] = Seq(kmeansHistogram, semdedupPrune)

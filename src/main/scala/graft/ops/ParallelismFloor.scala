@@ -25,24 +25,72 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * itself (works for a file or a directory). */
 object ParallelismFloor {
 
-  /** Bytes of the table file/directory at `path` (0 when absent). */
-  def scanBytes(s: SparkSession, path: String): Long = {
+  /** Bytes and file count of the table file/directory at `path`
+    * ((0, 0) when absent). */
+  def scanStats(s: SparkSession, path: String): (Long, Long) = {
     val p0 = new org.apache.hadoop.fs.Path(path)
     val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p0)) fs.getContentSummary(p0).getLength else 0L
+    if (!fs.exists(p0)) (0L, 0L)
+    else {
+      val sm = fs.getContentSummary(p0)
+      (sm.getLength, sm.getFileCount)
+    }
+  }
+
+  /** Bytes of the table file/directory at `path` (0 when absent). */
+  def scanBytes(s: SparkSession, path: String): Long =
+    scanStats(s, path)._1
+
+  /** Total parquet ROW GROUPS under `path` — the true splittable unit of a
+    * parquet scan. Spark will happily cut a single-row-group file into N
+    * byte-range splits, but every row lands in the ONE split containing
+    * the row group's start offset and the other N−1 read nothing — so a
+    * "32-partition" scan of such a file is 1-task-wide in rows, and any
+    * split-count check reports parallelism that does not exist
+    * (measured: the 500× fixture is one file / one row group; the
+    * assignment pass ran 32 tasks with 1,000,000 rows in task 15 and 0
+    * in the rest, 300 s on one core — STRESS_r08.md §11). */
+  def rowGroups(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(conf)
+    if (!fs.exists(p0)) return 0L
+    val it = fs.listFiles(p0, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try total += rd.getRowGroups.size.toLong finally rd.close()
+      }
+    }
+    total
   }
 
   /** `df` repartitioned up to `ceil(bytes / bytesPerTask)` partitions
-    * (capped at defaultParallelism) when it currently has fewer;
-    * unchanged otherwise. Apply BEFORE persist() so the cache itself is
-    * laid out at the floored width and every downstream pass inherits
-    * it without re-shuffling. */
+    * (capped at defaultParallelism) when its EFFECTIVE parallelism is
+    * lower; unchanged otherwise. Apply BEFORE persist() so the cache
+    * itself is laid out at the floored width and every downstream pass
+    * inherits it without re-shuffling.
+    *
+    * Effective parallelism is the split count, EXCEPT when the path
+    * has fewer FILES than the floor — then parquet row groups bound how
+    * many of those splits can carry rows (see [[rowGroups]]), and the
+    * row-group count decides. The footer reads only happen on that
+    * few-files branch, so a real corpus of thousands of files (file
+    * count ≥ floor → every file seeds ≥ 1 task) never pays them. */
   def apply(df: DataFrame, path: String,
             bytesPerTask: Long = 256L << 10): DataFrame = {
     val s = df.sparkSession
-    val bytes = scanBytes(s, path)
+    val (bytes, files) = scanStats(s, path)
     val floor = math.min(s.sparkContext.defaultParallelism.toLong,
       math.max(1L, bytes / bytesPerTask)).toInt
-    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+    val splits = df.rdd.getNumPartitions
+    val effective =
+      if (splits < floor || files >= floor) splits.toLong
+      else math.min(splits.toLong, rowGroups(s, path))
+    if (effective < floor) df.repartition(floor) else df
   }
 }

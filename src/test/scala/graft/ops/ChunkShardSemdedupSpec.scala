@@ -123,4 +123,51 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
     spark.catalog.clearCache()
   }
+
+  // -------------------------------------------------------------------
+  // large-k forms: broadcast-join assignment / training parity
+  // -------------------------------------------------------------------
+
+  private def quantizedFixture() = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+      .persist()
+  }
+
+  test("join-based k-means: assignment and training match the literal form") {
+    val q = quantizedFixture()
+    val lit = Clustering.kmeansCentroids(q, k = 8, iters = 3)
+    val jn = Clustering.kmeansCentroidsJoin(q, k = 8, iters = 3)
+    assert(jn === lit) // training parity: identical centroid sequences
+    val aLit = Clustering.kmeansAssign(q, lit).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aJn = Clustering.kmeansAssignJoin(q, lit).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(aJn === aLit) // assignment parity incl. tie-breaks
+    spark.catalog.clearCache()
+  }
+
+  test("adaptive-k semdedup census still drops every planted duplicate") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val n = q.count()
+    val k = Clustering.semdedupK(n, targetClusterSize = 64L) // small target → k > 8
+    assert(k > 8)
+    val cs = Clustering.kmeansCentroidsJoin(q, k, iters = 3)
+    val census = Clustering
+      .semdedupCensus(q, Clustering.kmeansAssignJoin(q, cs), tau = 0.90)
+      .collect()
+    val nPlanted = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .where($"vec_id" % 37 === 0).count()
+    assert(census.map(_.getAs[Long]("n_vecs")).sum === n)
+    // a planted copy is near-identical to its source, so both land in the
+    // same cluster at ANY k and the copy is dropped; random vectors never
+    // pair at cos ≥ 0.90
+    assert(census.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
+    spark.catalog.clearCache()
+  }
 }
