@@ -60,6 +60,14 @@ object SemdedupScale {
     println(s"[semdedup-scale] top-5 cluster sizes: $top")
     val census = phase("census")(
       Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
+    // multi-probe (top-2) candidate generation: recovers pairs whose
+    // members straddle a cluster boundary — the recall-vs-k slope
+    val probed = phase("census-probe2")(
+      Clustering.semdedupCensus(q, asg, tau = 0.90,
+        candAsg = Some(Clustering.kmeansProbeAssign(q, centroids, 2)))
+        .collect())
+    println(s"[semdedup-scale] probe2 n_dropped: " +
+      probed.map(_.getAs[Long]("n_dropped")).sum)
     val wall = (System.nanoTime() - t0) / 1e9
     val nVecs = census.map(_.getAs[Long]("n_vecs")).sum
     val nDropped = census.map(_.getAs[Long]("n_dropped")).sum

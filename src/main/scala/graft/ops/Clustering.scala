@@ -331,12 +331,20 @@ object Clustering {
     * (vec_id, cluster) assignment: exact intra-cluster cosine at `tau`,
     * keep-lowest-vec_id verdict, per-cluster census. Hash-partitioned by
     * cluster id — Σᵢ nᵢ²/2 work, so the caller controls cost through k
-    * (see [[semdedupK]]). */
-  def semdedupCensus(q: DataFrame, asg0: DataFrame, tau: Double): DataFrame = {
+    * (see [[semdedupK]]).
+    *
+    * `candAsg` (default: the assignment itself) is the CANDIDATE
+    * assignment — pass [[kmeansProbeAssign]]'s top-m multi-probe rows to
+    * recover pairs that straddle a Voronoi boundary (the recall-vs-k
+    * slope measured in STRESS_r08.md §10.1): a pair is considered when
+    * ANY probed cluster is shared, the census still groups by the
+    * primary cluster. Pairwise cost scales ×m² worst-case. */
+  def semdedupCensus(q: DataFrame, asg0: DataFrame, tau: Double,
+                     candAsg: Option[DataFrame] = None): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
     val asg = asg0.persist()
-    val m = q.join(asg, Seq("vec_id"))
+    val m = q.join(candAsg.getOrElse(asg), Seq("vec_id"))
     val a = m.select($"cluster", $"vec_id".as("va"), $"qe".as("qa"),
       $"nrm".as("na"))
     val b = m.select($"cluster", $"vec_id".as("vb"), $"qe".as("qb"),
@@ -409,6 +417,36 @@ object Clustering {
       .groupBy($"vec_id")
       .agg(min($"packed").as("p"))
       .select($"vec_id", ($"p" % lit(shift)).cast("int").as("cluster"))
+  }
+
+  /** Top-`probes` nearest centroids per vector — multi-probe candidate
+    * assignment for [[semdedupCensus]] (the IVF `nprobe` idea applied to
+    * semantic dedup): a near-duplicate pair straddling a Voronoi
+    * boundary is invisible to single-assignment candidate generation,
+    * but both sides' top-2 probe sets almost surely intersect. Same
+    * broadcast-join shape as [[kmeansAssignJoin]]; the ranking is a
+    * [[graft.functions.CosTopK]] aggregation (score = −d, so ties break
+    * to the lowest cluster index like everywhere else) — map-side O(m)
+    * state per vector, no window sort. Exactness: d ≤ 64·(2·10⁶)² <
+    * 2⁵³, so the double-typed score is integer-exact. */
+  def kmeansProbeAssign(quantized: DataFrame, centroids: Seq[Seq[Long]],
+                        probes: Int): DataFrame = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c, c.map(v => v * v).sum) }
+      .toDF("cl", "cqe", "cnrm")
+    val base =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    base.join(broadcast(cdf))
+      .select($"vec_id", $"cl".cast("long").as("cll"),
+        (-($"nrm" - lit(2L) * Kit.dotI64($"qe", $"cqe") + $"cnrm"))
+          .cast(DoubleType).as("negd"))
+      .groupBy($"vec_id")
+      .agg(Kit.cosTopK($"negd", $"cll", probes).as("top"))
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t.cid".cast("int").as("cluster"))
   }
 
   /** Lloyd iterations with join-based assignment — the large-k form of

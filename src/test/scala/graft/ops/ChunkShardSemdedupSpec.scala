@@ -170,4 +170,27 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     assert(census.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
     spark.catalog.clearCache()
   }
+
+  test("multi-probe census: drops a superset of single-assignment drops") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val cs = Clustering.kmeansCentroidsJoin(q, k = 12, iters = 2)
+    val asg = Clustering.kmeansAssignJoin(q, cs)
+    def total(c: Array[org.apache.spark.sql.Row], f: String) =
+      c.map(_.getAs[Long](f)).sum
+    val single = Clustering.semdedupCensus(q, asg, tau = 0.90).collect()
+    val probed = Clustering.semdedupCensus(q, asg, tau = 0.90,
+      candAsg = Some(Clustering.kmeansProbeAssign(q, cs, 2))).collect()
+    // probe sets include the primary cluster, so candidates (and drops)
+    // can only grow; the census row count stays the primary partition
+    assert(total(probed, "n_vecs") === total(single, "n_vecs"))
+    assert(total(probed, "n_dropped") >= total(single, "n_dropped"))
+    // top-1 of the probe assignment IS the assignment (tie-parity)
+    val p1 = Clustering.kmeansProbeAssign(q, cs, 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = Clustering.kmeansAssignJoin(q, cs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p1 === a1)
+    spark.catalog.clearCache()
+  }
 }
