@@ -156,7 +156,25 @@ object Plans {
         "independent of corpus size; the corpus itself never shuffles. " +
         "Init is two passes total (seed + 16k-candidate pool) instead " +
         "of k scans. Integer-exact distances and centroid updates make " +
-        "the whole thing deterministic enough to oracle in SQL."))
+        "the whole thing deterministic enough to oracle in SQL."),
+    "semdedup_prune" ->
+      ("Semantic dedup: the k-means assignment IS the candidate " +
+        "generator, so the pairwise stage is an equi-join on cluster id " +
+        "(hash exchange, Σnᵢ²/2 work bounded via k) — never an all-pairs " +
+        "product. The census is one partial-aggregated groupBy over the " +
+        "assignment. Oracle pins k = 8; the production adaptive-k / " +
+        "multi-probe forms are measured in STRESS_r08.md §10.1."),
+    "doc_chunk_overlap" ->
+      ("Chunking is scan → slice → explode in ONE stage: no exchange " +
+        "anywhere in the plan — at 100 TB this pipelines straight into " +
+        "the sink. The generator runs AFTER the split projection, so the " +
+        "token array is computed once per document, not per chunk."),
+    "shard_shuffle_plan" ->
+      ("Deterministic global shuffle without a global sort: shard = hash " +
+        "mod 16 (uniform by construction, no range sampling), one " +
+        "exchange on shard, per-shard order proven by an md5 digest of " +
+        "the hash-ordered id sequence computed inside the aggregate — " +
+        "the full permutation is verified without materializing it."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
