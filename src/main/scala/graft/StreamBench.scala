@@ -19,13 +19,21 @@ import graft.streaming.StatefulSessions
   * the stream runs. Prints one JSON line with events/s, batch-duration
   * stats, and the state-rows trajectory (max vs final).
   *
-  *   sbt 'runMain graft.StreamBench [nBatches] [batchRows] [nUsers]'
+  * The optional 4th arg picks the sink: `noop` (default — isolates the
+  * stateful-operator cost) or `warehouse` — every micro-batch of closed
+  * sessions lands through [[graft.pipeline.Warehouse.load]]'s atomic
+  * manifest commit, txn-tagged `appId:batchId` (the exactly-once landing
+  * path of `Streams.drainInto`), so the delta between the two runs
+  * prices exactly-once durability per micro-batch.
+  *
+  *   sbt 'runMain graft.StreamBench [nBatches] [batchRows] [nUsers] [sink]'
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val nBatches = if (args.length > 0) args(0).toInt else 20
     val batchRows = if (args.length > 1) args(1).toInt else 50000
     val nUsers = if (args.length > 2) args(2).toInt else 10000
+    val sink = if (args.length > 3) args(3) else "noop"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -67,13 +75,22 @@ object StreamBench {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(StatefulSessions.transition)
     val t0 = System.nanoTime()
-    val q = sessions.toDF().writeStream
-      .format("noop")
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = sink match {
+      case "warehouse" =>
+        val wh = graft.pipeline.Warehouse(spark, work.resolve("wh").toString)
+        graft.streaming.Streams.drainInto(sessions.toDF(), wh, "sessions",
+          graft.pipeline.SinkPolicy.Append,
+          work.resolve("ckpt").toString, appId = "streambench")
+      case _ =>
+        val q0 = sessions.toDF().writeStream
+          .format("noop")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+    }
     val wall = (System.nanoTime() - t0) / 1e9
     val progs = q.recentProgress.filter(_.numInputRows > 0)
     val rows = progs.map(_.numInputRows).sum
