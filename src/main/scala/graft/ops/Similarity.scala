@@ -577,16 +577,27 @@ object Similarity {
   /** The planted-corpus oracle prefix: the fixture's quantized flat
     * rows ∪ the planted copies (see [[plantedQuantized]]), plus norms.
     * Package-visible: [[Clustering]]'s semantic-dedup oracle reuses the
-    * same planted corpus so its expected output is non-empty. */
+    * same planted corpus so its expected output is non-empty.
+    *
+    * Plant offset = GREATEST(10⁶, MAX(vec_id)+1): 10⁶ for every driver
+    * fixture (max id ≤ ~205k → outputs byte-identical to the original
+    * fixed-10⁶ protocol), but COLLISION-FREE at any corpus — the fixed
+    * offset silently aliased planted ids onto real vectors once base
+    * ids crossed 10⁶ (caught on the 1000× synthetic corpus: ids reach
+    * 1,999,999, so copy-of-0 took id 1,000,000 = a real vector). Both
+    * engines compute the same rule, so the driver compare stays exact. */
   private[ops] val plantedOraclePrefix: String =
     """WITH flat0 AS (
       |  SELECT vec_id, i,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |poff AS (
+      |  SELECT GREATEST(1000000, COALESCE(MAX(vec_id), 0) + 1) AS o
+      |  FROM embeddings),
       |flat AS (
       |  SELECT vec_id, i, v FROM flat0
       |  UNION ALL
-      |  SELECT vec_id + 1000000, i,
+      |  SELECT vec_id + (SELECT o FROM poff), i,
       |    v + CASE WHEN (i - 1) % 7 = 0 THEN 5000 ELSE 0 END
       |  FROM flat0 WHERE vec_id % 37 = 0),
       |norms AS (
@@ -596,12 +607,15 @@ object Similarity {
   /** The [[quantized]] corpus ∪ the oracle's planted copies, in the
     * quantized integer domain (transform's lambda index is 0-based =
     * the oracle's i - 1): every 37th vector re-appears as vec_id +
-    * 1_000_000 with +5000 on every 7th quantized dim — cos ≈ 0.999. */
+    * offset (GREATEST(10⁶, MAX(vec_id)+1) — see [[plantedOraclePrefix]])
+    * with +5000 on every 7th quantized dim — cos ≈ 0.999. */
   private[ops] def plantedQuantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b0 = quantized(s, dir)
+    val offset = math.max(1000000L,
+      b0.agg(max($"vec_id")).as[Option[Long]].head().getOrElse(0L) + 1L)
     val copies = b0.where($"vec_id" % 37 === 0)
-      .select(($"vec_id" + 1000000L).as("vec_id"),
+      .select(($"vec_id" + offset).as("vec_id"),
         expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
           "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
           .as("qe"))
