@@ -151,8 +151,9 @@ object Components {
       // the pair stage's caches must not hold the protected storage
       // region through the CC loop that follows; with an ample pool
       // they stay resident
-      val pairs = TextOps.minhashNeardupPairs(t(s, dir, "documents"),
-          StageLevels.pinned(s))
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.minhashNeardupPairs(docs,
+          StageLevels.pinnedFor(docs))
         .select($"doc_a", $"doc_b")
       val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
       val sizes = cc.groupBy($"cluster_id")
@@ -205,7 +206,7 @@ object Components {
         |FROM cl JOIN win w USING (cluster_id)""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = TextOps.minhashNeardupPairs(docs, StageLevels.pinned(s))
+      val pairs = TextOps.minhashNeardupPairs(docs, StageLevels.pinnedFor(docs))
         .select($"doc_a", $"doc_b")
       keepBestVerdicts(docs, pairs)
     }

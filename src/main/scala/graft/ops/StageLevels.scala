@@ -52,4 +52,37 @@ object StageLevels {
           StorageLevel.MEMORY_AND_DISK
         else StorageLevel.DISK_ONLY
     }
+
+  /** Projected in-memory footprint multiplier for the text stage tables
+    * (deserialized shingle-set / signature rows vs their source parquet
+    * bytes): measured ~5× on the stress corpora; 6 adds margin. */
+  val TextStageExpansion: Long = 6L
+
+  /** As [[pinned]], additionally sized against the SOURCE of the stage
+    * tables: an ample pool is still squeezed when the pinned state
+    * itself scales with the corpus. [[pinned]]'s fixed floor was
+    * calibrated for loop STATE (O(nodes) labels — corpus-size-
+    * independent); stage TABLES are O(corpus), and at the 1000× corpus
+    * (5M docs, 755 MB parquet → ~4 GB of deserialized shingle sets)
+    * MEMORY_AND_DISK starved the signature aggregation to
+    * AGGREGATE_OUT_OF_MEMORY on an 8 GiB pool while DISK_ONLY completed
+    * at full width (STRESS_r08.md §13). Catalyst's sizeInBytes for a
+    * file-backed plan is the actual scan bytes; an unknown-size plan
+    * reports defaultSizeInBytes (huge) → conservatively DISK_ONLY. */
+  def pinnedFor(df: org.apache.spark.sql.DataFrame,
+                expansion: Long = TextStageExpansion): StorageLevel = {
+    val s = df.sparkSession
+    s.conf.get("spark.graft.pinnedLevel", "") match {
+      case "memory_and_disk" => StorageLevel.MEMORY_AND_DISK
+      case "disk_only"       => StorageLevel.DISK_ONLY
+      case _ =>
+        val caps = s.sparkContext.getExecutorMemoryStatus.values.map(_._1)
+        val projected =
+          df.queryExecution.optimizedPlan.stats.sizeInBytes * expansion
+        if (caps.nonEmpty && caps.min >= MinResidentPool &&
+            projected <= BigInt(caps.sum) / 2)
+          StorageLevel.MEMORY_AND_DISK
+        else StorageLevel.DISK_ONLY
+    }
+  }
 }

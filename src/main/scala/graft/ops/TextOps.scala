@@ -713,13 +713,13 @@ object TextOps {
   /** MinHash-banded near-dup detector over ANY (doc_id, text) frame.
     * `stageLevel` is the storage level of the internal stage tables
     * (shingle sets, signatures); the no-arg form picks it
-    * pool-adaptively ([[StageLevels.pinned]]): in-memory on an ample
-    * pool, DISK_ONLY on a squeezed one so the stage tables never occupy
-    * the unified pool's protected storage region while this query's —
-    * or a downstream loop's ([[Components.neardupClusters]]) — hash
-    * aggregates need execution memory. */
+    * SIZE-adaptively ([[StageLevels.pinnedFor]]): in-memory when the
+    * pool can hold the PROJECTED stage tables (~6× the source bytes)
+    * without squeezing execution, DISK_ONLY otherwise — the fixed
+    * pool-floor rule kept choosing memory at the 1000× corpus and
+    * starved the signature aggregation (STRESS_r08.md §13). */
   def minhashNeardupPairs(docs: DataFrame): DataFrame =
-    minhashNeardupPairs(docs, StageLevels.pinned(docs.sparkSession))
+    minhashNeardupPairs(docs, StageLevels.pinnedFor(docs))
 
   def minhashNeardupPairs(docs: DataFrame,
       stageLevel: StorageLevel): DataFrame = {
@@ -749,7 +749,7 @@ object TextOps {
     * of recomputing; at 100 TB this is a written table that INCREMENTAL
     * loads extend batch-by-batch rather than rebuild). */
   private[ops] def minhashBands(sets: DataFrame): DataFrame =
-    minhashBands(sets, StageLevels.pinned(sets.sparkSession))
+    minhashBands(sets, StageLevels.pinnedFor(sets))
 
   private[ops] def minhashBands(sets: DataFrame,
       stageLevel: StorageLevel): DataFrame = {
