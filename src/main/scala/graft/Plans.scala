@@ -171,10 +171,39 @@ object Plans {
         "token array is computed once per document, not per chunk."),
     "shard_shuffle_plan" ->
       ("Deterministic global shuffle without a global sort: shard = hash " +
-        "mod 16 (uniform by construction, no range sampling), one " +
-        "exchange on shard, per-shard order proven by an md5 digest of " +
-        "the hash-ordered id sequence computed inside the aggregate — " +
-        "the full permutation is verified without materializing it."))
+        "mod 16 (uniform by construction, no range sampling). The order " +
+        "proof is a two-level Merkle fold with bounded memory at every " +
+        "step (round 9 — the round-8 single-level digest buffered " +
+        "corpus/16 ids in one collect_list, a guaranteed OOM at 10^11 " +
+        "docs): rows exchange on (shard, run = 4-hex-char md5 prefix), " +
+        "sort within partitions, and stream through an incremental MD5 " +
+        "per run (the MapPartitions node — O(1) state, the joined id " +
+        "string never materializes); the final fold's collect_list " +
+        "holds ≤65,536 fixed-width (run, digest) pairs per shard " +
+        "(≈2.4 MB cap, independent of corpus size). DuckDB replays the " +
+        "identical run boundaries from the same prefix arithmetic."),
+    "neardup_keep_best" ->
+      ("Keep-best dedup over near-dup clusters: the CC loop is the " +
+        "neardup_clusters plan unchanged; the per-cluster winner is ONE " +
+        "map-side-combined packed-long max — q in the high bits, " +
+        "complemented doc_id below, with an out-of-range raise guard — " +
+        "NOT max(struct(q, -doc_id)), whose struct buffer silently " +
+        "plans SortAggregate (the round-8 min(struct) trap, 15× on " +
+        "10⁹ rows). No window over the corpus, no member list on any " +
+        "node: a 10⁸-member boilerplate cluster shuffles one partial " +
+        "per partition; the verdict join moves (cluster_id, q, id) " +
+        "triples, never text."),
+    "embedding_neardup_adaptive" ->
+      ("The production embedding near-dup path: SignProjectI64 computes " +
+        "each vector's B(n) band buckets in ONE cached projection " +
+        "(InMemoryTableScan feeds both join sides — the signs are never " +
+        "recomputed); candidates come from an equi-join on (band, " +
+        "bucket) — never a nested loop — and are deduped by a (va, vb) " +
+        "hash aggregate BEFORE vectors re-join for the exact integer-" +
+        "cosine verify, so the expensive arrays touch only surviving " +
+        "pairs. Geometry (R, B)(n) adapts to corpus size: measured " +
+        "sub-quadratic candidates and 100% planted recall at 10×-1000× " +
+        "(STRESS_r08.md §9)."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

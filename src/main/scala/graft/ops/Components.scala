@@ -173,8 +173,9 @@ object Components {
     * deduplicated training set.
     *
     * Scale shape: the CC loop is [[connectedComponents]] unchanged; the
-    * winner is ONE map-side-combined `max(struct(q, -doc_id))` per
-    * cluster (no window over the corpus, no member list on any node —
+    * winner is ONE map-side-combined packed-long `max` per cluster
+    * (hash-aggregable — see the packing note in [[keepBestVerdicts]];
+    * no window over the corpus, no member list on any node —
     * a 10⁸-member boilerplate cluster shuffles one partial per
     * partition), and the verdict join moves (cluster_id, q, doc_id)
     * triples, never text. Oracle: the pair CTE chain + recursive
@@ -211,6 +212,13 @@ object Components {
       keepBestVerdicts(docs, pairs)
     }
 
+  /** doc_id bound for the packed-long argmax in [[keepBestVerdicts]]:
+    * packed = q·2⁶⁰ + (2⁶⁰−1−doc_id) with q ∈ {0..3} stays under 2⁶²,
+    * so any corpus with doc_id ∈ [0, 2⁶⁰) (a 100 TB corpus is ≪ 2⁶⁰
+    * docs) packs without overflow; out-of-range ids raise instead of
+    * silently corrupting the winner. */
+  private val KeepBestIdBound = 1L << 60
+
   /** The keep-best machinery behind [[neardupKeepBest]], reusable with
     * any pair detector: `docs` is (doc_id, text, …), `pairs` is two
     * doc-id columns from a near-dup detector. Returns (doc_id,
@@ -223,11 +231,21 @@ object Components {
     val cl = scored.join(cc, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"),
         $"q")
-    // argmax(q) with min-doc_id tiebreak as ONE associative aggregate:
-    // max over (q, -doc_id) lexicographic struct order
+    // argmax(q) with min-doc_id tiebreak as ONE associative aggregate.
+    // NOT max(struct(q, -doc_id)): a struct buffer cannot hash-aggregate
+    // and Spark silently plans SortAggregate — the exact trap the
+    // round-8 min(struct) fix measured at 15× on 10⁹ rows. A packed
+    // long keeps the argmax in codegen'd HashAggregate: larger q wins
+    // the high bits; within a q, smaller doc_id → larger complement.
+    val packed = when($"doc_id".between(0L, KeepBestIdBound - 1),
+        $"q".cast("long") * KeepBestIdBound + (lit(KeepBestIdBound - 1) - $"doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"keepBestVerdicts: doc_id out of packable range [0, $KeepBestIdBound): "),
+        $"doc_id".cast("string"))))
     val winners = cl.groupBy($"cluster_id")
-      .agg(max(struct($"q".as("q"), (-$"doc_id").as("nid"))).as("w"))
-      .select($"cluster_id", (-$"w.nid").as("wdoc"))
+      .agg(max(packed).as("p"))
+      .select($"cluster_id",
+        (lit(KeepBestIdBound - 1) - ($"p" % KeepBestIdBound)).as("wdoc"))
     cl.join(winners, "cluster_id")
       .select($"doc_id", $"cluster_id", $"q".as("quality_score"),
         when($"doc_id" === $"wdoc", 1L).otherwise(0L).as("keep"))

@@ -586,13 +586,42 @@ object Curation {
   /** Training shards for [[shardShufflePlan]]. */
   private val NShards = 16L
 
+  /** Hex chars of the md5 prefix that define a digest "run" inside a
+    * shard: 4 chars → 65,536 run buckets. Because md5 hex strings are
+    * fixed-length and hex digits sort in ASCII order, ordering by the
+    * full `hx` string groups a shard's rows contiguously by run, with
+    * runs appearing in increasing numeric prefix order — so run
+    * boundaries are pure hash arithmetic that BOTH engines derive
+    * identically from the data. */
+  private val RunHexChars = 4
+
   /** Deterministic global corpus shuffle into training shards: shard =
     * md5(doc_id) mod [[NShards]], order within a shard = md5 hex order.
     * The output is the shard PLAN — per-shard doc/token totals plus an
-    * order-proof digest (md5 of the comma-joined doc_id sequence in
-    * shard order), so the full permutation is hash-verified without
-    * materializing 100 TB of reordered text. A writer then streams each
-    * shard in this order to produce the shuffled training files.
+    * order-proof digest, so the full permutation is hash-verified
+    * without materializing 100 TB of reordered text. A writer then
+    * streams each shard in this order to produce the shuffled files.
+    *
+    * The digest is a two-level Merkle fold with bounded memory at every
+    * step (the round-8 single-level form buffered the whole per-shard
+    * id list in one `collect_list` — corpus/16 structs in a single
+    * aggregation buffer, a guaranteed OOM at 10^11 docs):
+    *
+    *  1. '''Run digests''': rows are hash-exchanged on (shard, run)
+    *     (run = first [[RunHexChars]] hex chars of `hx`), sorted within
+    *     partitions by (shard, run, hx, doc_id), and streamed through
+    *     an incremental MD5 per run (`mapPartitions`, O(1) state: one
+    *     MessageDigest + two counters — the joined "id1,id2,…" string
+    *     is never materialized). Each run holds ~n/(16·65536) docs and
+    *     is digested at shuffle parallelism, not NShards parallelism.
+    *  2. '''Shard fold''': md5 of the run digests joined in run order —
+    *     ≤ 65,536 fixed-width entries per shard (≈2.4 MB buffer cap by
+    *     construction, independent of corpus size).
+    *
+    * The oracle replays the same two levels: DuckDB computes identical
+    * run boundaries from the same prefix arithmetic, digests each run
+    * with ordered `string_agg`, and folds in run order. Totals are
+    * plain distributive sums over the run rows.
     *
     * Scale design: this is how you shuffle a corpus you cannot
     * globally sort — hashing gives uniform shard sizes with NO range
@@ -610,27 +639,64 @@ object Curation {
       |s AS (
       |  SELECT doc_id, hx, n_tok,
       |    CAST(concat('0x', substring(hx, 1, 13)) AS BIGINT) % $NShards
-      |      AS shard
-      |  FROM h)
-      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
-      |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
-      |    ORDER BY hx, doc_id)) AS order_digest
-      |FROM s GROUP BY shard""") { (s, dir) =>
+      |      AS shard,
+      |    CAST(concat('0x', substring(hx, 1, $RunHexChars)) AS BIGINT)
+      |      AS run
+      |  FROM h),
+      |r AS (
+      |  SELECT shard, run, COUNT(*) AS n_docs_run,
+      |    SUM(n_tok) AS tok_sum_run,
+      |    md5(string_agg(CAST(doc_id AS VARCHAR), ','
+      |      ORDER BY hx, doc_id)) AS run_digest
+      |  FROM s GROUP BY shard, run)
+      |SELECT shard, CAST(SUM(n_docs_run) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok_sum_run) AS BIGINT) AS tok_sum,
+      |  md5(string_agg(run_digest, ',' ORDER BY run)) AS order_digest
+      |FROM r GROUP BY shard""") { (s, dir) =>
     import s.implicits._
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select($"doc_id",
         md5($"doc_id".cast(StringType)).as("hx"),
         size(split($"text", " ", -1)).cast(LongType).as("n_tok"))
       .withColumn("shard",
         expr("CAST(conv(substring(hx, 1, 13), 16, 10) AS BIGINT)")
           % NShards)
+      .withColumn("run",
+        expr(s"CAST(conv(substring(hx, 1, $RunHexChars), 16, 10) AS BIGINT)"))
+    val runs = base
+      .select($"shard", $"run", $"hx", $"doc_id", $"n_tok")
+      .repartition($"shard", $"run")
+      .sortWithinPartitions($"shard", $"run", $"hx", $"doc_id")
+      .as[(Long, Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Long, Long, Long, String)] {
+          def hasNext: Boolean = in.hasNext
+          def next(): (Long, Long, Long, Long, String) = {
+            val shard = in.head._1
+            val run = in.head._2
+            val mdg = java.security.MessageDigest.getInstance("MD5")
+            var n = 0L; var tok = 0L
+            while (in.hasNext && in.head._1 == shard && in.head._2 == run) {
+              val row = in.next()
+              if (n > 0L) mdg.update(','.toByte)
+              mdg.update(row._4.toString.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              n += 1L; tok += row._5
+            }
+            val hex = mdg.digest().map("%02x".format(_)).mkString
+            (shard, run, n, tok, hex)
+          }
+        }
+      }
+      .toDF("shard", "run", "n_docs_run", "tok_sum_run", "run_digest")
+    runs
       .groupBy($"shard")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum($"n_tok").as("tok_sum"),
+        sum($"n_docs_run").as("n_docs"),
+        sum($"tok_sum_run").as("tok_sum"),
         md5(concat_ws(",",
-          expr("transform(array_sort(collect_list(struct(hx, doc_id))), x -> CAST(x.doc_id AS STRING))")))
+          expr("transform(array_sort(collect_list(struct(run, run_digest))), x -> x.run_digest)")))
           .as("order_digest"))
   }
 

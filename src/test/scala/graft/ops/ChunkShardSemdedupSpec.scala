@@ -90,12 +90,22 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // two-level Merkle: run = first 4 hex chars of hx; run digest = md5
+    // of comma-joined ids in (hx, id) order; shard digest = md5 of run
+    // digests comma-joined in ascending run order
     val expected = docIds
-      .map(id => (java.lang.Long.parseLong(md5hex(id.toString).take(13), 16) % 16,
-        md5hex(id.toString), id))
+      .map { id =>
+        val hx = md5hex(id.toString)
+        (java.lang.Long.parseLong(hx.take(13), 16) % 16,
+          java.lang.Long.parseLong(hx.take(4), 16), hx, id)
+      }
       .groupBy(_._1)
       .map { case (shard, rows) =>
-        shard -> md5hex(rows.sortBy(r => (r._2, r._3)).map(_._3).mkString(","))
+        val runDigests = rows.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (_, rs) =>
+            md5hex(rs.sortBy(r => (r._3, r._4)).map(_._4).mkString(","))
+        }
+        shard -> md5hex(runDigests.mkString(","))
       }
     val got = Curation.shardShufflePlan.fn(spark, dir).collect()
       .map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_digest")).toMap

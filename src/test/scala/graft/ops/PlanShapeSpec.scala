@@ -125,6 +125,48 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("neardup_keep_best argmax is a hash-aggregable packed long, not max(struct)") {
+    val p = plan("neardup_keep_best")
+    // max over a struct buffer silently plans SortAggregate (the round-8
+    // min(struct) trap, 15× on 10⁹ rows); the packed-long form must stay
+    // in codegen'd HashAggregate and never sort or window the corpus
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("max(struct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("shard_shuffle digest buffers run digests, never the id sequence") {
+    val p = plan("shard_shuffle_plan")
+    // bounded-memory Merkle: the streamed per-run digest is a
+    // MapPartitions above the (shard, run) exchange …
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("Exchange hashpartitioning(shard") &&
+      p.contains("run"), p)
+    // … and the only collect_list in the final fold holds (run,
+    // run_digest) pairs — capped at 65,536 fixed-width entries per
+    // shard — NEVER the per-shard doc_id structs of the round-8 form
+    assert(!p.contains("collect_list(struct(hx"), p)
+    assert(!p.contains("collect_list(struct(doc_id"), p)
+    assert(p.contains("collect_list(struct(run"), p)
+  }
+
+  test("embedding_neardup_adaptive projects signs once below an equi band join") {
+    val p = plan("embedding_neardup_adaptive")
+    // the SignProjectI64 projection feeds the band join from a cached
+    // stage table (computed once, read by both sides), and the banded
+    // candidate join is an equi-join on (band, bucket) — never a
+    // nested-loop over the corpus
+    assert(p.contains("sign_project_i64"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // candidate dedup happens before vectors re-join: a (va, vb)
+    // aggregate keyed exchange precedes the verify joins
+    assert(p.contains("Exchange hashpartitioning(va") ||
+      p.contains("HashAggregate(keys=[va"), p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
