@@ -61,11 +61,14 @@ object SemdedupScale {
     val census = phase("census")(
       Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
     // multi-probe (top-2) candidate generation: recovers pairs whose
-    // members straddle a cluster boundary — the recall-vs-k slope
+    // members straddle a cluster boundary — the recall-vs-k slope.
+    // Persisted here (semdedupCensus reads it twice and does NOT cache
+    // on the caller's behalf — see its scaladoc)
+    val cand = Clustering.kmeansProbeAssign(q, centroids, 2).persist()
     val probed = phase("census-probe2")(
-      Clustering.semdedupCensus(q, asg, tau = 0.90,
-        candAsg = Some(Clustering.kmeansProbeAssign(q, centroids, 2)))
+      Clustering.semdedupCensus(q, asg, tau = 0.90, candAsg = Some(cand))
         .collect())
+    cand.unpersist()
     println(s"[semdedup-scale] probe2 n_dropped: " +
       probed.map(_.getAs[Long]("n_dropped")).sum)
     val wall = (System.nanoTime() - t0) / 1e9

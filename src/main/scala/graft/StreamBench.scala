@@ -38,6 +38,11 @@ object StreamBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress keeps only the last 100 updates by default, which
+      // silently undercounts every metric below once nBatches > 100
+      // (round-8 ADVICE) — retain one progress entry per micro-batch
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nBatches + 8).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -96,6 +101,14 @@ object StreamBench {
     val rows = progs.map(_.numInputRows).sum
     val durs = progs.map(_.batchDuration).sorted
     val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    // empty-progress guard (round-8 ADVICE): a run whose batches all
+    // landed empty (or whose progress was dropped) must report, not throw
+    if (durs.isEmpty || stateRows.isEmpty) {
+      println(s"""{"batches": ${progs.length}, "events": $rows, """ +
+        f""""wall_sec": $wall%.1f, "error": "no non-empty progress"}""")
+      spark.stop()
+      return
+    }
     println(f"""{"batches": ${progs.length}, "events": $rows, """ +
       f""""wall_sec": $wall%.1f, "events_per_sec": ${rows / wall}%.0f, """ +
       f""""batch_ms_median": ${durs(durs.length / 2)}, """ +

@@ -338,12 +338,19 @@ object Clustering {
     * recover pairs that straddle a Voronoi boundary (the recall-vs-k
     * slope measured in STRESS_r08.md §10.1): a pair is considered when
     * ANY probed cluster is shared, the census still groups by the
-    * primary cluster. Pairwise cost scales ×m² worst-case. */
+    * primary cluster. Pairwise cost scales ×m² worst-case.
+    *
+    * CACHING IS THE CALLER'S JOB: `asg0` is read 3× (both pair sides +
+    * the final census join) and `candAsg` 2×, so pass them persisted
+    * when they are expensive (a broadcast-join assignment at large k) —
+    * SemdedupScale does. Persisting here would leak a cached frame per
+    * call: the census is lazy, and this function has no hook at which
+    * the caller has materialized it (round-8 ADVICE). */
   def semdedupCensus(q: DataFrame, asg0: DataFrame, tau: Double,
                      candAsg: Option[DataFrame] = None): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
-    val asg = asg0.persist()
+    val asg = asg0
     val m = q.join(candAsg.getOrElse(asg), Seq("vec_id"))
     val a = m.select($"cluster", $"vec_id".as("va"), $"qe".as("qa"),
       $"nrm".as("na"))
@@ -369,13 +376,31 @@ object Clustering {
   // Large-k forms — the 100 TB shape of semantic dedup
   // ---------------------------------------------------------------------
 
-  /** Corpus-adaptive cluster count: k = max(8, ⌈n / target⌉), so the
-    * intra-cluster pairwise stage stays Σᵢ nᵢ²/2 ≈ n·target/2 — LINEAR
-    * in the corpus — instead of the fixed-k n²/k. The oracle-pinned
-    * query keeps k = 8 (the unrolled-CTE oracle is linear in k); this
-    * rule is the production path, measured in STRESS_r08.md §10. */
-  def semdedupK(n: Long, targetClusterSize: Long = 1024L): Int =
-    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  /** Corpus-adaptive cluster count: k = max(8, ⌈n / target⌉) with the
+    * EFFECTIVE target = max(targetClusterSize, ⌈√(2n)⌉), so both halves
+    * of semantic dedup stay balanced at every corpus size:
+    *
+    *   - intra-cluster pairwise cost ≈ n·target/2 (never the fixed-k
+    *     n²/k quadratic),
+    *   - assignment cost = n·k = n²/target — with a FIXED target this
+    *     is the quadratic half once k = n/target keeps growing
+    *     (measured: at n = 10⁶ / k = 977 the census was 11.9 s of a
+    *     188 s wall — assignment already dominated, round-8 verdict).
+    *
+    * Setting target = √(2n) makes both terms n^1.5 (k = √(n/2) — the
+    * calculus balance point): at n = 10⁶ the floor kicks in at target
+    * 1,415 / k = 708; below n ≈ 524k the caller's floor (default 1,024,
+    * SemDeDup's cluster-size regime) wins and the behavior of every
+    * prior measurement is unchanged. Past k = 32,768 (n ≈ 2.1·10⁹)
+    * [[kmeansAssignJoin]]'s pack bound requires a coarse/fine two-level
+    * quantizer instead — scaladoc'd there. The oracle-pinned fixture
+    * queries keep small k (the unrolled-CTE oracle is linear in k);
+    * this rule is the production path, measured in STRESS_r09.md. */
+  def semdedupK(n: Long, targetClusterSize: Long = 1024L): Int = {
+    val balanced = math.ceil(math.sqrt(2.0 * n)).toLong
+    val target = math.max(targetClusterSize, balanced)
+    math.max(8L, (n + target - 1) / target).toInt
+  }
 
   /** Broadcast-join assignment — the large-k form of [[kmeansAssign]].
     * [[nearest]] inlines k literal centroids into ONE Catalyst
@@ -410,10 +435,21 @@ object Clustering {
     val base =
       if (quantized.columns.contains("nrm")) quantized
       else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    // overflow guard (round-8 ADVICE): the d·S+cl pack is only valid for
+    // d ≤ (2⁶³−1−(S−1))/S. Unit-quantized embeddings sit far under that
+    // (≈2.6·10¹⁴ vs ≈2.8·10¹⁴ at S=2¹⁵), but non-unit-scaled input would
+    // silently overflow and corrupt assignments — raise instead. A
+    // negative d can only mean the dot product itself overflowed
+    // upstream; same verdict. One codegen'd branch per row.
+    val maxD = (Long.MaxValue - (shift - 1)) / shift
+    val d = $"nrm" - lit(2L) * Kit.dotI64($"qe", $"cqe") + $"cnrm"
     base.join(broadcast(cdf))
       .select($"vec_id",
-        (($"nrm" - lit(2L) * Kit.dotI64($"qe", $"cqe") + $"cnrm")
-          * lit(shift) + $"cl").as("packed"))
+        when(d.between(0L, maxD), d * lit(shift) + $"cl")
+          .otherwise(raise_error(concat(
+            lit(s"kmeansAssignJoin: squared distance outside packable " +
+              s"range [0, $maxD] (non-unit-scaled embeddings?): "),
+            d.cast("string")))).as("packed"))
       .groupBy($"vec_id")
       .agg(min($"packed").as("p"))
       .select($"vec_id", ($"p" % lit(shift)).cast("int").as("cluster"))

@@ -25,15 +25,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * itself (works for a file or a directory). */
 object ParallelismFloor {
 
-  /** Bytes and file count of the table file/directory at `path`
-    * ((0, 0) when absent). */
+  /** Bytes and file count of the PARQUET DATA FILES under `path`
+    * ((0, 0) when absent). Only `*.parquet` files count (round-8
+    * ADVICE): a content-summary file count also sees `_SUCCESS` markers
+    * and checksum siblings, so `files >= floor` could be satisfied by
+    * zero-byte markers and skip the row-group check exactly when it
+    * matters — a directory of one data file plus 31 markers is still a
+    * one-task scan. */
   def scanStats(s: SparkSession, path: String): (Long, Long) = {
     val p0 = new org.apache.hadoop.fs.Path(path)
     val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p0)) (0L, 0L)
     else {
-      val sm = fs.getContentSummary(p0)
-      (sm.getLength, sm.getFileCount)
+      val it = fs.listFiles(p0, true)
+      var bytes = 0L
+      var files = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          bytes += f.getLen
+          files += 1
+        }
+      }
+      (bytes, files)
     }
   }
 

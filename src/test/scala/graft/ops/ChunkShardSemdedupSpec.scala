@@ -161,6 +161,27 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("semdedupK self-balances past the target floor (round-8 verdict #3)") {
+    // below the crossover (n < ~524k): the caller's floor wins — every
+    // prior measurement's k is unchanged
+    assert(Clustering.semdedupK(20000) === 20)
+    assert(Clustering.semdedupK(200000) === 196)
+    // past it the effective target grows as √(2n) → k = ~√(n/2), so
+    // assignment (n·k) and pairwise (n·target/2) are BOTH ~n^1.5
+    assert(Clustering.semdedupK(1000000) === 707) // target 1,415 not 1,024
+    assert(Clustering.semdedupK(2000000) === 1000) // target 2,000
+    // balance check: n·k within 2× of n·target/2 at every decade
+    for (n <- Seq(1000000L, 4000000L, 16000000L, 64000000L)) {
+      val k = Clustering.semdedupK(n).toLong
+      val target = (n + k - 1) / k
+      assert(k.toDouble / (target / 2.0) < 2.5, s"n=$n k=$k target=$target")
+      assert(target.toDouble / 2.0 / k < 2.5, s"n=$n k=$k target=$target")
+    }
+    // kmeansAssignJoin's pack bound (k ≤ 32,768) holds to n ≈ 2·10⁹ —
+    // past that the scaladoc'd coarse/fine quantizer takes over
+    assert(Clustering.semdedupK(2000000000L) <= 32768)
+  }
+
   test("adaptive-k semdedup census still drops every planted duplicate") {
     import spark.implicits._
     val q = Similarity.plantedQuantized(spark, sfDir).persist()
