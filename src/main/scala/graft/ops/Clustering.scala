@@ -192,6 +192,16 @@ object Clustering {
            |FROM pl p JOIN pick$i USING (vec_id)""".stripMargin)
     }
     cte("k0", s"SELECT * FROM c${k - 1}")
+    lloydChain(cte, iters)
+  }
+
+  /** The Lloyd half of the oracle chain — `iters` assign/update rounds
+    * from an existing centroid table `k0` (cl, pos, v) over the long
+    * corpus `ql`, ending in the final assignment `af` (vec_id, cl).
+    * k-AGNOSTIC: every round is a table join, so the same SQL serves the
+    * unrolled fixed-k chain AND the dynamic-k adaptive oracle whose k is
+    * computed from COUNT(*) at run time. */
+  private def lloydChain(cte: (String, String) => Unit, iters: Int): Unit = {
     for (j <- 1 to iters) {
       cte(s"a$j",
         s"""SELECT vec_id, cl FROM (
@@ -294,6 +304,72 @@ object Clustering {
     * unit vectors pair at cos ~ N(0, 1/√64), so 0.90 is ≈ 7σ above the
     * chance tail — the verdict is deterministic in both engines. */
   private val SemdedupTau = "0.90"
+
+  /** Oracle for [[semdedupAdaptive]] — the DYNAMIC-k form: k is not a
+    * constant baked into an unrolled CTE chain but `kv`, computed from
+    * COUNT(*) by the SAME ⌈n / max(floor, ⌈√(2n)⌉)⌉ arithmetic as
+    * [[semdedupK]] (integer ceil-division; `SQRT`/`CEIL` are
+    * correctly-rounded IEEE doubles in both engines, so the k the two
+    * engines derive is identical at any corpus size — the same
+    * replay-the-formula discipline as the adaptive LSH/IVF/geometry
+    * oracles). Init is the k lowest vec_ids (ROW_NUMBER ≤ k — the
+    * dynamic-k-expressible init, see [[kmeansCentroidsLowId]]), Lloyd is
+    * the k-agnostic [[lloydChain]], and candidate generation replays
+    * [[kmeansProbeAssign]]'s top-2 multi-probe as ROW_NUMBER ≤ 2 over
+    * (d, cl). */
+  private def semdedupAdaptiveOracleSql(targetFloor: Long, iters: Int,
+                                        tau: String): String = {
+    val ctes = Seq.newBuilder[String]
+    def cte(name: String, body: String): Unit =
+      ctes += s"$name AS MATERIALIZED ($body)"
+    cte("ql",
+      "SELECT vec_id, CAST(i - 1 AS INT) AS pos, v FROM flat")
+    cte("kv",
+      s"""SELECT GREATEST(8, (n + t - 1) // t) AS k FROM (
+         |  SELECT COUNT(*) AS n,
+         |    GREATEST($targetFloor,
+         |      CAST(CEIL(SQRT(2.0 * COUNT(*))) AS BIGINT)) AS t
+         |  FROM norms)""".stripMargin)
+    cte("init",
+      """SELECT vec_id, CAST(rn - 1 AS INT) AS cl FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        |  FROM norms), kv
+        |WHERE rn <= kv.k""".stripMargin)
+    cte("k0",
+      "SELECT i.cl, l.pos, l.v FROM ql l JOIN init i USING (vec_id)")
+    lloydChain(cte, iters)
+    cte("p2",
+      s"""SELECT vec_id, cl FROM (
+         |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
+         |  FROM ql l JOIN k$iters c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) <= 2""".stripMargin)
+    cte("pairs",
+      """SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |FROM p2 a JOIN p2 b ON a.cl = b.cl AND a.vec_id < b.vec_id""".stripMargin)
+    cte("pdots",
+      """SELECT p.va, p.vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |FROM pairs p
+        |JOIN ql fa ON fa.vec_id = p.va
+        |JOIN ql fb ON fb.vec_id = p.vb AND fb.pos = fa.pos
+        |GROUP BY p.va, p.vb""".stripMargin)
+    cte("drops",
+      s"""SELECT DISTINCT d.vb AS vec_id
+         |FROM pdots d
+         |JOIN norms na ON na.vec_id = d.va
+         |JOIN norms nb ON nb.vec_id = d.vb
+         |WHERE CAST(d.dot AS DOUBLE)
+         |  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+         |  >= $tau""".stripMargin)
+    Similarity.plantedOraclePrefix + ",\n" +
+      ctes.result().mkString(",\n") +
+      """
+        |SELECT a.cl AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM af a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+        |GROUP BY a.cl""".stripMargin
+  }
 
   /** SEMANTIC dedup (SemDeDup-style: cluster the embedding space with
     * k-means, then exact pairwise cosine WITHIN each cluster only;
@@ -534,22 +610,86 @@ object Clustering {
           if (d < minD(id)) minD(id) = d
         }
       }
-      for (_ <- 1 to iters) {
-        val sums = kmeansAssignJoin(base, centroids)
-          .join(base.select($"vec_id", $"qe"), Seq("vec_id"))
-          .select($"cluster".as("cl"), posexplode($"qe").as(Seq("pos", "v")))
-          .groupBy($"cl", $"pos")
-          .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
-          .groupBy($"cl")
-          .agg(array_sort(collect_list(struct($"pos",
-            expr("sv div n").as("cv")))).as("vec"))
-          .select($"cl", expr("transform(vec, x -> x.cv)").as("centroid"))
-          .as[(Int, Seq[Long])].collect().toMap
-        centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
-      }
-      centroids
+      lloydJoin(base, centroids, iters)
     } finally { if (ownCache) base.unpersist(); () }
   }
 
-  val all: Seq[QueryDef] = Seq(kmeansHistogram, semdedupPrune)
+  /** The Lloyd half of the join-based trainers: `iters` assign/update
+    * rounds from an arbitrary initial centroid set (the Spark mirror of
+    * the oracle's [[lloydChain]] — same exact-integer updates, empty
+    * clusters keep their previous centroid). */
+  private def lloydJoin(base: DataFrame, init: Seq[Seq[Long]],
+                        iters: Int): Seq[Seq[Long]] = {
+    val s = base.sparkSession
+    import s.implicits._
+    var centroids = init
+    for (_ <- 1 to iters) {
+      val sums = kmeansAssignJoin(base, centroids)
+        .join(base.select($"vec_id", $"qe"), Seq("vec_id"))
+        .select($"cluster".as("cl"), posexplode($"qe").as(Seq("pos", "v")))
+        .groupBy($"cl", $"pos")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .groupBy($"cl")
+        .agg(array_sort(collect_list(struct($"pos",
+          expr("sv div n").as("cv")))).as("vec"))
+        .select($"cl", expr("transform(vec, x -> x.cv)").as("centroid"))
+        .as[(Int, Seq[Long])].collect().toMap
+      centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Join-based Lloyd with LOWEST-vec_id init (cluster i = the (i+1)-th
+    * lowest vec_id's vector): the init whose oracle form stays
+    * expressible at DYNAMIC k — one ROW_NUMBER against a k computed from
+    * COUNT(*) — where farthest-first would need k unrolled CTE picks and
+    * therefore a k frozen at query-definition time. Init choice is
+    * orthogonal to what [[semdedupAdaptive]] verifies (the k-formula,
+    * the packed-long assignment, top-2 probing, the census arithmetic);
+    * the scale harness keeps farthest-first for cluster quality. */
+  def kmeansCentroidsLowId(quantized: DataFrame, k: Int,
+                           iters: Int): Seq[Seq[Long]] = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    val base0 =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    val ownCache =
+      base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base = if (ownCache) base0.persist() else base0
+    try {
+      val init = base.orderBy($"vec_id").limit(k)
+        .select($"qe").as[Seq[Long]].collect().toSeq
+      lloydJoin(base, init, iters)
+    } finally { if (ownCache) base.unpersist(); () }
+  }
+
+  /** The PRODUCTION form of semantic dedup, oracle-checked at fixture
+    * scale (round-8 verdict #5): everything the 100 TB scale story
+    * rests on is in the registered plan — `semdedupK`'s self-balancing
+    * k-formula (replayed from COUNT(*) by the oracle, not pinned),
+    * [[kmeansAssignJoin]]'s broadcast-table packed-long assignment,
+    * [[kmeansProbeAssign]]'s top-2 multi-probe candidate generation
+    * (the probe-2 recall path measured at 98–100% across four decades),
+    * and the intra-cluster-only pairwise census. `targetFloor = 64`
+    * (not the production 1,024) so the √(2n) branch and a k well past
+    * the fixture's pinned 8 are BOTH exercised at sf0.01 (n ≈ 2.1k →
+    * k = 32) and sf0.1 (n ≈ 20.5k → k = 101); [[semdedupPrune]] remains
+    * the k=8 farthest-first-init baseline. Runs on the planted corpus
+    * so the drop verdict is non-empty. */
+  val semdedupAdaptive: QueryDef = QueryDef.sql(
+    "semdedup_adaptive",
+    semdedupAdaptiveOracleSql(targetFloor = 64L, iters = 3,
+      tau = SemdedupTau)) { (s, dir) =>
+    val q = Similarity.plantedQuantized(s, dir).persist()
+    val n = q.count()
+    val k = semdedupK(n, targetClusterSize = 64L)
+    val cs = kmeansCentroidsLowId(q, k, iters = 3)
+    val asg = kmeansAssignJoin(q, cs).persist()
+    val cand = kmeansProbeAssign(q, cs, 2).persist()
+    semdedupCensus(q, asg, SemdedupTau.toDouble, candAsg = Some(cand))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(kmeansHistogram, semdedupPrune, semdedupAdaptive)
 }
