@@ -193,6 +193,18 @@ object Plans {
         "node: a 10⁸-member boilerplate cluster shuffles one partial " +
         "per partition; the verdict join moves (cluster_id, q, id) " +
         "triples, never text."),
+    "semdedup_adaptive" ->
+      ("The production semantic-dedup form, oracle-checked (round 9): " +
+        "k comes from the self-balancing formula (target = max(floor, " +
+        "sqrt(2n)) keeps assignment n·k and pairwise n·target/2 both " +
+        "~n^1.5 — the oracle replays the formula from COUNT(*), it is " +
+        "not pinned); centroids are a broadcast TABLE; the nearest-" +
+        "centroid argmin is min(d·S + cl) over ONE packed long — a " +
+        "map-side-combined HashAggregate, where min(struct) silently " +
+        "plans SortAggregate (round-8 trap); top-2 multi-probe is a " +
+        "CosTopK object aggregation (no window sort); candidates are " +
+        "an equi-join on shared probed cluster id — never all-pairs; " +
+        "the census is one partial-aggregated groupBy."),
     "embedding_neardup_adaptive" ->
       ("The production embedding near-dup path: SignProjectI64 computes " +
         "each vector's B(n) band buckets in ONE cached projection " +

@@ -47,14 +47,29 @@ object StressRun {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SINK=warehouse lands each result through the atomic
+    // warehouse path instead of collect()ing it to this driver — the
+    // honest wall for operators whose OUTPUT is corpus-sized (chunking
+    // emits millions of rows; collecting them measures driver
+    // deserialization, not the operator — round-8 verdict #7). Row count
+    // comes from the sink's observed landing, so the result plan still
+    // executes exactly once.
+    val sinkWh = sys.env.get("SPARK_GRAFT_SINK").collect {
+      case "warehouse" => graft.pipeline.Warehouse(spark,
+        java.nio.file.Files.createTempDirectory("stress-sink").toString)
+    }
     names.foreach { name =>
       val d = SparkEntry.defs.find(_.name == name).getOrElse(
         sys.error(s"unknown query: $name"))
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { run =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val df = d.fn(spark, dir)
-        val rows = df.collect().length
+        val rows = sinkWh match {
+          case Some(wh) => wh.load(s"${name}_$run", df,
+            graft.pipeline.SinkPolicy.Overwrite).rows.toInt
+          case None => df.collect().length
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         val metrics = df.queryExecution.observedMetrics.toSeq
           .flatMap { case (mName, row) =>

@@ -45,6 +45,20 @@ object SinkPolicy {
 /** One landed batch, for the pipeline run report. */
 final case class LoadResult(source: String, action: String, rows: Long)
 
+/** Crash-injection points for the exactly-once landing protocol's fault
+  * evidence (StreamFaultDemo / StreamCrashSpec): [[Warehouse.load]]
+  * invokes these at the two windows a driver death must be recoverable
+  * from — after the transaction-directory DATA write but before the
+  * MANIFEST commit (bytes on disk, nothing visible), and after the
+  * commit but before the caller's streaming checkpoint advances (batch
+  * visible, source will re-deliver it). Both default to no-ops and are
+  * never set outside fault tests. */
+private[graft] object CrashHooks {
+  @volatile var beforeManifestCommit: String => Unit = _ => ()
+  @volatile var afterCommit: String => Unit = _ => ()
+  def reset(): Unit = { beforeManifestCommit = _ => (); afterCommit = _ => () }
+}
+
 /** One entry of a table's commit history ([[Warehouse.history]]). */
 final case class CommitInfo(version: Long, committedAt: java.time.Instant,
                             nFiles: Int, txnId: Option[String])
@@ -522,6 +536,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** Has a writer transaction with this id already committed to `table`?
+    * The replay guard [[load]]/[[upsert]] apply internally, exposed for
+    * callers that must decide BEFORE handing the batch over — a
+    * streaming `foreachBatch` re-delivering an already-landed batch
+    * still has to CONSUME the DataFrame (Spark 4.1 validates that every
+    * active state store commits each batch; an early return inside load
+    * would skip the stateful operator's tasks and fail the query with
+    * STATE_STORE_COMMIT_VALIDATION_FAILED — found by the kill -9 demo,
+    * see Streams.drainInto). */
+  def txnLanded(table: String, txnId: String): Boolean =
+    TxnLog.txnCommitted(tableDir(table), txnId)
+
   /** Land `df` into `table` under `policy`. Returns what happened.
     *
     * Single-pass: the batch is streamed straight into the transaction
@@ -577,6 +603,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val newStats =
       if (effStats.nonEmpty) collectStats(dir, newFiles, effStats)
       else Map.empty[String, Seq[(String, String)]]
+    CrashHooks.beforeManifestCommit(table)
     val committed = TxnLog.commit(dir, txnId) { cur =>
       val old = cur.map(_.files).getOrElse(Seq.empty)
       val files = policy match {
@@ -597,6 +624,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       ManifestData(partCols, files, effStats, inherited ++ newStats)
     }
     maybeCheckpoint(dir, committed)
+    CrashHooks.afterCommit(table)
     LoadResult(table, policy.toString, n)
   }
 

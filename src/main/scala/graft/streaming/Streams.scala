@@ -39,8 +39,16 @@ object Streams {
                 appId: String): StreamingQuery = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        wh.load(table, batch, policy, txnId = Some(s"$appId:$batchId"))
-        ()
+        val txn = s"$appId:$batchId"
+        if (wh.txnLanded(table, txn))
+          // crash landed the batch but not the checkpoint: the re-run
+          // must SKIP the landing yet still CONSUME the batch — Spark
+          // 4.1 validates that every active state store commits each
+          // micro-batch, and an unconsumed stateful-operator output
+          // fails the query (STATE_STORE_COMMIT_VALIDATION_FAILED;
+          // caught by scripts/stream_fault_demo.sh's after-commit kill)
+          batch.foreach(_ => ())
+        else { wh.load(table, batch, policy, txnId = Some(txn)); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -66,16 +74,21 @@ object Streams {
     import org.apache.spark.sql.functions._
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val latest = seqCol match {
-          case Some(sc) =>
-            val w = Window.partitionBy(keyCols.map(col): _*)
-              .orderBy(col(sc).desc)
-            batch.withColumn("__rn", row_number().over(w))
-              .where(col("__rn") === 1).drop("__rn")
-          case None => batch
+        val txn = s"$appId:$batchId"
+        if (wh.txnLanded(table, txn))
+          batch.foreach(_ => ()) // consume-and-skip — see drainInto
+        else {
+          val latest = seqCol match {
+            case Some(sc) =>
+              val w = Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col(sc).desc)
+              batch.withColumn("__rn", row_number().over(w))
+                .where(col("__rn") === 1).drop("__rn")
+            case None => batch
+          }
+          wh.upsert(table, latest, keyCols, txnId = Some(txn))
+          ()
         }
-        wh.upsert(table, latest, keyCols, txnId = Some(s"$appId:$batchId"))
-        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -167,6 +167,21 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("HashAggregate(keys=[va"), p)
   }
 
+  test("semdedup_adaptive assigns by packed-long hash aggregate over a broadcast centroid table") {
+    val p = plan("semdedup_adaptive")
+    // the centroids are a broadcast TABLE (the large-k shape — literal
+    // array projection stops being codegen-reasonable past a few dozen)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    // nearest = min(d·S + cl) — ONE long, map-side-combined
+    // HashAggregate; min(struct(d, cl)) silently plans SortAggregate
+    // (the round-8 trap, 15× on 10⁹ rows)
+    assert(!p.contains("min(struct"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // top-2 probing is a CosTopK object aggregation, not a window sort
+    assert(p.contains("cos_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
