@@ -13,13 +13,14 @@ import graft.ops.{Clustering, ParallelismFloor}
   * pairs (cos ≈ 0.987) give the τ = 0.90 verdict true positives without
   * any in-query plant. Prints one JSON line: n, k, census totals, wall.
   *
-  *   sbt 'runMain graft.SemdedupScale /tmp/sf1_stress [targetClusterSize]'
+  *   sbt 'runMain graft.SemdedupScale /tmp/sf1_stress [targetClusterSize [probes]]'
   */
 object SemdedupScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: SemdedupScale <fixtureDir> [targetClusterSize]"))
+      sys.error("usage: SemdedupScale <fixtureDir> [targetClusterSize [probes]]"))
     val target = if (args.length > 1) args(1).toLong else 1024L
+    val probes = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,16 +61,16 @@ object SemdedupScale {
     println(s"[semdedup-scale] top-5 cluster sizes: $top")
     val census = phase("census")(
       Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
-    // multi-probe (top-2) candidate generation: recovers pairs whose
+    // multi-probe (top-m) candidate generation: recovers pairs whose
     // members straddle a cluster boundary — the recall-vs-k slope.
     // Persisted here (semdedupCensus reads it twice and does NOT cache
     // on the caller's behalf — see its scaladoc)
-    val cand = Clustering.kmeansProbeAssign(q, centroids, 2).persist()
-    val probed = phase("census-probe2")(
+    val cand = Clustering.kmeansProbeAssign(q, centroids, probes).persist()
+    val probed = phase(s"census-probe$probes")(
       Clustering.semdedupCensus(q, asg, tau = 0.90, candAsg = Some(cand))
         .collect())
     cand.unpersist()
-    println(s"[semdedup-scale] probe2 n_dropped: " +
+    println(s"[semdedup-scale] probe$probes n_dropped: " +
       probed.map(_.getAs[Long]("n_dropped")).sum)
     val wall = (System.nanoTime() - t0) / 1e9
     val nVecs = census.map(_.getAs[Long]("n_vecs")).sum
