@@ -205,6 +205,19 @@ object Plans {
         "CosTopK object aggregation (no window sort); candidates are " +
         "an equi-join on shared probed cluster id — never all-pairs; " +
         "the census is one partial-aggregated groupBy."),
+    "semdedup_twolevel" ->
+      ("The past-the-pack-bound capacity mechanism (round 9): K1 = " +
+        "ceil(sqrt(k)) coarse centroids over the corpus, K2 fine " +
+        "centroids over the exact-int64 RESIDUALS (zip_with " +
+        "subtraction — one projection, no extra pass), cell = " +
+        "coarse*K2 + fine for k1*k2 <= ~1e9 cells where the flat " +
+        "packed-long assignment stops at 32,768. Both levels are the " +
+        "same broadcast-table + packed-long-min HashAggregate shape; " +
+        "the fine codebook is GLOBAL, so training is two ordinary " +
+        "k-means runs, never K1 independent ones. Measured 4.7x " +
+        "cheaper training than flat k=1,000 at 2M vectors " +
+        "(STRESS_r09.md §5) at the documented single-assignment " +
+        "recall trade."),
     "embedding_neardup_adaptive" ->
       ("The production embedding near-dup path: SignProjectI64 computes " +
         "each vector's B(n) band buckets in ONE cached projection " +

@@ -13,14 +13,20 @@ import graft.ops.{Clustering, ParallelismFloor}
   * pairs (cos ≈ 0.987) give the τ = 0.90 verdict true positives without
   * any in-query plant. Prints one JSON line: n, k, census totals, wall.
   *
-  *   sbt 'runMain graft.SemdedupScale /tmp/sf1_stress [targetClusterSize [probes]]'
+  *   sbt 'runMain graft.SemdedupScale /tmp/sf1_stress [targetClusterSize [probes [mode]]]'
+  *
+  * mode `twolevel` runs the coarse/fine quantizer form instead
+  * (single assignment, K1 = ⌈√k⌉ × K2 = ⌈k/K1⌉ cells — the
+  * past-the-pack-bound mechanism, measured here below the bound so its
+  * cost relative to flat is known before it's ever needed).
   */
 object SemdedupScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: SemdedupScale <fixtureDir> [targetClusterSize [probes]]"))
+      sys.error("usage: SemdedupScale <fixtureDir> [targetClusterSize [probes [mode]]]"))
     val target = if (args.length > 1) args(1).toLong else 1024L
     val probes = if (args.length > 2) args(2).toInt else 2
+    val mode = if (args.length > 3) args(3) else "flat"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,6 +54,37 @@ object SemdedupScale {
       val r = body
       println(f"[semdedup-scale] $name: ${(System.nanoTime() - t) / 1e9}%.1f s")
       r
+    }
+    if (mode == "twolevel") {
+      val t0 = System.nanoTime()
+      val (cs1, cs2) = phase("twolevel-train")(
+        Clustering.kmeansTwoLevelTrain(q, k, iters = 3))
+      val asg = phase("assign")(
+        Clustering.twoLevelCellAssign(q, cs1, cs2).persist())
+      phase("assign-count")(asg.count())
+      val census = phase("census")(
+        Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
+      // multi-probe at BOTH levels: residual re-derived per probed
+      // coarse centroid, then top-m fine cells per residual — a pair
+      // can straddle either boundary, so both dials are needed
+      val cand = Clustering
+        .twoLevelProbeCellAssign(q, cs1, cs2, probes, fineProbes = probes)
+        .persist()
+      val probed = phase(s"census-probe${probes}x$probes")(
+        Clustering.semdedupCensus(q, asg, tau = 0.90, candAsg = Some(cand))
+          .collect())
+      cand.unpersist()
+      println(s"[semdedup-scale] probe${probes}x$probes n_dropped: " +
+        probed.map(_.getAs[Long]("n_dropped")).sum)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode": "twolevel", "n": $n, "k": $k, """ +
+        f""""n_vecs": ${census.map(_.getAs[Long]("n_vecs")).sum}, """ +
+        f""""n_dropped": ${census.map(_.getAs[Long]("n_dropped")).sum}, """ +
+        f""""cells": ${census.length}, """ +
+        f""""max_cell": ${census.map(_.getAs[Long]("n_vecs")).max}, """ +
+        f""""wall_sec": $wall%.2f}""")
+      spark.stop()
+      return
     }
     val t0 = System.nanoTime()
     val centroids = phase("train")(

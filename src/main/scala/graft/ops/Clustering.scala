@@ -196,32 +196,36 @@ object Clustering {
   }
 
   /** The Lloyd half of the oracle chain — `iters` assign/update rounds
-    * from an existing centroid table `k0` (cl, pos, v) over the long
-    * corpus `ql`, ending in the final assignment `af` (vec_id, cl).
-    * k-AGNOSTIC: every round is a table join, so the same SQL serves the
-    * unrolled fixed-k chain AND the dynamic-k adaptive oracle whose k is
-    * computed from COUNT(*) at run time. */
-  private def lloydChain(cte: (String, String) => Unit, iters: Int): Unit = {
+    * from an existing centroid table `${p}k0` (cl, pos, v) over the long
+    * corpus `${p}ql`, ending in the final assignment `${p}af` (vec_id,
+    * cl). k-AGNOSTIC: every round is a table join, so the same SQL
+    * serves the unrolled fixed-k chain AND the dynamic-k adaptive
+    * oracle whose k is computed from COUNT(*) at run time. The prefix
+    * `p` (default "" — all original names unchanged) lets a second
+    * chain coexist in one query: the two-level quantizer oracle runs
+    * the identical Lloyd over the RESIDUAL corpus under prefix "r". */
+  private def lloydChain(cte: (String, String) => Unit, iters: Int,
+                         p: String = ""): Unit = {
     for (j <- 1 to iters) {
-      cte(s"a$j",
+      cte(s"${p}a$j",
         s"""SELECT vec_id, cl FROM (
            |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
-           |  FROM ql l JOIN k${j - 1} c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
+           |  FROM ${p}ql l JOIN ${p}k${j - 1} c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
            |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1""".stripMargin)
-      cte(s"s$j",
+      cte(s"${p}s$j",
         s"""SELECT a.cl, l.pos, CAST(SUM(l.v) AS BIGINT) AS sv,
            |  CAST(COUNT(*) AS BIGINT) AS n
-           |FROM ql l JOIN a$j a USING (vec_id) GROUP BY a.cl, l.pos""".stripMargin)
-      cte(s"k$j",
+           |FROM ${p}ql l JOIN ${p}a$j a USING (vec_id) GROUP BY a.cl, l.pos""".stripMargin)
+      cte(s"${p}k$j",
         s"""SELECT cl, pos,
-           |  CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n) END AS v FROM s$j
+           |  CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n) END AS v FROM ${p}s$j
            |UNION ALL
-           |SELECT * FROM k${j - 1} WHERE cl NOT IN (SELECT cl FROM s$j)""".stripMargin)
+           |SELECT * FROM ${p}k${j - 1} WHERE cl NOT IN (SELECT cl FROM ${p}s$j)""".stripMargin)
     }
-    cte("af",
+    cte(s"${p}af",
       s"""SELECT vec_id, cl FROM (
          |  SELECT l.vec_id, c.cl, SUM((l.v - c.v)*(l.v - c.v)) AS d
-         |  FROM ql l JOIN k$iters c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
+         |  FROM ${p}ql l JOIN ${p}k$iters c ON l.pos = c.pos GROUP BY l.vec_id, c.cl)
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1""".stripMargin)
     ()
   }
@@ -664,6 +668,81 @@ object Clustering {
     } finally { if (ownCache) base.unpersist(); () }
   }
 
+  /** Oracle for [[semdedupTwoLevel]]: the adaptive k-formula (shared
+    * arithmetic with [[semdedupAdaptiveOracleSql]]) split into K1 =
+    * ⌈√k⌉ coarse × K2 = ⌈k/K1⌉ fine cells; the coarse Lloyd runs over
+    * `ql`, the fine Lloyd runs the IDENTICAL chain (prefix "r") over
+    * the integer RESIDUAL corpus `rql` (v − coarse-centroid component —
+    * exact int64 in both engines), and the census cell is
+    * coarse·K2 + fine. */
+  private def semdedupTwoLevelOracleSql(targetFloor: Long, iters: Int,
+                                        tau: String): String = {
+    val ctes = Seq.newBuilder[String]
+    def cte(name: String, body: String): Unit =
+      ctes += s"$name AS MATERIALIZED ($body)"
+    cte("ql",
+      "SELECT vec_id, CAST(i - 1 AS INT) AS pos, v FROM flat")
+    cte("kv",
+      s"""SELECT GREATEST(8, (n + t - 1) // t) AS k FROM (
+         |  SELECT COUNT(*) AS n,
+         |    GREATEST($targetFloor,
+         |      CAST(CEIL(SQRT(2.0 * COUNT(*))) AS BIGINT)) AS t
+         |  FROM norms)""".stripMargin)
+    cte("kv2",
+      """SELECT k, k1, (k + k1 - 1) // k1 AS k2 FROM (
+        |  SELECT k, CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kv)""".stripMargin)
+    cte("init",
+      """SELECT vec_id, CAST(rn - 1 AS INT) AS cl FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        |  FROM norms), kv2
+        |WHERE rn <= kv2.k1""".stripMargin)
+    cte("k0",
+      "SELECT i.cl, l.pos, l.v FROM ql l JOIN init i USING (vec_id)")
+    lloydChain(cte, iters)
+    cte("rql",
+      s"""SELECT l.vec_id, l.pos, l.v - c.v AS v
+         |FROM ql l
+         |JOIN af a USING (vec_id)
+         |JOIN k$iters c ON c.cl = a.cl AND c.pos = l.pos""".stripMargin)
+    cte("rinit",
+      """SELECT vec_id, CAST(rn - 1 AS INT) AS cl FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        |  FROM norms), kv2
+        |WHERE rn <= kv2.k2""".stripMargin)
+    cte("rk0",
+      "SELECT i.cl, l.pos, l.v FROM rql l JOIN rinit i USING (vec_id)")
+    lloydChain(cte, iters, p = "r")
+    cte("cellaf",
+      """SELECT a1.vec_id, CAST(a1.cl * kv2.k2 + a2.cl AS INT) AS cl
+        |FROM af a1 JOIN raf a2 USING (vec_id), kv2""".stripMargin)
+    cte("pairs",
+      """SELECT a.vec_id AS va, b.vec_id AS vb
+        |FROM cellaf a JOIN cellaf b ON a.cl = b.cl AND a.vec_id < b.vec_id""".stripMargin)
+    cte("pdots",
+      """SELECT p.va, p.vb, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |FROM pairs p
+        |JOIN ql fa ON fa.vec_id = p.va
+        |JOIN ql fb ON fb.vec_id = p.vb AND fb.pos = fa.pos
+        |GROUP BY p.va, p.vb""".stripMargin)
+    cte("drops",
+      s"""SELECT DISTINCT d.vb AS vec_id
+         |FROM pdots d
+         |JOIN norms na ON na.vec_id = d.va
+         |JOIN norms nb ON nb.vec_id = d.vb
+         |WHERE CAST(d.dot AS DOUBLE)
+         |  / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+         |  >= $tau""".stripMargin)
+    Similarity.plantedOraclePrefix + ",\n" +
+      ctes.result().mkString(",\n") +
+      """
+        |SELECT a.cl AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM cellaf a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+        |GROUP BY a.cl""".stripMargin
+  }
+
   /** The PRODUCTION form of semantic dedup, oracle-checked at fixture
     * scale (round-8 verdict #5): everything the 100 TB scale story
     * rests on is in the registered plan — `semdedupK`'s self-balancing
@@ -690,6 +769,147 @@ object Clustering {
     semdedupCensus(q, asg, SemdedupTau.toDouble, candAsg = Some(cand))
   }
 
+  // ---------------------------------------------------------------------
+  // Coarse/fine two-level quantizer — past the single-level pack bound
+  // ---------------------------------------------------------------------
+
+  /** Split a cell budget into the two-level factors: K1 = ⌈√k⌉ coarse,
+    * K2 = ⌈k/K1⌉ fine — each within [[kmeansAssignJoin]]'s 32,768 pack
+    * bound up to k ≈ 10⁹ cells, i.e. corpora of ~10¹² vectors at the
+    * √(2n) balance where the flat quantizer stops at n ≈ 2.1·10⁹. */
+  def twoLevelSplit(k: Int): (Int, Int) = {
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    require(k1 <= 32768 && k2 <= 32768,
+      s"two-level split $k1 x $k2 exceeds the per-level pack bound; " +
+        "k <= ~1e9 cells supported")
+    (k1, k2)
+  }
+
+  /** The residual corpus: each vector minus its nearest coarse centroid,
+    * with the coarse assignment carried alongside — exact int64
+    * subtraction (`zip_with`), so the fine level trains and assigns in
+    * the same integer-deterministic domain as the coarse. Residual
+    * magnitudes stay far inside the pack-guard bound for unit-quantized
+    * input: |r|² ≤ d(q, nearest coarse) ≤ 4·10¹², so fine distances are
+    * ≤ ~1.6·10¹³ vs the 2.8·10¹⁴ guard. */
+  private def residuals(q: DataFrame,
+                        coarse: Seq[Seq[Long]]): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val cdf = coarse.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("coarse", "cqe")
+    kmeansAssignJoin(q, coarse).withColumnRenamed("cluster", "coarse")
+      .join(q.select($"vec_id", $"qe"), Seq("vec_id"))
+      .join(broadcast(cdf), Seq("coarse"))
+      .select($"vec_id", $"coarse",
+        expr("zip_with(qe, cqe, (a, b) -> a - b)").as("qe"))
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+  }
+
+  /** Train both levels: coarse Lloyd over the corpus, fine Lloyd over
+    * the RESIDUALS (IVF-with-residual-codebook shape — the fine
+    * codebook is GLOBAL, not per-cell, so training is two ordinary
+    * k-means runs instead of K1 independent ones). Lowest-id init at
+    * both levels keeps the whole thing dynamic-k oracle-expressible
+    * (see [[kmeansCentroidsLowId]]). */
+  def kmeansTwoLevelTrain(q: DataFrame, k: Int,
+                          iters: Int): (Seq[Seq[Long]], Seq[Seq[Long]]) = {
+    val (k1, k2) = twoLevelSplit(k)
+    val cs1 = kmeansCentroidsLowId(q, k1, iters)
+    val r = residuals(q, cs1).persist()
+    try (cs1, kmeansCentroidsLowId(r, k2, iters))
+    finally { r.unpersist(); () }
+  }
+
+  /** Single two-level cell assignment (vec_id, cluster = coarse·K2 +
+    * fine) — both levels broadcast-join packed-long assignments. The
+    * residual frame is referenced twice in the returned plan (coarse
+    * carry + fine assignment), so it is persisted as a stage table —
+    * the repo's harness-clearCache() convention, same as the BandJoin
+    * stage tables. */
+  def twoLevelCellAssign(q: DataFrame, cs1: Seq[Seq[Long]],
+                         cs2: Seq[Seq[Long]]): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val k2 = cs2.size
+    val r = residuals(q, cs1).persist()
+    r.select($"vec_id", $"coarse")
+      .join(kmeansAssignJoin(r, cs2).withColumnRenamed("cluster", "fine"),
+        Seq("vec_id"))
+      .select($"vec_id",
+        ($"coarse" * k2 + $"fine").cast("int").as("cluster"))
+  }
+
+  /** COARSE-level multi-probe for the two-level quantizer — the proper
+    * IVF form: each vector explodes into its top-`probes` coarse cells
+    * and the residual is re-derived AGAINST EACH probed coarse centroid
+    * before fine assignment (a residual computed against the wrong
+    * coarse centroid would fine-assign garbage). A near-identical pair
+    * straddling the coarse boundary shares a probed coarse cell, where
+    * both residuals are again near-identical → same fine cell — so
+    * coarse probing recovers two-level recall the way flat probing does
+    * (measured: STRESS_r09.md §5). Implementation detail: the fine
+    * argmin must be per (vec_id, probed-coarse), and [[kmeansAssignJoin]]
+    * groups by vec_id alone — so the pair is packed into a synthetic id
+    * (vec_id·K1 + coarse; ids ≤ 2⁶⁰/K1 guarded by the pack bound there)
+    * and decoded after. `fineProbes` composes the same dial at the FINE
+    * level (a same-coarse-cell pair can still straddle a fine boundary —
+    * measured: coarse-probe-2 alone recovers 64→89% at 2M vectors, the
+    * remaining straddles are fine-level); candidates are
+    * probes·fineProbes rows per vector. Returns (vec_id, cluster) rows —
+    * feed to [[semdedupCensus]]'s `candAsg`. */
+  def twoLevelProbeCellAssign(q: DataFrame, cs1: Seq[Seq[Long]],
+                              cs2: Seq[Seq[Long]], probes: Int,
+                              fineProbes: Int = 1): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val k1 = cs1.size.toLong
+    val k2 = cs2.size
+    val cdf = cs1.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("coarse", "cqe")
+    val probed = kmeansProbeAssign(q, cs1, probes)
+      .withColumnRenamed("cluster", "coarse")
+    val r = probed
+      .join(q.select($"vec_id", $"qe"), Seq("vec_id"))
+      .join(broadcast(cdf), Seq("coarse"))
+      .select(($"vec_id" * k1 + $"coarse").as("vec_id"),
+        expr("zip_with(qe, cqe, (a, b) -> a - b)").as("qe"))
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    val fine =
+      if (fineProbes == 1) kmeansAssignJoin(r, cs2)
+      else kmeansProbeAssign(r, cs2, fineProbes)
+    fine.select(expr(s"vec_id div $k1").as("vec_id"),
+      expr(s"CAST((vec_id % $k1) * $k2 + cluster AS INT)").as("cluster"))
+  }
+
+  /** Train + single assignment — the registered-query form. */
+  def semdedupTwoLevelAssign(q: DataFrame, k: Int,
+                             iters: Int): DataFrame = {
+    val (cs1, cs2) = kmeansTwoLevelTrain(q, k, iters)
+    twoLevelCellAssign(q, cs1, cs2)
+  }
+
+  /** Semantic dedup through the TWO-LEVEL quantizer, oracle-checked:
+    * the documented escape hatch past [[kmeansAssignJoin]]'s k ≤ 32,768
+    * pack bound, registered so the mechanism itself is verified rather
+    * than only scaladoc'd. Same adaptive k-formula as
+    * [[semdedupAdaptive]] (the oracle replays k, K1 = ⌈√k⌉, K2 =
+    * ⌈k/K1⌉ from COUNT(*)); cells = coarse·K2 + fine. Single
+    * assignment, no probing — multi-probe composes at either level but
+    * the registered form pins the base mechanism; boundary-pair recall
+    * at scale is the probed flat form's job (STRESS_r09.md §2). */
+  val semdedupTwoLevel: QueryDef = QueryDef.sql(
+    "semdedup_twolevel",
+    semdedupTwoLevelOracleSql(targetFloor = 64L, iters = 3,
+      tau = SemdedupTau)) { (s, dir) =>
+    val q = Similarity.plantedQuantized(s, dir).persist()
+    val n = q.count()
+    val k = semdedupK(n, targetClusterSize = 64L)
+    val asg = semdedupTwoLevelAssign(q, k, iters = 3).persist()
+    semdedupCensus(q, asg, SemdedupTau.toDouble)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(kmeansHistogram, semdedupPrune, semdedupAdaptive)
+    Seq(kmeansHistogram, semdedupPrune, semdedupAdaptive, semdedupTwoLevel)
 }

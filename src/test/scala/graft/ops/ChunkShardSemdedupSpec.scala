@@ -202,6 +202,65 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("two-level split keeps both factors inside the pack bound to ~1e9 cells") {
+    for (k <- Seq(8, 9, 32, 1000, 32768, 40000, 1000000, 999950884)) {
+      val (k1, k2) = Clustering.twoLevelSplit(k)
+      assert(k1.toLong * k2 >= k, s"k=$k -> $k1 x $k2")
+      assert(k1 <= 32768 && k2 <= 32768, s"k=$k -> $k1 x $k2")
+    }
+    // past ~1e9 cells even two levels can't pack — must refuse loudly
+    assertThrows[IllegalArgumentException](
+      Clustering.twoLevelSplit(Int.MaxValue))
+  }
+
+  test("two-level semantic dedup drops every planted duplicate, conserves counts") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val n = q.count()
+    val asg = Clustering
+      .semdedupTwoLevelAssign(q, Clustering.semdedupK(n, 64L), iters = 3)
+      .persist()
+    // cell ids are a valid coarse·K2+fine packing: within [0, k1·k2)
+    val (k1, k2) = Clustering.twoLevelSplit(Clustering.semdedupK(n, 64L))
+    val cells = asg.select($"cluster").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < k1 * k2))
+    val census = Clustering.semdedupCensus(q, asg, tau = 0.90).collect()
+    val nPlanted = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .where($"vec_id" % 37 === 0).count()
+    assert(census.map(_.getAs[Long]("n_vecs")).sum === n)
+    // a planted copy's residual is near-identical to its source's, so
+    // the pair shares BOTH levels' cells on this fixture and the drop
+    // count is exactly the plant count (random vectors never pair at
+    // cos ≥ 0.90)
+    assert(census.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
+    spark.catalog.clearCache()
+  }
+
+  test("two-level coarse probing: probe-1 equals the single assignment, " +
+    "probe-2 drops a superset") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val n = q.count()
+    val (cs1, cs2) = Clustering
+      .kmeansTwoLevelTrain(q, Clustering.semdedupK(n, 64L), iters = 3)
+    val asg = Clustering.twoLevelCellAssign(q, cs1, cs2).persist()
+    // coarse probe-1 re-derives the residual against the SAME (nearest)
+    // coarse centroid, so it must reproduce the single assignment exactly
+    val p1 = Clustering.twoLevelProbeCellAssign(q, cs1, cs2, 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p1 === a1)
+    val single = Clustering.semdedupCensus(q, asg, tau = 0.90).collect()
+    val probed = Clustering.semdedupCensus(q, asg, tau = 0.90,
+      candAsg = Some(Clustering.twoLevelProbeCellAssign(q, cs1, cs2, 2)))
+      .collect()
+    def total(c: Array[org.apache.spark.sql.Row], f: String) =
+      c.map(_.getAs[Long](f)).sum
+    assert(total(probed, "n_vecs") === total(single, "n_vecs"))
+    assert(total(probed, "n_dropped") >= total(single, "n_dropped"))
+    spark.catalog.clearCache()
+  }
+
   test("multi-probe census: drops a superset of single-assignment drops") {
     import spark.implicits._
     val q = Similarity.plantedQuantized(spark, sfDir).persist()

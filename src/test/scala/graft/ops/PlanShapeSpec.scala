@@ -182,6 +182,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("semdedup_twolevel assigns both levels by packed-long hash aggregates") {
+    val p = plan("semdedup_twolevel")
+    // residuals are an exact int64 zip_with subtraction; both levels'
+    // nearest-centroid argmins are packed-long min — never min(struct)
+    // (silent SortAggregate) and never a window over the corpus
+    assert(p.contains("zip_with"), p)
+    assert(!p.contains("min(struct"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
