@@ -66,10 +66,12 @@ def main():
     n_docs = len(docs) * factor
     out_rows = []
     texts = []
+    doc_plants = []  # (copy doc_id, source doc_id) — recall denominators
     for i in range(n_docs):
         if i >= 100 and rng.random() < 0.05:
             # planted near-dup: mutate an earlier stress doc (3 word swaps)
             src = int(rng.integers(0, i))
+            doc_plants.append((i, src))
             words = texts[src].split(" ")
             for _ in range(3):
                 words[int(rng.integers(0, len(words)))] = vocab[int(rng.integers(0, len(vocab)))]
@@ -110,8 +112,10 @@ def main():
     # later overwritten as someone else's near-copy would silently
     # destroy its pair and skew the planted-density denominator
     clean = np.array([x for x in range(n_vec) if x not in dup_set])
+    vec_plants = []  # (copy vec_id, source vec_id)
     for i in dup_idx:
         j = int(clean[int(rng.integers(0, len(clean)))])
+        vec_plants.append((int(i), j))
         v = vecs[j] + rng.normal(0, 0.02, dim).astype(np.float32)
         vecs[i] = v / np.linalg.norm(v)
     if hot_frac > 0:
@@ -128,7 +132,20 @@ def main():
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels.astype(np.int32), pa.int32()),
     }), f"{out}/embeddings.parquet")
-    print(f"wrote {n_docs} documents, {n_vec} embeddings to {out}")
+    # ground-truth planted pairs (round 9): written AFTER all rng draws,
+    # so documents/embeddings stay byte-identical to every prior round's
+    # fixtures; recall harnesses (PqScale, SemdedupScale) read these
+    # instead of re-deriving plants from thresholds
+    pq.write_table(pa.table({
+        "copy_id": pa.array([a for a, _ in vec_plants], pa.int64()),
+        "src_id": pa.array([b for _, b in vec_plants], pa.int64()),
+    }), f"{out}/vec_plants.parquet")
+    pq.write_table(pa.table({
+        "copy_id": pa.array([a for a, _ in doc_plants], pa.int64()),
+        "src_id": pa.array([b for _, b in doc_plants], pa.int64()),
+    }), f"{out}/doc_plants.parquet")
+    print(f"wrote {n_docs} documents, {n_vec} embeddings, "
+          f"{len(vec_plants)}+{len(doc_plants)} plant pairs to {out}")
 
 if __name__ == "__main__":
     main()

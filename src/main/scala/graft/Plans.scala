@@ -228,7 +228,39 @@ object Plans {
         "cosine verify, so the expensive arrays touch only surviving " +
         "pairs. Geometry (R, B)(n) adapts to corpus size: measured " +
         "sub-quadratic candidates and 100% planted recall at 10×-1000× " +
-        "(STRESS_r08.md §9)."))
+        "(STRESS_r08.md §9)."),
+    "pq_topk" ->
+      ("Product quantization's compressed-domain scan (the ADC analogue " +
+        "of similarity_topk's exactness-baseline designation): codes are " +
+        "built by ONE broadcast of the M·Ks codebook over one corpus " +
+        "scan, the per-(vector, subspace) argmin is min over a single " +
+        "packed long (d²·256 + j) — a map-side-combined HashAggregate, " +
+        "never min(struct)'s silent SortAggregate — and the ADC scan " +
+        "reads the 4-byte code column against broadcast query LUTs " +
+        "(M element_at lookups per candidate, no per-dimension " +
+        "arithmetic, the full-width vectors never re-join). Per-query " +
+        "top-5 folds map-side into O(k) cos_topk heaps below the qid " +
+        "exchange."),
+    "ivfpq_rerank_topk" ->
+      ("THE production ANN composition (FAISS IVFx,PQy + refine): IVF " +
+        "probe-2 candidate generation (the only nested-loop is the " +
+        "K ≈ √n centroid broadcast — ivf_topk's shape), ADC scoring of " +
+        "candidates from M code bytes via equi-joins on cid/qid (nothing " +
+        "corpus-sized broadcasts), cos_topk shortlist at 4× the final k, " +
+        "then the exact integer-cosine re-rank touches full-width " +
+        "vectors for ≤20 pairs per query — a fetch, not a scan. At 10¹¹ " +
+        "vectors the per-query working set is 2√n code rows + 20 " +
+        "vectors; the code table is 4 B/vector, 128× under the raw " +
+        "corpus."),
+    "dup_span_coverage" ->
+      ("Exact duplicate-span coverage (Lee et al. ACL 2022 re-expressed " +
+        "at w-gram granularity): LINEAR, never pairwise — the hashed " +
+        "w-gram stream is persisted once (InMemoryTableScan feeds the " +
+        "occurrence count AND the dup-position probe), counting shuffles " +
+        "on the gram hash only, a span repeated in 10⁶ docs contributes " +
+        "10⁶ rows not 10¹² pairs, and the interval-union window " +
+        "partitions by doc_id — never a global sort. Short docs pass " +
+        "through the left join with zero coverage."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

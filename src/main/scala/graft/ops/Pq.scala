@@ -1,0 +1,303 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Kit
+
+/** Product quantization (PQ) over the embedding corpus — the memory leg
+  * of the ANN ladder (SURVEY §2.10). The existing family trades compute:
+  * [[Similarity.similarityTopk]] (exact, quadratic),
+  * [[Similarity.annLshTopk]] (bucketed), [[Similarity.ivfTopk]] (cell
+  *-pruned). All of them still hold the full 64-dim int64 vectors
+  * (512 B/vector — 51 TB of vector payload alone at 10¹¹ vectors). PQ
+  * attacks the PAYLOAD: split each vector into M = 4 subspaces of 16
+  * dims, quantize each subvector to its nearest of Ks codebook entries,
+  * and keep only the M code bytes — 4 B/vector, a 128× compression — so
+  * the candidate scan runs entirely in the compressed domain via ADC
+  * (asymmetric distance computation: the query stays exact, per-subspace
+  * distances to every codebook entry are table-lookups). Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", IEEE
+  * TPAMI 2011 — the design FAISS's IVF-PQ indexes implement.
+  *
+  * Engine-parity design (same contract as the rest of the family):
+  * everything is exact integer arithmetic over the floor(x·10⁶) int64
+  * quantization, so Spark and DuckDB derive byte-identical codes, LUTs,
+  * and ADC distances — the oracle replays PQ bit-for-bit, not
+  * approximately. Codebooks are SAMPLED deterministically (the ⌈√n⌉
+  * vectors with `vec_id % ⌈n/Ks⌉ == 0`, j ordered by vec_id) rather than
+  * k-means-trained: no RNG, no iteration count to replay, and the
+  * recall-vs-exact ladder is measured, not assumed (STRESS_r09). A
+  * trained codebook drops in by swapping `sampledCodebook` for
+  * [[Clustering.kmeansCentroids]] over each subspace's slices — the
+  * encode/ADC plumbing is codebook-agnostic.
+  *
+  * Reference anchor: the reference's pipelines materialize full-width
+  * staging tables before analysis (`datasources.py:480` fulltable
+  * loads); this family is the corresponding capability re-expressed for
+  * embedding payloads at a scale where full width cannot be held.
+  */
+object Pq {
+
+  /** Subspace geometry for the 64-dim corpus: M = 4 slices of 16 dims.
+    * M is the memory/accuracy dial (M bytes per encoded vector); 4 keeps
+    * the fixture ADC exact-integer budget far inside the 2⁵³ double-
+    * exact window (see [[adcD2]]). */
+  val M = 4
+  val Ds = 16
+
+  /** Codebook size Ks(n) = clamp(⌈√n⌉, 16, 256): tracks ⌈√n⌉ at fixture
+    * scales so the sampled codebook stays a constant fraction of the
+    * corpus, saturating at the classic 256 (one byte per code) where PQ
+    * memory math lives at production scale. The oracle replays the same
+    * clamp from COUNT(*). */
+  def pqKs(n: Long): Int =
+    math.min(256, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Codebook sampling modulus: ⌈n/Ks⌉ ⇒ ~Ks codebook vectors spread
+    * evenly across the id space (not the first Ks — those could share a
+    * generator shard's local geometry). */
+  def pqCbm(n: Long): Long =
+    math.ceil(n.toDouble / pqKs(n)).toLong
+
+  /** Packed (d², j) argmin shift — codes are < 256 always (Ks ≤ 256), so
+    * a fixed 256 shift keeps the pack layout independent of n. Same
+    * hash-aggregable packed-long argmin as [[Clustering.kmeansAssignJoin]]
+    * (min(struct) would silently fall back to sort-based aggregation —
+    * the round-8 trap). */
+  private val Shift = 256L
+  private val MaxD = (Long.MaxValue - (Shift - 1)) / Shift
+
+  /** Per-subspace squared distances from every vector to every codebook
+    * entry — the single stream both [[encode]] (argmin ⇒ codes) and
+    * [[luts]] (query-side lookup tables) fold from. One broadcast of the
+    * M·Ks codebook out, one scan of the corpus; rows (vec_id, m, j, d2)
+    * never shuffle — both consumers aggregate map-side first. */
+  private[ops] def subDists(base: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val cbDf = (for {
+      m <- 0 until M
+      (c, j) <- cb.zipWithIndex
+    } yield {
+      val sub = c.slice(m * Ds, (m + 1) * Ds)
+      (m, j, sub, sub.map(v => v * v).sum)
+    }).toDF("m", "j", "csub", "cnrm")
+    base
+      .select($"vec_id", explode(typedLit((0 until M).toList)).as("m"),
+        $"qe")
+      .select($"vec_id", $"m",
+        slice($"qe", ($"m" * Ds + 1).cast(IntegerType), lit(Ds)).as("sub"))
+      .withColumn("snrm", Kit.dotI64($"sub", $"sub"))
+      .join(broadcast(cbDf), Seq("m"))
+      .select($"vec_id", $"m", $"j",
+        ($"snrm" - lit(2L) * Kit.dotI64($"sub", $"csub") + $"cnrm")
+          .as("d2"))
+  }
+
+  /** The deterministic sampled codebook: full 64-dim quantized vectors
+    * with `vec_id % cbm == 0`, j = rank by vec_id. Bounded driver
+    * collect (≤ 257 rows — same class as the k-means centroid tables). */
+  private[ops] def sampledCodebook(base: DataFrame, cbm: Long): Seq[Seq[Long]] = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.where(col("vec_id") % cbm === 0).orderBy("vec_id")
+      .select("qe").as[Seq[Long]].collect().toSeq
+  }
+
+  /** PQ codes: (vec_id, codes ARRAY<INT> length M) — the compressed
+    * corpus, M bytes of information per vector. Argmin per (vec_id, m)
+    * via the packed-long hash aggregate; the overflow guard raises on
+    * non-unit-scaled input instead of corrupting codes silently (same
+    * contract as kmeansAssignJoin's round-8 ADVICE fix). */
+  private[ops] def encode(sd: DataFrame): DataFrame = {
+    val s = sd.sparkSession
+    import s.implicits._
+    sd.select($"vec_id", $"m",
+        when($"d2".between(0L, MaxD), $"d2" * Shift + $"j")
+          .otherwise(raise_error(concat(
+            lit(s"Pq.encode: subspace distance outside packable range " +
+              s"[0, $MaxD] (non-unit-scaled embeddings?): "),
+            $"d2".cast(StringType)))).as("packed"))
+      .groupBy($"vec_id", $"m")
+      .agg(min($"packed").as("p"))
+      .select($"vec_id", $"m", ($"p" % Shift).cast(IntegerType).as("code"))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"m", $"code"))).as("mc"))
+      .select($"vec_id",
+        expr("transform(mc, x -> x.code)").as("codes"))
+  }
+
+  /** Query-side ADC lookup tables: (qid, luts ARRAY<ARRAY<BIGINT>>,
+    * M × Ks) — luts[m][j] = d²(query's subvector m, codebook entry j).
+    * Queries are the `vec_id % 25` subset (family convention). The
+    * collect_lists are bounded: Ks ≤ 256 per (qid, m), M per qid. */
+  private[ops] def luts(sd: DataFrame): DataFrame = {
+    val s = sd.sparkSession
+    import s.implicits._
+    sd.where($"vec_id" % 25 === 0)
+      .groupBy($"vec_id".as("qid"), $"m")
+      .agg(array_sort(collect_list(struct($"j", $"d2"))).as("jd"))
+      .select($"qid", $"m", expr("transform(jd, x -> x.d2)").as("lut"))
+      .groupBy($"qid")
+      .agg(array_sort(collect_list(struct($"m", $"lut"))).as("ml"))
+      .select($"qid", expr("transform(ml, x -> x.lut)").as("luts"))
+  }
+
+  /** ADC approximate distance: Σₘ luts[m][codes[m]] — M array lookups
+    * per candidate, no per-dimension arithmetic. Integer-exact in the
+    * double-typed CosTopK score: d² ≤ 64·(1.2·10⁶)² ≈ 9.2·10¹³ < 2⁵³. */
+  private[ops] def adcD2(codes: Column, lutsCol: Column): Column =
+    (0 until M)
+      .map(m => element_at(element_at(lutsCol, m + 1),
+        element_at(codes, m + 1) + 1))
+      .reduce(_ + _)
+
+  /** Shared oracle CTE block: codebook sampling, per-subspace distances,
+    * codes, and query LUT rows — the SQL form of
+    * [[sampledCodebook]]+[[subDists]]+[[encode]]+[[luts]]. Appended
+    * after [[Similarity.oraclePrefix]]. DuckDB `//` is integer
+    * division; flat `i` is 1-based so subspace m = (i−1)//16. */
+  private val pqSql: String =
+    """nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      |ksm AS (
+      |  SELECT CAST(CEIL(CAST(n AS DOUBLE)
+      |      / LEAST(256, GREATEST(16, CAST(CEIL(SQRT(n)) AS BIGINT)))) AS BIGINT) AS cbm
+      |  FROM nn),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vec_id AS cb_vid
+      |  FROM embeddings, ksm WHERE vec_id % cbm = 0),
+      |subd AS (
+      |  SELECT f.vec_id, CAST((f.i - 1) // 16 AS INT) AS m, c.j,
+      |    CAST(SUM((f.v - g.v) * (f.v - g.v)) AS BIGINT) AS d2
+      |  FROM flat f
+      |  JOIN cb c ON true
+      |  JOIN flat g ON g.vec_id = c.cb_vid AND g.i = f.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM subd
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+      |qlut AS (SELECT vec_id AS qid, m, j, d2 FROM subd WHERE vec_id % 25 = 0)""".stripMargin
+
+  /** COMPRESSED-DOMAIN EXACTNESS BASELINE (the ADC analogue of
+    * [[Similarity.similarityTopk]]'s designation): every query scans the
+    * FULL code table — queries × corpus ADC lookups, quadratic in n at
+    * the family's n/25 query convention BY DEFINITION. Its role is to
+    * calibrate what PQ compression alone does to ranking quality
+    * (recall-vs-exact, measured in STRESS_r09) with no cell-pruning
+    * confound; [[ivfpqRerankTopk]] is the production composition. The
+    * plan shape within that contract is right: codes (4 B/vector) are
+    * the only corpus-wide operand — the scan reads the compressed
+    * column, never the vectors — and the per-query stream folds map-side
+    * into O(k) CosTopK state. */
+  val pqTopk: QueryDef = QueryDef.sql(
+    "pq_topk",
+    Similarity.oraclePrefix + ",\n" + pqSql +
+      """,
+        |adc AS (
+        |  SELECT l.qid, x.vec_id AS cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+        |  FROM codes x
+        |  JOIN qlut l ON l.m = x.m AND l.j = x.code AND l.qid <> x.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT qid, cid, adc_d2 FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) <= 5""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Similarity.quantized(s, dir)
+    val cbm = pqCbm(base.count())
+    val sd = subDists(base, sampledCodebook(base, cbm))
+    encode(sd).crossJoin(broadcast(luts(sd)))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"nega", $"cid", 5).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"),
+        (-$"t.cos").cast(LongType).as("adc_d2"))
+  }
+
+  /** THE PRODUCTION ANN PIPELINE — IVF cell pruning × PQ compression ×
+    * exact re-rank, the FAISS `IVFx,PQy + refine` composition:
+    *
+    *   1. probe: each query's top-2 of the K ≈ √n cells
+    *      ([[Similarity.ivfAssignProbes]] — candidates ≈ 2n/K ≈ 2√n per
+    *      query, never the corpus);
+    *   2. ADC shortlist: candidates scored from M code bytes + the
+    *      query's LUT (equi-joins on cid/qid — no broadcast of anything
+    *      corpus-sized), top-20 per query by packed-exact ADC distance;
+    *   3. exact re-rank: full-width vectors fetched for the ≤ 20
+    *      shortlisted pairs ONLY, exact integer cosine, top-5.
+    *
+    * At 10¹¹ vectors the working set per query is 2√n code rows + 20
+    * full vectors; the full-width corpus is touched only by the
+    * shortlist equi-join (a fetch, not a scan). Recall vs the exact
+    * baseline and the ADC-vs-exact wall ratio are measured per decade in
+    * STRESS_r09 — the shortlist width 20 (4× the final k) is the
+    * re-rank insurance for ADC ranking inversions. */
+  val ivfpqRerankTopk: QueryDef = QueryDef.sql(
+    "ivfpq_rerank_topk",
+    Similarity.oraclePrefix + ",\n" + Similarity.ivfCellsSql + ",\n" + pqSql +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS cid
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+        |  FROM cand c
+        |  JOIN codes x ON x.vec_id = c.cid
+        |  JOIN qlut l ON l.qid = c.qid AND l.m = x.m AND l.j = x.code
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT qid, cid FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) <= 20),
+        |rdots AS (
+        |  SELECT s.qid, s.cid, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |  FROM short s
+        |  JOIN flat fa ON fa.vec_id = s.qid
+        |  JOIN flat fb ON fb.vec_id = s.cid AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |rsims AS (
+        |  SELECT qid, cid,
+        |    CAST(dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM rdots
+        |  JOIN norms na ON na.vec_id = qid
+        |  JOIN norms nb ON nb.vec_id = cid)
+        |SELECT qid, cid, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
+        |FROM rsims
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Similarity.quantized(s, dir)
+    val n = base.count()
+    val (assign, probes) =
+      Similarity.ivfAssignProbes(base, Similarity.ivfModulus(n), 25, 2)
+    val cand = probes.join(assign, Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid")).distinct()
+    val sd = subDists(base, sampledCodebook(base, pqCbm(n)))
+    val short = cand
+      .join(encode(sd).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(luts(sd), Seq("qid"))
+      .select($"qid", $"cid",
+        (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"nega", $"cid", 20).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"))
+    short
+      .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
+        Seq("qid"))
+      .join(base.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
+        Seq("cid"))
+      .select($"qid", $"cid",
+        Similarity.cosCol(Kit.dotI64($"qa", $"qb"), $"na", $"nb").as("cos"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"cos", $"cid", 5).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pqTopk, ivfpqRerankTopk)
+}

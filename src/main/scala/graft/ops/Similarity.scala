@@ -67,7 +67,7 @@ object Similarity {
     * row under a generator — the pathology measured in TextOps); every
     * similarity query reads this stage table instead. The harness clears
     * the cache between queries. */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Parallelism floor BEFORE the persist (see [[ParallelismFloor]]):
     // every family member's compute-bound corpus pass — ivf_topk's n·√n
@@ -85,14 +85,14 @@ object Similarity {
       .persist()
   }
 
-  private def cosCol(dot: Column, na: Column, nb: Column): Column =
+  private[ops] def cosCol(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) /
       (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
 
   /** Shared oracle CTE prefix: quantized flat (vec_id, position, value)
     * rows + integer norms. DuckDB arrays are 1-based (`qe[1]`); the Spark
     * side uses 0-based `qe[0]` — positions are aligned by construction. */
-  private val oraclePrefix: String =
+  private[ops] val oraclePrefix: String =
     """WITH flat AS (
       |  SELECT vec_id, i,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
@@ -783,32 +783,37 @@ object Similarity {
     * At 100 TB: assignment is one broadcast-centroids pass over the
     * corpus (written as a stage table alongside the embeddings), and a
     * query touches ~nprobe/√n of the corpus instead of all of it. */
+  /** Shared oracle CTE block for the IVF cell structures (the SQL form
+    * of [[ivfAssignProbes]] at queryEvery = 25, nprobe = 2) — appended
+    * after [[oraclePrefix]] by [[ivfTopk]] and [[Pq]]'s IVF-PQ oracle. */
+  private[ops] val ivfCellsSql: String =
+    """mm AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS m FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id FROM embeddings, mm WHERE vec_id % m = 0),
+      |cdots AS (
+      |  SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * g.v) AS BIGINT) AS dot
+      |  FROM flat f
+      |  JOIN cents c ON true
+      |  JOIN flat g ON g.vec_id = c.cent_id AND g.i = f.i
+      |  GROUP BY 1, 2),
+      |ccos AS (
+      |  SELECT d.vec_id, d.cent_id,
+      |    CAST(d.dot AS DOUBLE)
+      |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+      |  FROM cdots d
+      |  JOIN norms na ON na.vec_id = d.vec_id
+      |  JOIN norms nb ON nb.vec_id = d.cent_id),
+      |assign AS (
+      |  SELECT vec_id, cent_id AS cell FROM ccos
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM ccos
+      |  WHERE vec_id % 25 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) <= 2)""".stripMargin
+
   val ivfTopk: QueryDef = QueryDef.sql(
     "ivf_topk",
-    oraclePrefix +
+    oraclePrefix + ",\n" + ivfCellsSql +
       """,
-        |mm AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS m FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id FROM embeddings, mm WHERE vec_id % m = 0),
-        |cdots AS (
-        |  SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * g.v) AS BIGINT) AS dot
-        |  FROM flat f
-        |  JOIN cents c ON true
-        |  JOIN flat g ON g.vec_id = c.cent_id AND g.i = f.i
-        |  GROUP BY 1, 2),
-        |ccos AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |    CAST(d.dot AS DOUBLE)
-        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
-        |  FROM cdots d
-        |  JOIN norms na ON na.vec_id = d.vec_id
-        |  JOIN norms nb ON nb.vec_id = d.cent_id),
-        |assign AS (
-        |  SELECT vec_id, cent_id AS cell FROM ccos
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, cent_id AS cell FROM ccos
-        |  WHERE vec_id % 25 = 0
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) <= 2),
         |cand AS (
         |  SELECT DISTINCT p.qid, a.vec_id AS cid
         |  FROM probes p JOIN assign a ON a.cell = p.cell
@@ -832,22 +837,7 @@ object Similarity {
     import s.implicits._
     val base = quantized(s, dir)
     val m = ivfModulus(base.count())
-    val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
-      $"nrm".as("cn")).where($"cent_id" % m === 0)
-    val ccos = base.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cent_id",
-        cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
-    // assignment = per-vector top-1 centroid as a CosTopK aggregation:
-    // the n·K assignment stream folds map-side into one (cos, cent)
-    // pair per vector — no window shuffle, no per-task sort
-    val assign = ccos.groupBy($"vec_id")
-      .agg(Kit.cosTopK($"cos", $"cent_id", 1).as("top"))
-      .select($"vec_id", $"top"(0)("cid").as("cell"))
-    val probes = ccos.where($"vec_id" % 25 === 0)
-      .groupBy($"vec_id")
-      .agg(Kit.cosTopK($"cos", $"cent_id", 2).as("top"))
-      .select($"vec_id".as("qid"), explode($"top").as("t"))
-      .select($"qid", $"t.cid".as("cell"))
+    val (assign, probes) = ivfAssignProbes(base, m, 25, 2)
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid")).distinct()
@@ -862,6 +852,35 @@ object Similarity {
       .agg(Kit.cosTopK($"cos", $"cid", 5).as("top"))
       .select($"qid", explode($"top").as("t"))
       .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
+  }
+
+  /** IVF cell structures shared by [[ivfTopk]] and [[Pq]]'s IVF-PQ
+    * pipeline: cosine assignment of every vector to its nearest of the
+    * K ≈ √n sampled centroids (`vec_id % m == 0`), and the top-`nprobe`
+    * probe cells for every query (`vec_id % queryEvery == 0`). Both are
+    * CosTopK aggregations over one broadcast of the centroid table —
+    * the n·K assignment stream folds map-side into O(k) state per
+    * vector; no window shuffle, no per-task sort. Returns
+    * (assign: (vec_id, cell), probes: (qid, cell)). */
+  private[ops] def ivfAssignProbes(base: DataFrame, m: Long,
+                                   queryEvery: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
+    val s = base.sparkSession
+    import s.implicits._
+    val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
+      $"nrm".as("cn")).where($"cent_id" % m === 0)
+    val ccos = base.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
+    val assign = ccos.groupBy($"vec_id")
+      .agg(Kit.cosTopK($"cos", $"cent_id", 1).as("top"))
+      .select($"vec_id", $"top"(0)("cid").as("cell"))
+    val probes = ccos.where($"vec_id" % queryEvery === 0)
+      .groupBy($"vec_id")
+      .agg(Kit.cosTopK($"cos", $"cent_id", nprobe).as("top"))
+      .select($"vec_id".as("qid"), explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cell"))
+    (assign, probes)
   }
 
   /** Multimodal-column plumbing: treat content as an opaque binary column

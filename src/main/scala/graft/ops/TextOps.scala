@@ -1151,6 +1151,103 @@ object TextOps {
         sum(when($"drop", 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Window width (tokens) for [[dupSpanCoverage]]: long enough that a
+    * shared span is verbatim duplication rather than a common phrase at
+    * the fixture's ~30-token documents; the production analogue is the
+    * 50-token window of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), whose suffix-array exact-
+    * substring dedup this operator re-expresses at w-gram granularity. */
+  private val SPAN_W = 8
+
+  /** EXACT DUPLICATE-SPAN COVERAGE — the within-document complement of
+    * the whole/near-document dedup family: verbatim spans (boilerplate,
+    * licenses, quoted chunks) repeated ANYWHERE in the corpus, which
+    * document-level MinHash/SimHash miss by construction when the host
+    * documents differ. Every [[SPAN_W]]-token window is hashed; a window
+    * occurring at more than one (doc, position) is a duplicated span;
+    * per document the operator reports how many tokens the UNION of its
+    * duplicated windows covers — the "fraction of text that is verbatim
+    * duplicate" signal Lee et al. trim on.
+    *
+    * Scale shape — LINEAR, never pairwise: the gram stream is one row
+    * per token position; occurrence counting is one map-side-combined
+    * groupBy on the gram hash; the dup-position fetch is an equi-join on
+    * the same hash (a semi-join, no pair enumeration — a span repeated
+    * in 10⁶ documents contributes 10⁶ rows, not 10¹² pairs); interval
+    * union is a per-document window (equal-width intervals ⇒ covered =
+    * Σ min(w, nextₚ − p), last window w) — partitioned by doc_id, never
+    * a global window. Documents shorter than w tokens pass through with
+    * zero coverage via the left join. */
+  val dupSpanCoverage: QueryDef = QueryDef.sql(
+    "dup_span_coverage",
+    s"""WITH base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts,
+      |    len(string_split(lower(text), ' ')) AS n
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS p,
+      |    md5(array_to_string(list_slice(ts, i, i + ${SPAN_W - 1}), ' ')) AS g
+      |  FROM base, UNNEST(range(1, greatest(n - $SPAN_W + 2, 1))) AS t(i)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+      |dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+      |cov AS (
+      |  SELECT doc_id, p,
+      |    LEAST($SPAN_W,
+      |      COALESCE(LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) - p,
+      |               $SPAN_W)) AS c
+      |  FROM dpos),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup_grams,
+      |    CAST(SUM(c) AS BIGINT) AS dup_tokens
+      |  FROM cov GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+      |  COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+      |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+      |  CAST(FLOOR(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n
+      |    * 1000000) AS BIGINT) AS dup_frac_q6
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+    dupSpanCoverageOf(t(s, dir, "documents"))
+  }
+
+  /** [[dupSpanCoverage]]'s engine on any (doc_id, text) frame —
+    * separated for planted-corpus behavioral specs (DupSpanSpec). */
+  def dupSpanCoverageOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", split(lower($"text"), " ", -1).as("ts"))
+      .withColumn("n", size($"ts"))
+    // stage table: the gram stream is read by the occurrence-count pass
+    // AND the dup-position probe join — unpersisted, the tokenize +
+    // window-hash chain under the generator re-runs per consumer (the
+    // TextOps recompute pathology); size-adaptive level since the gram
+    // stream is ~token-count rows
+    val grams = base
+      .where($"n" >= SPAN_W)
+      .select($"doc_id",
+        explode(sequence(lit(1), $"n" - SPAN_W + 1)).as("p"), $"ts")
+      .select($"doc_id", $"p",
+        md5(concat_ws(" ", slice($"ts", $"p", lit(SPAN_W)))).as("g"))
+      .persist(StageLevels.pinnedFor(docs))
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" > 1).select($"g")
+    val dpos = grams.join(dup, Seq("g")).select($"doc_id", $"p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val agg = dpos
+      .select($"doc_id", $"p",
+        least(lit(SPAN_W),
+          coalesce(lead($"p", 1).over(w) - $"p", lit(SPAN_W))).as("c"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum($"c").cast(LongType).as("dup_tokens"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".cast(LongType).as("n_tokens"),
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        floor(coalesce($"dup_tokens", lit(0L)).cast(DoubleType) / $"n"
+          * 1000000).cast(LongType).as("dup_frac_q6"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactDocs, textStats, tfidfTopTerms, heavyHittersTerms,
     unigramNllScore, bigramNllScore, termScrub, piiScrub,
@@ -1158,5 +1255,6 @@ object TextOps {
     langHistogram, langIdHeuristic,
     qualityFilter, corpusCuration, docFingerprint, ngramJaccardNeardup,
     containmentNeardup,
-    minhashLshNeardup, simhashNeardup, incrementalNeardup)
+    minhashLshNeardup, simhashNeardup, incrementalNeardup,
+    dupSpanCoverage)
 }

@@ -194,6 +194,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pq_topk encodes by packed-long hash aggregate and scans codes, not vectors") {
+    val p = plan("pq_topk")
+    // per-(vec, subspace) argmin is min over ONE packed long — never
+    // min(struct) (silent SortAggregate, the round-8 trap)
+    assert(p.contains("min(packed"), p)
+    assert(!p.contains("min(struct"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // the ADC scan is the compressed-domain crossJoin of codes against
+    // the broadcast query LUTs, folding map-side into O(k) CosTopK
+    // state — partial below the qid exchange
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert("(?s)Exchange hashpartitioning\\(qid.*partial_cos_topk".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ivfpq_rerank candidates flow through equi-joins; only the centroid table broadcasts") {
+    val p = plan("ivfpq_rerank_topk")
+    // cell/candidate/shortlist plumbing is all equi-join — the single
+    // nested-loop is the K ≈ √n centroid broadcast (the ivf_topk shape)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // both ADC shortlist (k=20) and exact re-rank (k=5) are CosTopK
+    // object aggregations, never window sorts
+    assert(p.contains("cos_topk") && !p.contains("Window"), p)
+    assert(!p.contains("min(struct") && !p.contains("SortAggregate"), p)
+  }
+
+  test("dup_span_coverage windows per document and counts grams off one stage table") {
+    val p = plan("dup_span_coverage")
+    // interval union is a PER-DOCUMENT window, never a global sort
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    // the gram stream is persisted — counted once, probed once
+    assert(p.contains("InMemoryTableScan"), p)
+    // occurrence counting shuffles on the gram hash only
+    assert(p.contains("Exchange hashpartitioning(g"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("grouped count distinct expands above the spread, not in the scan task") {
     val p = plan("grouped_count_distinct")
     // the Expand(×3) consumes the explicit spread exchange — i.e. the
