@@ -35,14 +35,36 @@ object PqScale {
       .select("copy_id", "src_id").as[(Long, Long)].collect()
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     names.foreach { name =>
-      val d = SparkEntry.defs.find(_.name == name).getOrElse(
-        sys.error(s"unknown query: $name"))
-      val runs = (1 to 2).map { _ =>
+      // "ivfpq_phased": the production-amortization decomposition —
+      // ingest-side code/cell tables timed apart from query-side
+      // probe→ADC→rerank (see Pq.ivfpqPhased) — one run, phases printed
+      val runs = if (name == "ivfpq_phased") {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val rows = d.fn(spark, dir).select("qid", "cid")
-          .as[(Long, Long)].collect()
-        ((System.nanoTime() - t0) / 1e9, rows)
+        val (phases, result) = ops.Pq.ivfpqPhased(spark, dir)
+        val rows = result.select("qid", "cid").as[(Long, Long)].collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        phases.foreach { case (p, s, r) =>
+          println(f"""{"phase": "$p", "sec": $s%.2f, "rows": $r}""")
+        }
+        // measured footprint of every pinned table — the PQ memory
+        // claim (code table ≪ full-width vectors) read off the block
+        // manager, not computed from widths
+        spark.sparkContext.getRDDStorageInfo.foreach { i =>
+          println(s"""{"cached": "${i.name.replaceAll("\\s+", " ").take(80)}", """ +
+            s""""mem_bytes": ${i.memSize}, "disk_bytes": ${i.diskSize}}""")
+        }
+        Seq((sec, rows), (sec, rows))
+      } else {
+        val d = SparkEntry.defs.find(_.name == name).getOrElse(
+          sys.error(s"unknown query: $name"))
+        (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = d.fn(spark, dir).select("qid", "cid")
+            .as[(Long, Long)].collect()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
       }
       val top = runs.last._2.groupBy(_._1)
         .map { case (q, rs) => q -> rs.map(_._2).toSet }

@@ -838,20 +838,47 @@ object Similarity {
     val base = quantized(s, dir)
     val m = ivfModulus(base.count())
     val (assign, probes) = ivfAssignProbes(base, m, 25, 2)
+    // (qid, cid) pairs are unique BY CONSTRUCTION — assign gives every
+    // vector exactly one cell and a query's nprobe probe cells are
+    // distinct CosTopK entries — so no distinct() re-aggregates the
+    // n^1.5-row candidate stream (the oracle's SELECT DISTINCT is the
+    // same no-op). Round-9 1000× finding: scoring joins must NOT carry
+    // vectors on the pair stream — 2n^1.5/25 candidates × 520 B of
+    // attached qe OOMed the default heap at 2M vectors (a ~120 GB
+    // exchange). Shape: ONE equi-join on cid fetches the corpus vector,
+    // the query vectors come as a BROADCAST (n/25 × 520 B — 42 MB at
+    // 2M), and the cosine is projected out in the same stage, so every
+    // exchange after the cell join moves 16-byte pairs or O(k) heap
+    // state, never vectors.
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("cid")).distinct()
+      .select($"qid", $"vec_id".as("cid"))
+    scoreCandidates(cand, base, k = 5)
+      .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+  }
+
+  /** Exact-cosine scoring of a (qid, cid) candidate stream → top-`k`
+    * per query: corpus vectors fetched by ONE cid equi-join, query
+    * vectors broadcast (the family's n/25 query subset), cosine
+    * projected before the CosTopK partial — no vector ever rides a
+    * pair-stream exchange (see ivfTopk's round-9 1000× note). Returns
+    * (qid, cid, cos). */
+  private[ops] def scoreCandidates(cand: DataFrame, base: DataFrame,
+                                   k: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val queries = base.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na"))
     cand
-      .join(base.select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na")),
-        Seq("qid"))
       .join(base.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
         Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
       .select($"qid", $"cid",
         cosCol(Kit.dotI64($"qa", $"qb"), $"na", $"nb").as("cos"))
       .groupBy($"qid")
-      .agg(Kit.cosTopK($"cos", $"cid", 5).as("top"))
+      .agg(Kit.cosTopK($"cos", $"cid", k).as("top"))
       .select($"qid", explode($"top").as("t"))
-      .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
+      .select($"qid", $"t.cid".as("cid"), $"t.cos".as("cos"))
   }
 
   /** IVF cell structures shared by [[ivfTopk]] and [[Pq]]'s IVF-PQ
