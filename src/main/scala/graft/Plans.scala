@@ -231,16 +231,16 @@ object Plans {
         "(STRESS_r08.md §9)."),
     "pq_topk" ->
       ("Product quantization's compressed-domain scan (the ADC analogue " +
-        "of similarity_topk's exactness-baseline designation): codes are " +
-        "built by ONE broadcast of the M·Ks codebook over one corpus " +
-        "scan, the per-(vector, subspace) argmin is min over a single " +
-        "packed long (d²·256 + j) — a map-side-combined HashAggregate, " +
-        "never min(struct)'s silent SortAggregate — and the ADC scan " +
-        "reads the 4-byte code column against broadcast query LUTs " +
-        "(M element_at lookups per candidate, no per-dimension " +
-        "arithmetic, the full-width vectors never re-join). Per-query " +
-        "top-5 folds map-side into O(k) cos_topk heaps below the qid " +
-        "exchange."),
+        "of similarity_topk's exactness-baseline designation): encoding " +
+        "is a PURE PROJECTION — per subspace a packed-long aggregate() " +
+        "fold over the ~128 KB codebook plan literal (d²·256 + j, ties " +
+        "to lowest j), zero joins, zero exchanges, zero aggregation " +
+        "state (the collect_list re-assembly this replaces OOMed at " +
+        "1000× — STRESS_r09 §6) — and the ADC scan reads the 4-byte " +
+        "code column against broadcast query LUTs (M element_at lookups " +
+        "per candidate, no per-dimension arithmetic, the full-width " +
+        "vectors never re-join). Per-query top-5 folds map-side into " +
+        "O(k) cos_topk heaps below the qid exchange."),
     "ivfpq_rerank_topk" ->
       ("THE production ANN composition (FAISS IVFx,PQy + refine): IVF " +
         "probe-2 candidate generation (the only nested-loop is the " +
@@ -248,10 +248,12 @@ object Plans {
         "candidates from M code bytes via equi-joins on cid/qid (nothing " +
         "corpus-sized broadcasts), cos_topk shortlist at 4× the final k, " +
         "then the exact integer-cosine re-rank touches full-width " +
-        "vectors for ≤20 pairs per query — a fetch, not a scan. At 10¹¹ " +
-        "vectors the per-query working set is 2√n code rows + 20 " +
+        "vectors for ≤20 pairs per query — a fetch, not a scan, with " +
+        "the query vectors broadcast so no vector rides the pair-stream " +
+        "exchanges (both round-9 1000× OOM fixes, STRESS_r09 §6). At " +
+        "10¹¹ vectors the per-query working set is 2√n code rows + 20 " +
         "vectors; the code table is 4 B/vector, 128× under the raw " +
-        "corpus."),
+        "corpus (12.4× measured in-cache at 2M)."),
     "dup_span_coverage" ->
       ("Exact duplicate-span coverage (Lee et al. ACL 2022 re-expressed " +
         "at w-gram granularity): LINEAR, never pairwise — the hashed " +

@@ -69,32 +69,48 @@ object Pq {
   private val Shift = 256L
   private val MaxD = (Long.MaxValue - (Shift - 1)) / Shift
 
-  /** Per-subspace squared distances from every vector to every codebook
-    * entry — the single stream both [[encode]] (argmin ⇒ codes) and
-    * [[luts]] (query-side lookup tables) fold from. One broadcast of the
-    * M·Ks codebook out, one scan of the corpus; rows (vec_id, m, j, d2)
-    * never shuffle — both consumers aggregate map-side first. */
-  private[ops] def subDists(base: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
+  /** Subspace-`m` codebook as a PLAN LITERAL: ordered-by-j array of
+    * (j, csub, cnrm) structs — all M literals together are M·Ks·16
+    * longs ≈ 128 KB, shipped inside the serialized plan like the
+    * k-means centroid literals in [[Clustering.nearest]]. This is what
+    * makes [[encode]]/[[luts]] pure per-row maps: the codebook needs no
+    * join, no broadcast table, no exploded (vec_id, m, j) stream.
+    *
+    * Round-9 1000× finding (the motivation): the previous formulation
+    * exploded a (vec_id, m, j, d2) stream — n·M·Ks ≈ 2·10⁹ rows at 2M
+    * vectors — and re-assembled codes and LUTs with collect_list
+    * aggregations. The LUT collect buffers (256 × ~100 B per (qid, m)
+    * group, thousands of groups resident per task, 32 concurrent tasks)
+    * OOMed the default 8 GiB heap inside `Collect.serialize` — the same
+    * unbounded-aggregation-buffer trap class as round 8's
+    * `shard_shuffle_plan` digest, caught by the same decade ladder. A
+    * per-vector argmin against a 128 KB constant never needed
+    * aggregation state at all. */
+  private def cbEntries(cb: Seq[Seq[Long]], m: Int): Column =
+    typedLit(cb.zipWithIndex.map { case (c, j) =>
+      val sub = c.slice(m * Ds, (m + 1) * Ds)
+      (j.toLong, sub, sub.map(v => v * v).sum)
+    })
+
+  /** (vec_id, sub0..subM−1, snrm0..snrmM−1): the subvector slices and
+    * their norms projected ONCE per row, so the per-entry lambda in
+    * [[encode]]/[[luts]] reads bound fields instead of re-slicing the
+    * 64-dim array Ks times per subspace. */
+  private def withSubs(base: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val cbDf = (for {
-      m <- 0 until M
-      (c, j) <- cb.zipWithIndex
-    } yield {
-      val sub = c.slice(m * Ds, (m + 1) * Ds)
-      (m, j, sub, sub.map(v => v * v).sum)
-    }).toDF("m", "j", "csub", "cnrm")
-    base
-      .select($"vec_id", explode(typedLit((0 until M).toList)).as("m"),
-        $"qe")
-      .select($"vec_id", $"m",
-        slice($"qe", ($"m" * Ds + 1).cast(IntegerType), lit(Ds)).as("sub"))
-      .withColumn("snrm", Kit.dotI64($"sub", $"sub"))
-      .join(broadcast(cbDf), Seq("m"))
-      .select($"vec_id", $"m", $"j",
-        ($"snrm" - lit(2L) * Kit.dotI64($"sub", $"csub") + $"cnrm")
-          .as("d2"))
+    val sliced = base.select($"vec_id" +:
+      (0 until M).map(m => slice($"qe", m * Ds + 1, Ds).as(s"sub$m")): _*)
+    sliced.select($"vec_id" +: (0 until M).flatMap(m => Seq(
+      col(s"sub$m"),
+      Kit.dotI64(col(s"sub$m"), col(s"sub$m")).as(s"snrm$m"))): _*)
   }
+
+  /** d²(row's subvector m, codebook entry `e`) — the expansion
+    * ‖s‖² − 2·s·c + ‖c‖² over the pre-projected slice columns. */
+  private def entryD2(m: Int, e: Column): Column =
+    col(s"snrm$m") - lit(2L) * Kit.dotI64(col(s"sub$m"), e.getField("_2")) +
+      e.getField("_3")
 
   /** The deterministic sampled codebook: full 64-dim quantized vectors
     * with `vec_id % cbm == 0`, j = rank by vec_id. Bounded driver
@@ -107,42 +123,46 @@ object Pq {
   }
 
   /** PQ codes: (vec_id, codes ARRAY<INT> length M) — the compressed
-    * corpus, M bytes of information per vector. Argmin per (vec_id, m)
-    * via the packed-long hash aggregate; the overflow guard raises on
+    * corpus, M bytes of information per vector. ONE narrow projection
+    * over the corpus scan: per subspace, a packed-long `aggregate` fold
+    * over the [[cbEntries]] literal (min of d²·256+j — ties to lowest j
+    * exactly like everywhere else), then % 256. Zero shuffles, zero
+    * aggregation state — encoding 10¹¹ vectors is a map job whose only
+    * output is the 4-byte column. The overflow guard raises on
     * non-unit-scaled input instead of corrupting codes silently (same
     * contract as kmeansAssignJoin's round-8 ADVICE fix). */
-  private[ops] def encode(sd: DataFrame): DataFrame = {
-    val s = sd.sparkSession
+  private[ops] def encode(base: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    sd.select($"vec_id", $"m",
-        when($"d2".between(0L, MaxD), $"d2" * Shift + $"j")
-          .otherwise(raise_error(concat(
-            lit(s"Pq.encode: subspace distance outside packable range " +
-              s"[0, $MaxD] (non-unit-scaled embeddings?): "),
-            $"d2".cast(StringType)))).as("packed"))
-      .groupBy($"vec_id", $"m")
-      .agg(min($"packed").as("p"))
-      .select($"vec_id", $"m", ($"p" % Shift).cast(IntegerType).as("code"))
-      .groupBy($"vec_id")
-      .agg(array_sort(collect_list(struct($"m", $"code"))).as("mc"))
-      .select($"vec_id",
-        expr("transform(mc, x -> x.code)").as("codes"))
+    withSubs(base).select($"vec_id", array((0 until M).map { m =>
+      val packed = aggregate(cbEntries(cb, m), lit(Long.MaxValue),
+        (acc, e) => {
+          val d2 = entryD2(m, e)
+          val g = when(d2.between(0L, MaxD), d2)
+            .otherwise(raise_error(concat(
+              lit(s"Pq.encode: subspace distance outside packable range " +
+                s"[0, $MaxD] (non-unit-scaled embeddings?): "),
+              d2.cast(StringType))))
+          least(acc, g * Shift + e.getField("_1"))
+        })
+      (packed % Shift).cast(IntegerType)
+    }: _*).as("codes"))
   }
 
   /** Query-side ADC lookup tables: (qid, luts ARRAY<ARRAY<BIGINT>>,
     * M × Ks) — luts[m][j] = d²(query's subvector m, codebook entry j).
-    * Queries are the `vec_id % 25` subset (family convention). The
-    * collect_lists are bounded: Ks ≤ 256 per (qid, m), M per qid. */
-  private[ops] def luts(sd: DataFrame): DataFrame = {
-    val s = sd.sparkSession
+    * Queries are the `vec_id % 25` subset (family convention). Like
+    * [[encode]], a pure projection: per subspace a `transform` over the
+    * ordered [[cbEntries]] literal, so j-order is the literal's order
+    * and no collect_list ever holds a partial LUT (the round-9 1000×
+    * OOM — see [[cbEntries]]). */
+  private[ops] def luts(base: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    sd.where($"vec_id" % 25 === 0)
-      .groupBy($"vec_id".as("qid"), $"m")
-      .agg(array_sort(collect_list(struct($"j", $"d2"))).as("jd"))
-      .select($"qid", $"m", expr("transform(jd, x -> x.d2)").as("lut"))
-      .groupBy($"qid")
-      .agg(array_sort(collect_list(struct($"m", $"lut"))).as("ml"))
-      .select($"qid", expr("transform(ml, x -> x.lut)").as("luts"))
+    withSubs(base.where($"vec_id" % 25 === 0))
+      .select($"vec_id".as("qid"), array((0 until M).map { m =>
+        transform(cbEntries(cb, m), e => entryD2(m, e))
+      }: _*).as("luts"))
   }
 
   /** ADC approximate distance: Σₘ luts[m][codes[m]] — M array lookups
@@ -156,7 +176,9 @@ object Pq {
 
   /** Shared oracle CTE block: codebook sampling, per-subspace distances,
     * codes, and query LUT rows — the SQL form of
-    * [[sampledCodebook]]+[[subDists]]+[[encode]]+[[luts]]. Appended
+    * [[sampledCodebook]]+[[encode]]+[[luts]] (the oracle keeps the flat
+    * (vec_id, m, j, d2) formulation; the Spark side computes the same
+    * arithmetic as per-row folds over the codebook literal). Appended
     * after [[Similarity.oraclePrefix]]. DuckDB `//` is integer
     * division; flat `i` is 1-based so subspace m = (i−1)//16. */
   private val pqSql: String =
@@ -204,9 +226,8 @@ object Pq {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) <= 5""".stripMargin) { (s, dir) =>
     import s.implicits._
     val base = Similarity.quantized(s, dir)
-    val cbm = pqCbm(base.count())
-    val sd = subDists(base, sampledCodebook(base, cbm))
-    encode(sd).crossJoin(broadcast(luts(sd)))
+    val cb = sampledCodebook(base, pqCbm(base.count()))
+    encode(base, cb).crossJoin(broadcast(luts(base, cb)))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"),
         (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
@@ -278,8 +299,8 @@ object Pq {
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
-    val sd = subDists(base, sampledCodebook(base, pqCbm(n)))
-    val short = adcShortlist(cand, sd, 20)
+    val cb = sampledCodebook(base, pqCbm(n))
+    val short = adcShortlist(cand, base, cb, 20)
     Similarity.scoreCandidates(short, base, k = 5)
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
   }
@@ -289,13 +310,13 @@ object Pq {
     * cid and the query LUTs on qid — narrow equi-joins, the M lookups
     * projected out in the join stage, CosTopK partials below the qid
     * exchange. */
-  private[ops] def adcShortlist(cand: DataFrame, sd: DataFrame,
-                                r: Int): DataFrame = {
+  private[ops] def adcShortlist(cand: DataFrame, base: DataFrame,
+                                cb: Seq[Seq[Long]], r: Int): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     cand
-      .join(encode(sd).withColumnRenamed("vec_id", "cid"), Seq("cid"))
-      .join(luts(sd), Seq("qid"))
+      .join(encode(base, cb).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(luts(base, cb), Seq("qid"))
       .select($"qid", $"cid",
         (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
       .groupBy($"qid")
@@ -324,10 +345,10 @@ object Pq {
     val base = Similarity.quantized(s, dir)
     val n = base.count()
     val (enc, encSec) = timed {
-      val sd = subDists(base, sampledCodebook(base, pqCbm(n)))
-      val c = encode(sd).persist(); (sd, c, c.count())
+      val cb = sampledCodebook(base, pqCbm(n))
+      val c = encode(base, cb).persist(); (cb, c, c.count())
     }
-    val (sd, codes, nCodes) = enc
+    val (cb, codes, nCodes) = enc
     val (asgCnt, asgSec) = timed {
       val (assign, _) =
         Similarity.ivfAssignProbes(base, Similarity.ivfModulus(n), 25, 2)
@@ -342,7 +363,7 @@ object Pq {
         .select($"qid", $"vec_id".as("cid"))
       val short = cand
         .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
-        .join(luts(sd), Seq("qid"))
+        .join(luts(base, cb), Seq("qid"))
         .select($"qid", $"cid",
           (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
         .groupBy($"qid")

@@ -1186,8 +1186,7 @@ object TextOps {
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, i AS p,
-      |    CAST(('0x' || substr(md5(array_to_string(
-      |      list_slice(ts, i, i + ${SPAN_W - 1}), ' ')), 1, 15)) AS BIGINT) AS g
+      |    array_to_string(list_slice(ts, i, i + ${SPAN_W - 1}), ' ') AS g
       |  FROM base, UNNEST(range(1, greatest(n - $SPAN_W + 2, 1))) AS t(i)),
       |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
       |dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
@@ -1227,16 +1226,20 @@ object TextOps {
       .where($"n" >= SPAN_W)
       .select($"doc_id",
         explode(sequence(lit(1), $"n" - SPAN_W + 1)).as("p"), $"ts")
-      // 60-bit md5 prefix as the gram key (the repo's cross-engine hash
-      // convention): an 8-byte shuffle key instead of the 32-char hex
-      // string — 4× narrower count/probe exchanges on a stream with one
-      // row per token. Collision odds at 10⁹ distinct grams ≈
-      // (10⁹)²/2⁶¹ ≈ 4·10⁻⁴ for ONE false dup pair corpus-wide —
-      // far below the detector's own w-gram granularity error
+      // xxhash64 of the token SLICE as the gram key: an 8-byte shuffle
+      // key, computed by one codegen'd hash over the array elements —
+      // no w-token string is ever built and no cryptographic digest
+      // runs per position (a 500× measurement caught md5+hex-parse
+      // dominating the wall). Engine-independence is free here because
+      // the hash value never crosses engines — only the per-doc COUNTS
+      // reach the output — so each engine may key on any collision-free
+      // stand-in for the gram string (DuckDB uses the string itself);
+      // the md5-prefix convention is for values the oracle must REPLAY.
+      // Collision odds at 10⁹ distinct grams ≈ (10⁹)²/2⁶⁵ ≈ 3·10⁻²
+      // false-dup pairs corpus-wide — far below the detector's own
+      // w-gram granularity error
       .select($"doc_id", $"p",
-        conv(substring(md5(concat_ws(" ",
-          slice($"ts", $"p", lit(SPAN_W)))), 1, 15), 16, 10)
-          .cast(LongType).as("g"))
+        xxhash64(slice($"ts", $"p", lit(SPAN_W))).as("g"))
       .persist(StageLevels.pinnedFor(docs))
     val dup = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
       .where($"cnt" > 1).select($"g")

@@ -993,8 +993,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return 0
     val cutoff = java.time.Instant.now().minus(retention)
+    // a path that vanishes mid-sweep (a concurrent writer finalizing its
+    // staging dir) is simply not ours to reclaim
     def oldEnough(p: Path): Boolean =
-      !Files.getLastModifiedTime(p).toInstant.isAfter(cutoff)
+      try !Files.getLastModifiedTime(p).toInstant.isAfter(cutoff)
+      catch { case _: java.io.IOException => false }
     var versions = TxnLog.versions(dir)
     // Manifest CHECKPOINT: if the head is a delta whose resolution chain
     // includes manifests this vacuum could otherwise prune, first commit
@@ -1053,11 +1056,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
             (neverRefDeletable(rel) && oldEnough(p)))
       }.toSeq
     }
-    doomed.foreach(Files.delete)
+    doomed.foreach(Files.deleteIfExists(_))
     scala.util.Using.resource(Files.list(dir)) { st =>
       st.iterator().asScala.toSeq
         .filter(p => Files.isDirectory(p) && p != TxnLog.logDir(dir))
-        .foreach(pruneEmptyDirs)
+        .foreach(pruneEmptyDirs(_, reclaimDotDirsBefore = Some(cutoff)))
     }
     versions.dropRight(1)
       .filter(v => !TxnLog.commitTime(dir, v).isAfter(cutoff))
@@ -1122,8 +1125,23 @@ final case class Warehouse(spark: SparkSession, root: String) {
       val (parent, name) =
         if (slash < 0) ("data", rel) else (rel.take(slash), rel.drop(slash + 1))
       val target = s"$parent/$txn-$name"
-      Files.createDirectories(dir.resolve(target).getParent)
-      Files.move(staging.resolve(rel), dir.resolve(target))
+      // The freshly-created partition dir can vanish between mkdir and
+      // move: a concurrent vacuum's (or failed sibling writer's)
+      // empty-dir sweep may reclaim it while still empty — re-create
+      // and retry. Bounded: each sweep is a single pass, so repeated
+      // collisions mean something else is wrong and the last error
+      // propagates.
+      var attempts = 0
+      var moved = false
+      while (!moved) {
+        Files.createDirectories(dir.resolve(target).getParent)
+        try { Files.move(staging.resolve(rel), dir.resolve(target)); moved = true }
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            attempts += 1
+            if (attempts > 5 || !Files.exists(staging.resolve(rel))) throw e
+        }
+      }
       target
     }
     org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
@@ -1154,16 +1172,46 @@ final case class Warehouse(spark: SparkSession, root: String) {
 
   /** Remove empty directories bottom-up under `p` (including `p` itself
     * if it empties out) — keeps skipped/vacuumed tables from leaving
-    * ghost entries in `listTables`. */
-  private def pruneEmptyDirs(p: Path): Unit = {
+    * ghost entries in `listTables`.
+    *
+    * DOT-PREFIXED subtrees are a live writer's pre-commit scaffolding —
+    * and between the Hadoop committer's job setup and its first task
+    * file, a staging dir is NOTHING BUT empty directories
+    * (`.staging-<txn>/_temporary/0`), indistinguishable from garbage by
+    * shape alone. Round-9's concurrency suite caught this sweep deleting
+    * exactly that skeleton out from under a racing appender (its write
+    * died on `chmod …/_temporary/0: No such file or directory`), i.e. a
+    * vacuum "never disturbs a concurrent commit" violation. Rule: an
+    * empty dir on a dot-prefixed path is deleted only when
+    * `reclaimDotDirsBefore` is supplied and the dir's mtime is at or
+    * before it — vacuum's crashed-writer reclamation, same age key as
+    * its never-committed-file rule; all other callers leave dot subtrees
+    * alone. Deletion is best-effort: a dir that vanishes or refills
+    * mid-sweep belongs to someone else — skip it. */
+  private def pruneEmptyDirs(p: Path,
+      reclaimDotDirsBefore: Option[java.time.Instant] = None): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(p)) {
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach { d =>
-          if (Files.isDirectory(d) &&
-              scala.util.Using.resource(Files.list(d))(s => !s.iterator().hasNext))
-            Files.delete(d)
+      // age is judged on PRE-SWEEP mtimes: deleting a child updates the
+      // parent's mtime, which would otherwise "freshen" an aged skeleton
+      // from the inside and block its own bottom-up reclamation
+      val snapshot = scala.util.Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.map { d =>
+          val old = reclaimDotDirsBefore.exists { c =>
+            try !Files.getLastModifiedTime(d).toInstant.isAfter(c)
+            catch { case _: java.io.IOException => false }
+          }
+          (d, old)
         }
+      }
+      snapshot.sortBy(-_._1.getNameCount).foreach { case (d, old) =>
+        val dotted = p.getFileName.toString.startsWith(".") ||
+          p.relativize(d).iterator().asScala
+            .exists(_.toString.startsWith("."))
+        if ((!dotted || old) && Files.isDirectory(d) &&
+            scala.util.Using.resource(Files.list(d))(s => !s.iterator().hasNext))
+          try Files.delete(d)
+          catch { case _: java.io.IOException => () }
       }
     }
   }

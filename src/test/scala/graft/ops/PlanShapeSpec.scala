@@ -194,11 +194,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("pq_topk encodes by packed-long hash aggregate and scans codes, not vectors") {
+  test("pq_topk encodes as a pure projection and scans codes, not vectors") {
     val p = plan("pq_topk")
-    // per-(vec, subspace) argmin is min over ONE packed long — never
-    // min(struct) (silent SortAggregate, the round-8 trap)
-    assert(p.contains("min(packed"), p)
+    // encoding is a per-row packed-long fold over the codebook PLAN
+    // LITERAL — no join, no exchange, no aggregation state anywhere in
+    // the encode subtree (the round-9 1000× OOM was the collect_list
+    // re-assembly this shape replaces); the fold packs d²·256+j so ties
+    // break to lowest j without min(struct) (the round-8 trap)
+    assert(p.contains("aggregate(") && p.contains("lambdafunction"), p)
+    assert(!p.contains("collect_list"), p)
     assert(!p.contains("min(struct"), p)
     assert(!p.contains("SortAggregate"), p)
     // the ADC scan is the compressed-domain crossJoin of codes against
@@ -220,6 +224,9 @@ class PlanShapeSpec extends SparkTestBase {
     // object aggregations, never window sorts
     assert(p.contains("cos_topk") && !p.contains("Window"), p)
     assert(!p.contains("min(struct") && !p.contains("SortAggregate"), p)
+    // codes and LUTs are per-row projections — no collect_list buffer
+    // anywhere (the round-9 1000× OOM shape)
+    assert(!p.contains("collect_list"), p)
   }
 
   test("dup_span_coverage windows per document and counts grams off one stage table") {

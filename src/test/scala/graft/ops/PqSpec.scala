@@ -42,7 +42,7 @@ class PqSpec extends SparkTestBase {
     val vecs = corpus()
     val base = vecs.toSeq.toDF("vec_id", "qe")
     val cb = Pq.sampledCodebook(base, Pq.pqCbm(vecs.size))
-    val codes = Pq.encode(Pq.subDists(base, cb))
+    val codes = Pq.encode(base, cb)
       .as[(Long, Seq[Int])].collect().toMap
     assert(codes.size == vecs.size)
     for ((vid, v) <- vecs.toSeq.sortBy(_._1).take(25); m <- 0 until Pq.M) {
@@ -57,8 +57,7 @@ class PqSpec extends SparkTestBase {
     val vecs = corpus()
     val base = vecs.toSeq.toDF("vec_id", "qe")
     val cb = Pq.sampledCodebook(base, Pq.pqCbm(vecs.size))
-    val sd = Pq.subDists(base, cb)
-    val codes = Pq.encode(sd).as[(Long, Seq[Int])].collect().toMap
+    val codes = Pq.encode(base, cb).as[(Long, Seq[Int])].collect().toMap
     val out = graft.SparkEntry.defs.find(_.name == "pq_topk").get
       .fn(spark, dir)
       .as[(Long, Long, Long)].collect()

@@ -136,6 +136,38 @@ class ManifestChainSpec extends SparkTestBase {
     assert(w.read("t").count() == 13)
   }
 
+  test("vacuum leaves a live writer's empty staging skeleton; reclaims a crashed one by age") {
+    val w = Warehouse(spark, tmpDir("mc7-wh"))
+    (1 to 3).foreach(i =>
+      w.load("t", hits(f"2026-01-$i%02d", 2), SinkPolicy.Append))
+    val dir = Paths.get(w.root, "t")
+    // What a concurrent appender's staging area IS between the Hadoop
+    // committer's job setup and its first task file: nothing but empty
+    // directories. The round-9 race deleted exactly this skeleton out
+    // from under a live writer (`chmod …/_temporary/0: No such file`),
+    // killing its commit — the deterministic re-creation of that window.
+    val skel = dir.resolve(".staging-deadbeef/_temporary/0")
+    Files.createDirectories(skel)
+    // a non-dot empty partition ghost, by contrast, is prunable garbage
+    val ghost = dir.resolve("event_date=1999-01-01")
+    Files.createDirectories(ghost)
+    w.vacuum("t", retention = java.time.Duration.ofMinutes(30))
+    assert(Files.isDirectory(skel),
+      "fresh (live-writer) staging skeleton must survive vacuum")
+    assert(!Files.exists(ghost), "empty non-dot partition dir is pruned")
+    assert(w.read("t").count() == 6)
+    // age the skeleton past retention: now it is a crashed writer's
+    // leftover and the same sweep reclaims it bottom-up
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 3600 * 1000)
+    Seq(skel, skel.getParent, skel.getParent.getParent)
+      .foreach(Files.setLastModifiedTime(_, past))
+    w.vacuum("t", retention = java.time.Duration.ofMinutes(30))
+    assert(!Files.exists(dir.resolve(".staging-deadbeef")),
+      "aged (crashed-writer) staging skeleton is reclaimed")
+    assert(w.read("t").count() == 6)
+  }
+
   private def kbatch(lo: Long, n: Int) =
     (lo until lo + n).map(i => (i, s"r$i")).toDF("k", "payload")
 
