@@ -254,6 +254,38 @@ object Plans {
         "10¹¹ vectors the per-query working set is 2√n code rows + 20 " +
         "vectors; the code table is 4 B/vector, 128× under the raw " +
         "corpus (12.4× measured in-cache at 2M)."),
+    "pq_ingest_dedup" ->
+      ("Dedup-on-ingest against the compressed index (the embedding " +
+        "analogue of incremental_neardup): the planted arrival batch " +
+        "(near-copies of every 37th vector at cos ≈ 0.999, novel " +
+        "+800000-perturbed copies of every 41st at cos ≈ 0.2 — both " +
+        "derived identically in the oracle, so BOTH verdict classes " +
+        "are hash-checked) probes the existing corpus's top-2 IVF " +
+        "cells, ADC-shortlists cell members to 4 candidates from the " +
+        "4 B/vector code table, exact-re-ranks the ≤4 fetched vectors, " +
+        "and verdicts at the family's cos ≥ 0.90 threshold. Per-arrival " +
+        "work is probe + ~2√n code rows + ≤4 vector fetches — ingest " +
+        "cost ∝ batch, never the corpus — and the resident state is " +
+        "codes (88 MB vs 1.1 GB of vectors at the measured 2M decade), " +
+        "which is what makes dedup-at-the-door affordable at 10¹¹ " +
+        "vectors."),
+    "ann_auto_topk" ->
+      ("The ANN router: one corpus COUNT (a driver scalar) dispatches " +
+        "to exact (n ≤ 784 — the arithmetic crossover of the family's " +
+        "q = n/25 cost model: n²/25 exact dots vs (28/25)·n^1.5 for " +
+        "IVF build+probe+score), IVF probe-2 (784 < n ≤ 500k), or " +
+        "IVF-PQ-rerank (n > 500k — the residency threshold where the " +
+        "520 B/vector payload passes a 256 MB cache budget; at the " +
+        "measured 2M-vector decade the vectors cache at 1.1 GB vs 88 MB " +
+        "of PQ codes, STRESS_r09 §6). The routed plan IS the branch's " +
+        "registered plan — AnnRouterSpec asserts row equality against " +
+        "the branch bodies, and the DuckDB oracle replays the same " +
+        "thresholds from COUNT(*), gating all three branch pipelines on " +
+        "n. At sf0.01 (n = 500) the dispatch lands on the exact branch " +
+        "below: broadcast query subset, one corpus scan, cos_topk " +
+        "aggregation (no rank window) — see ivf_topk / " +
+        "ivfpq_rerank_topk sections for the plans the other two " +
+        "branches reuse."),
     "dup_span_coverage" ->
       ("Exact duplicate-span coverage (Lee et al. ACL 2022 re-expressed " +
         "at w-gram granularity): LINEAR, never pairwise — the hashed " +

@@ -150,16 +150,17 @@ object Pq {
   }
 
   /** Query-side ADC lookup tables: (qid, luts ARRAY<ARRAY<BIGINT>>,
-    * M × Ks) — luts[m][j] = d²(query's subvector m, codebook entry j).
-    * Queries are the `vec_id % 25` subset (family convention). Like
-    * [[encode]], a pure projection: per subspace a `transform` over the
-    * ordered [[cbEntries]] literal, so j-order is the literal's order
-    * and no collect_list ever holds a partial LUT (the round-9 1000×
-    * OOM — see [[cbEntries]]). */
-  private[ops] def luts(base: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
-    val s = base.sparkSession
+    * M × Ks) — luts[m][j] = d²(query's subvector m, codebook entry j)
+    * for every row of `queries` (callers pass the family's `vec_id % 25`
+    * subset, or the arrival frame for ingest dedup). Like [[encode]], a
+    * pure projection: per subspace a `transform` over the ordered
+    * [[cbEntries]] literal, so j-order is the literal's order and no
+    * collect_list ever holds a partial LUT (the round-9 1000× OOM — see
+    * [[cbEntries]]). */
+  private[ops] def luts(queries: DataFrame, cb: Seq[Seq[Long]]): DataFrame = {
+    val s = queries.sparkSession
     import s.implicits._
-    withSubs(base.where($"vec_id" % 25 === 0))
+    withSubs(queries)
       .select($"vec_id".as("qid"), array((0 until M).map { m =>
         transform(cbEntries(cb, m), e => entryD2(m, e))
       }: _*).as("luts"))
@@ -181,7 +182,7 @@ object Pq {
     * arithmetic as per-row folds over the codebook literal). Appended
     * after [[Similarity.oraclePrefix]]. DuckDB `//` is integer
     * division; flat `i` is 1-based so subspace m = (i−1)//16. */
-  private val pqSql: String =
+  private[ops] val pqSql: String =
     """nn AS (SELECT COUNT(*) AS n FROM embeddings),
       |ksm AS (
       |  SELECT CAST(CEIL(CAST(n AS DOUBLE)
@@ -227,7 +228,8 @@ object Pq {
     import s.implicits._
     val base = Similarity.quantized(s, dir)
     val cb = sampledCodebook(base, pqCbm(base.count()))
-    encode(base, cb).crossJoin(broadcast(luts(base, cb)))
+    encode(base, cb)
+      .crossJoin(broadcast(luts(base.where($"vec_id" % 25 === 0), cb)))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"),
         (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
@@ -289,40 +291,238 @@ object Pq {
         |SELECT qid, cid, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_q6
         |FROM rsims
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
-    import s.implicits._
     val base = Similarity.quantized(s, dir)
-    val n = base.count()
+    ivfpqFrom(base, base.count())
+  }
+
+  /** The `ivfpq_rerank_topk` body over an already-quantized corpus —
+    * shared with [[AnnRouter]]'s large-corpus branch (same probe, ADC
+    * shortlist, and re-rank plan as the registered query).
+    *
+    * No distinct() on candidates: (qid, cid) unique by construction (one
+    * cell per vector, distinct probe cells) — see ivfTopkFrom's round-9
+    * note. */
+  private[ops] def ivfpqFrom(base: DataFrame, n: Long): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val (assign, probes) =
       Similarity.ivfAssignProbes(base, Similarity.ivfModulus(n), 25, 2)
-    // no distinct(): (qid, cid) unique by construction (one cell per
-    // vector, distinct probe cells) — see ivfTopk's round-9 note
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
     val cb = sampledCodebook(base, pqCbm(n))
-    val short = adcShortlist(cand, base, cb, 20)
+    val short =
+      adcShortlist(cand, base, base.where($"vec_id" % 25 === 0), cb, 20)
     Similarity.scoreCandidates(short, base, k = 5)
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
   /** ADC shortlist of a (qid, cid) candidate stream → top-`r` per query
-    * by compressed-domain distance: pairs join the 4-byte code table on
-    * cid and the query LUTs on qid — narrow equi-joins, the M lookups
-    * projected out in the join stage, CosTopK partials below the qid
-    * exchange. */
-  private[ops] def adcShortlist(cand: DataFrame, base: DataFrame,
-                                cb: Seq[Seq[Long]], r: Int): DataFrame = {
+    * by compressed-domain distance: pairs join the 4-byte code table
+    * (built over `codesBase`) on cid and the `queries` frame's LUTs on
+    * qid — narrow equi-joins, the M lookups projected out in the join
+    * stage, CosTopK partials below the qid exchange. */
+  private[ops] def adcShortlist(cand: DataFrame, codesBase: DataFrame,
+                                queries: DataFrame, cb: Seq[Seq[Long]],
+                                r: Int): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     cand
-      .join(encode(base, cb).withColumnRenamed("vec_id", "cid"), Seq("cid"))
-      .join(luts(base, cb), Seq("qid"))
+      .join(encode(codesBase, cb).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(luts(queries, cb), Seq("qid"))
       .select($"qid", $"cid",
         (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
       .groupBy($"qid")
       .agg(Kit.cosTopK($"nega", $"cid", r).as("top"))
       .select($"qid", explode($"top").as("t"))
       .select($"qid", $"t.cid".as("cid"))
+  }
+
+  /** DEDUP-ON-INGEST AGAINST THE COMPRESSED INDEX — the embedding
+    * analogue of [[TextOps.incrementalNeardup]]'s contract, closing the
+    * gap between the dedup family (which re-derives candidates from raw
+    * payloads) and the PQ family (whose whole point is that raw payloads
+    * can't stay resident): an arrival batch is deduplicated against the
+    * EXISTING corpus using only its 4 B/vector code table and IVF cell
+    * assignment, the two artifacts production stores once per corpus
+    * (see [[ivfpqPhased]]). Per arrival:
+    *
+    *   1. probe the existing corpus's top-2 IVF cells (centroids and
+    *      codebook are built from EXISTING rows only — the index knows
+    *      nothing of the batch, exactly the production asymmetry);
+    *   2. ADC-shortlist the probed cells' members to 4 candidates from
+    *      code bytes (equi-joins on cid/qid; the full-width existing
+    *      corpus is not scanned);
+    *   3. exact re-rank of the ≤ 4 fetched vectors; best match at the
+    *      family's cos ≥ 0.90 detection threshold ⇒ (dup_of, cos_q6),
+    *      else is_new — [[TextOps.incrementalNeardup]]'s verdict shape.
+    *
+    * The arrival batch is PLANTED IN-QUERY (the family's
+    * `embedding_neardup_planted` protocol — the driver fixture's random
+    * unit vectors carry no cross-batch geometry, so a modulus split
+    * would verify green on an all-is_new result): every 37th corpus
+    * vector re-arrives with +5000 on every 7th quantized dim (cos ≈
+    * 0.999 — a true near-dup the verdict must flag) and every 41st with
+    * +800000 on every 2nd dim (cos ≈ 0.2 — genuinely novel, must pass).
+    * Both engines derive the same batch, so BOTH verdict classes are
+    * oracle-exercised at every fixture scale.
+    *
+    * Ingest cost scales with the BATCH (probe + 2√n code rows + ≤ 4
+    * vector fetches per arrival), never the corpus — and the resident
+    * working state is the code table: at the measured 2M-vector decade
+    * that is 88 MB vs 1.1 GB of vectors (STRESS_r09 §6), which is what
+    * makes always-on dedup-at-the-door affordable at 10¹¹ vectors. The
+    * oracle replays the whole pipeline — plants, existing-only
+    * centroids and codebook, ADC, re-rank, threshold — from first
+    * principles in SQL. */
+  val pqIngestDedup: QueryDef = QueryDef.sql(
+    "pq_ingest_dedup",
+    """WITH flat0 AS (
+      |  SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |poff AS (
+      |  SELECT GREATEST(1000000, COALESCE(MAX(vec_id), 0) + 1) AS o
+      |  FROM embeddings),
+      |aflat AS (
+      |  SELECT vec_id + (SELECT o FROM poff) AS vec_id, i,
+      |    v + CASE WHEN (i - 1) % 7 = 0 THEN 5000 ELSE 0 END AS v
+      |  FROM flat0 WHERE vec_id % 37 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2 * (SELECT o FROM poff), i,
+      |    v + CASE WHEN (i - 1) % 2 = 0 THEN 800000 ELSE 0 END
+      |  FROM flat0 WHERE vec_id % 41 = 0),
+      |flat AS (
+      |  SELECT * FROM flat0 UNION ALL SELECT * FROM aflat),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+      |  FROM flat GROUP BY vec_id)""".stripMargin +
+      """,
+        |inn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |imm AS (SELECT CAST(CEIL(SQRT(n)) AS BIGINT) AS m FROM inn),
+        |icents AS (
+        |  SELECT vec_id AS cent_id FROM embeddings, imm WHERE vec_id % m = 0),
+        |icd AS (
+        |  SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * g.v) AS BIGINT) AS dot
+        |  FROM flat f
+        |  JOIN icents c ON true
+        |  JOIN flat g ON g.vec_id = c.cent_id AND g.i = f.i
+        |  GROUP BY 1, 2),
+        |iccos AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |    CAST(d.dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM icd d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nb ON nb.vec_id = d.cent_id),
+        |iassign AS (
+        |  SELECT vec_id, cent_id AS cell FROM iccos
+        |  WHERE vec_id < (SELECT o FROM poff)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) = 1),
+        |iprobes AS (
+        |  SELECT vec_id AS qid, cent_id AS cell FROM iccos
+        |  WHERE vec_id >= (SELECT o FROM poff)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) <= 2),
+        |icand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS cid
+        |  FROM iprobes p JOIN iassign a ON a.cell = p.cell),
+        |iksm AS (
+        |  SELECT CAST(CEIL(CAST(n AS DOUBLE)
+        |      / LEAST(256, GREATEST(16, CAST(CEIL(SQRT(n)) AS BIGINT)))) AS BIGINT) AS cbm
+        |  FROM inn),
+        |icb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vec_id AS cb_vid
+        |  FROM embeddings, iksm WHERE vec_id % cbm = 0),
+        |isubd AS (
+        |  SELECT f.vec_id, CAST((f.i - 1) // 16 AS INT) AS m, c.j,
+        |    CAST(SUM((f.v - g.v) * (f.v - g.v)) AS BIGINT) AS d2
+        |  FROM flat f
+        |  JOIN icb c ON true
+        |  JOIN flat g ON g.vec_id = c.cb_vid AND g.i = f.i
+        |  GROUP BY 1, 2, 3),
+        |icodes AS (
+        |  SELECT vec_id, m, j AS code FROM isubd
+        |  WHERE vec_id < (SELECT o FROM poff)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+        |iqlut AS (
+        |  SELECT vec_id AS qid, m, j, d2 FROM isubd
+        |  WHERE vec_id >= (SELECT o FROM poff)),
+        |iadc AS (
+        |  SELECT c.qid, c.cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+        |  FROM icand c
+        |  JOIN icodes x ON x.vec_id = c.cid
+        |  JOIN iqlut l ON l.qid = c.qid AND l.m = x.m AND l.j = x.code
+        |  GROUP BY 1, 2),
+        |ishort AS (
+        |  SELECT qid, cid FROM iadc
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) <= 4),
+        |irdots AS (
+        |  SELECT s.qid, s.cid, CAST(SUM(fa.v * fb.v) AS BIGINT) AS dot
+        |  FROM ishort s
+        |  JOIN flat fa ON fa.vec_id = s.qid
+        |  JOIN flat fb ON fb.vec_id = s.cid AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |irsims AS (
+        |  SELECT qid, cid,
+        |    CAST(dot AS DOUBLE)
+        |      / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM irdots
+        |  JOIN norms na ON na.vec_id = qid
+        |  JOIN norms nb ON nb.vec_id = cid),
+        |ibest AS (
+        |  SELECT qid, cid, cos FROM irsims
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) = 1)
+        |SELECT a.vec_id,
+        |  CASE WHEN b.cos >= 0.90 THEN b.cid END AS dup_of,
+        |  CASE WHEN b.cos >= 0.90
+        |    THEN CAST(FLOOR(b.cos * 1000000) AS BIGINT) END AS cos_q6,
+        |  (b.cos IS NULL OR b.cos < 0.90) AS is_new
+        |FROM (SELECT DISTINCT vec_id FROM aflat) a
+        |LEFT JOIN ibest b ON b.qid = a.vec_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val existing = Similarity.quantized(s, dir)
+    val nEx = existing.count()
+    val arrivals = ingestArrivals(existing)
+    val (assign, probes) = Similarity.ivfAssignProbesFor(
+      existing, arrivals, Similarity.ivfModulus(nEx), 2)
+    // (qid, cid) unique by construction; qid/cid sets are DISJOINT, so
+    // no self-pair filter is needed
+    val cand = probes.join(assign, Seq("cell"))
+      .select($"qid", $"vec_id".as("cid"))
+    val cb = sampledCodebook(existing, pqCbm(nEx))
+    val short = adcShortlist(cand, existing, arrivals, cb, 4)
+    val best = Similarity.scoreCandidatesFor(short, existing, arrivals, k = 1)
+    arrivals.select($"vec_id")
+      .join(best.select($"qid".as("vec_id"), $"cid", $"cos"), Seq("vec_id"),
+        "left")
+      .select($"vec_id",
+        when($"cos" >= 0.90, $"cid").as("dup_of"),
+        when($"cos" >= 0.90, Kit.quantize($"cos", 6)).as("cos_q6"),
+        ($"cos".isNull || $"cos" < 0.90).as("is_new"))
+  }
+
+  /** The planted arrival batch over a quantized corpus (the oracle's
+    * `aflat`): every 37th vector re-arrives near-identical (+5000 on
+    * every 7th quantized dim, cos ≈ 0.999) at vec_id + o, every 41st
+    * arrives genuinely novel (+800000 on every 2nd dim, cos ≈ 0.2) at
+    * vec_id + 2o, with o = GREATEST(10⁶, MAX(vec_id)+1) — the
+    * collision-free offset rule from [[Similarity.plantedOraclePrefix]]
+    * (the two plant families cannot alias each other either: 2o ≥
+    * o + max + 1). */
+  private[ops] def ingestArrivals(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val off = math.max(1000000L,
+      base.agg(max($"vec_id")).as[Option[Long]].head().getOrElse(0L) + 1L)
+    val near = base.where($"vec_id" % 37 === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+    val fresh = base.where($"vec_id" % 41 === 0)
+      .select(($"vec_id" + 2 * off).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 2 = 0 " +
+          "THEN CAST(800000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+    near.union(fresh).withColumn("nrm", Kit.dotI64($"qe", $"qe"))
   }
 
   /** Phase-decomposed IVF-PQ for the scale harness ([[graft.PqScale]]):
@@ -363,7 +563,7 @@ object Pq {
         .select($"qid", $"vec_id".as("cid"))
       val short = cand
         .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
-        .join(luts(base, cb), Seq("qid"))
+        .join(luts(base.where($"vec_id" % 25 === 0), cb), Seq("qid"))
         .select($"qid", $"cid",
           (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
         .groupBy($"qid")
@@ -381,5 +581,5 @@ object Pq {
       ("query_probe_adc_rerank", qSec, nOut)), result)
   }
 
-  val all: Seq[QueryDef] = Seq(pqTopk, ivfpqRerankTopk)
+  val all: Seq[QueryDef] = Seq(pqTopk, ivfpqRerankTopk, pqIngestDedup)
 }

@@ -836,25 +836,56 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5""".stripMargin) { (s, dir) =>
     import s.implicits._
     val base = quantized(s, dir)
-    val m = ivfModulus(base.count())
-    val (assign, probes) = ivfAssignProbes(base, m, 25, 2)
-    // (qid, cid) pairs are unique BY CONSTRUCTION — assign gives every
-    // vector exactly one cell and a query's nprobe probe cells are
-    // distinct CosTopK entries — so no distinct() re-aggregates the
-    // n^1.5-row candidate stream (the oracle's SELECT DISTINCT is the
-    // same no-op). Round-9 1000× finding: scoring joins must NOT carry
-    // vectors on the pair stream — 2n^1.5/25 candidates × 520 B of
-    // attached qe OOMed the default heap at 2M vectors (a ~120 GB
-    // exchange). Shape: ONE equi-join on cid fetches the corpus vector,
-    // the query vectors come as a BROADCAST (n/25 × 520 B — 42 MB at
-    // 2M), and the cosine is projected out in the same stage, so every
-    // exchange after the cell join moves 16-byte pairs or O(k) heap
-    // state, never vectors.
+    ivfTopkFrom(base, base.count())
+  }
+
+  /** The `ivf_topk` body over an already-quantized corpus — shared with
+    * [[AnnRouter]] so the router's IVF branch IS this plan (same stats
+    * pass, same candidate shape), not a re-derivation.
+    *
+    * (qid, cid) pairs are unique BY CONSTRUCTION — assign gives every
+    * vector exactly one cell and a query's nprobe probe cells are
+    * distinct CosTopK entries — so no distinct() re-aggregates the
+    * n^1.5-row candidate stream (the oracle's SELECT DISTINCT is the
+    * same no-op). Round-9 1000× finding: scoring joins must NOT carry
+    * vectors on the pair stream — 2n^1.5/25 candidates × 520 B of
+    * attached qe OOMed the default heap at 2M vectors (a ~120 GB
+    * exchange). Shape: ONE equi-join on cid fetches the corpus vector,
+    * the query vectors come as a BROADCAST (n/25 × 520 B — 42 MB at
+    * 2M), and the cosine is projected out in the same stage, so every
+    * exchange after the cell join moves 16-byte pairs or O(k) heap
+    * state, never vectors. */
+  private[ops] def ivfTopkFrom(base: DataFrame, n: Long): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val (assign, probes) = ivfAssignProbes(base, ivfModulus(n), 25, 2)
     val cand = probes.join(assign, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
     scoreCandidates(cand, base, k = 5)
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+  }
+
+  /** Exact cosine top-`k` over an already-quantized corpus, in the
+    * [[similarityTopkBigq]] plan shape (CosTopK aggregation, no rank
+    * window) but with a BROADCAST query side — [[AnnRouter]]'s
+    * small-corpus branch, where by construction the whole corpus (and a
+    * fortiori its n/25 query subset) is far under the broadcast
+    * threshold. */
+  private[ops] def exactTopkFrom(base: DataFrame, k: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val qs = base.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qn"))
+    base.crossJoin(broadcast(qs))
+      .where($"vec_id" =!= $"qid")
+      .withColumn("dot", Kit.dotI64($"qe", $"qqe"))
+      .select($"qid", $"vec_id".as("cid"),
+        cosCol($"dot", $"qn", $"nrm").as("cos"))
+      .groupBy($"qid")
+      .agg(Kit.cosTopK($"cos", $"cid", k).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cid"), Kit.quantize($"t.cos", 6).as("cos_q6"))
   }
 
   /** Exact-cosine scoring of a (qid, cid) candidate stream → top-`k`
@@ -867,10 +898,22 @@ object Similarity {
                                    k: Int): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val queries = base.where($"vec_id" % 25 === 0)
+    scoreCandidatesFor(cand, base, base.where($"vec_id" % 25 === 0), k)
+  }
+
+  /** The split form of [[scoreCandidates]]: candidate `cid`s are fetched
+    * from `corpus`, query vectors broadcast from an arbitrary `queries`
+    * frame (the ingest-dedup path scores arrivals against the existing
+    * corpus, which the modulus convention cannot express). */
+  private[ops] def scoreCandidatesFor(cand: DataFrame, corpus: DataFrame,
+                                      queriesDf: DataFrame, k: Int)
+      : DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val queries = queriesDf
       .select($"vec_id".as("qid"), $"qe".as("qa"), $"nrm".as("na"))
     cand
-      .join(base.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
+      .join(corpus.select($"vec_id".as("cid"), $"qe".as("qb"), $"nrm".as("nb")),
         Seq("cid"))
       .join(broadcast(queries), Seq("qid"))
       .select($"qid", $"cid",
@@ -894,15 +937,29 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     val s = base.sparkSession
     import s.implicits._
-    val cents = base.select($"vec_id".as("cent_id"), $"qe".as("ce"),
+    ivfAssignProbesFor(base, base.where($"vec_id" % queryEvery === 0),
+      m, nprobe)
+  }
+
+  /** The split form: centroids are sampled from (and members assigned
+    * over) `corpus`; probe cells are computed for an arbitrary `queries`
+    * frame — [[Pq]]'s ingest-dedup path probes ARRIVALS against an index
+    * built on the EXISTING corpus only, which the queryEvery-modulus
+    * form cannot express. Both frames carry (vec_id, qe, nrm). */
+  private[ops] def ivfAssignProbesFor(corpus: DataFrame, queries: DataFrame,
+                                      m: Long, nprobe: Int)
+      : (DataFrame, DataFrame) = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = corpus.select($"vec_id".as("cent_id"), $"qe".as("ce"),
       $"nrm".as("cn")).where($"cent_id" % m === 0)
-    val ccos = base.crossJoin(broadcast(cents))
+    def cos(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .select($"vec_id", $"cent_id",
         cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
-    val assign = ccos.groupBy($"vec_id")
+    val assign = cos(corpus).groupBy($"vec_id")
       .agg(Kit.cosTopK($"cos", $"cent_id", 1).as("top"))
       .select($"vec_id", $"top"(0)("cid").as("cell"))
-    val probes = ccos.where($"vec_id" % queryEvery === 0)
+    val probes = cos(queries)
       .groupBy($"vec_id")
       .agg(Kit.cosTopK($"cos", $"cent_id", nprobe).as("top"))
       .select($"vec_id".as("qid"), explode($"top").as("t"))

@@ -106,4 +106,36 @@ class PqSpec extends SparkTestBase {
     val recall = hits.toDouble / (qids.size * 5)
     assert(recall >= 0.20, f"recall@5 = $recall%.3f")
   }
+
+  test("pq_ingest_dedup: every near-plant flags its own source, every novel plant passes") {
+    val vecs = corpus()
+    val out = graft.SparkEntry.defs.find(_.name == "pq_ingest_dedup").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(3))).toSeq
+    val off = 1000000L // fixture max id ≪ 10⁶
+    val nearIds = vecs.keys.filter(_ % 37 == 0).map(_ + off).toSet
+    val freshIds = vecs.keys.filter(_ % 41 == 0).map(_ + 2 * off).toSet
+    // verdict covers the arrival batch exactly, one row each
+    assert(out.map(_._1).toSet == nearIds ++ freshIds)
+    assert(out.size == nearIds.size + freshIds.size)
+    val byId = out.map(t => t._1 -> t).toMap
+    // RECALL: the +5000-on-every-7th-dim perturbation keeps cos ≈ 0.999,
+    // and the probe-2 + ADC-shortlist-4 pipeline recovers each plant's
+    // own source — 100% at the fixture, with dup_of exact, not just
+    // "some dup". A probe/codebook/shortlist regression that loses true
+    // near-dups fails here before any stress run would see it.
+    for (id <- nearIds) {
+      val (_, dupOf, isNew) = byId(id)
+      assert(!isNew, s"near-plant $id escaped as new")
+      assert(dupOf.contains(id - off), s"near-plant $id matched $dupOf")
+    }
+    // PRECISION on the novel class: +800000 on every 2nd dim leaves
+    // cos ≈ 0.2 against everything — none may be flagged.
+    for (id <- freshIds) {
+      val (_, dupOf, isNew) = byId(id)
+      assert(isNew && dupOf.isEmpty, s"novel plant $id flagged as dup")
+    }
+  }
 }
