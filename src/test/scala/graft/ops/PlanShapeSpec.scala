@@ -229,6 +229,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("pq_ingest_dedup keeps ingest work equi-joined and batch-sized") {
+    val p = plan("pq_ingest_dedup")
+    // candidate/shortlist/re-rank plumbing is all equi-join; the only
+    // nested loops are the K ≈ √n centroid broadcast (probe/assign) —
+    // nothing corpus-sized broadcasts, no vector rides a pair stream
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // ADC shortlist (k=4) and exact re-rank (k=1) are CosTopK object
+    // aggregations; codes/LUTs are per-row projections over the
+    // codebook plan literal (the round-9 1000× OOM shapes stay dead)
+    assert(p.contains("cos_topk") && !p.contains("Window"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("min(struct") && !p.contains("SortAggregate"), p)
+  }
+
   test("dup_span_coverage windows per document and counts grams off one stage table") {
     val p = plan("dup_span_coverage")
     // interval union is a PER-DOCUMENT window, never a global sort
