@@ -294,7 +294,22 @@ object Plans {
         "on the gram hash only, a span repeated in 10⁶ docs contributes " +
         "10⁶ rows not 10¹² pairs, and the interval-union window " +
         "partitions by doc_id — never a global sort. Short docs pass " +
-        "through the left join with zero coverage."))
+        "through the left join with zero coverage."),
+    "ann_index_topk" ->
+      ("The stored-index (AnnIndex) query path — the amortized form of " +
+        "ivfpq_rerank_topk: every index artifact is READ BACK from " +
+        "warehouse parquet instead of re-derived, so the plan must show " +
+        "(a) the centroid table scanned once under a BroadcastExchange " +
+        "(K ≈ √n rows), (b) the entries table (cell + 4 B PQ code, " +
+        "~16 B/row of information vs 520 B of vector) feeding BOTH the " +
+        "candidate equi-join and the ADC shortlist join, and (c) the " +
+        "full-width embeddings parquet appearing ONLY under the final " +
+        "re-rank fetch (one cid equi-join of ≤ shortlist·q rows) — no " +
+        "encode projection over the corpus anywhere: encoding happened " +
+        "once at build time. At 10¹¹ vectors the per-batch working set " +
+        "is the probe broadcast + 2·√n code rows per query + 20 full " +
+        "vectors per query; the 52 TB corpus is never scanned after " +
+        "build."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every operator the engine exposes, in registration order. */
   def defs: Seq[QueryDef] =
     Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all ++
-      Similarity.all ++ Pq.all ++ AnnRouter.all ++ Windowed.all ++ Advanced.all ++ RangeJoin.all ++
+      Similarity.all ++ Pq.all ++ AnnRouter.all ++ AnnIndex.all ++
+      Windowed.all ++ Advanced.all ++ RangeJoin.all ++
       Clustering.all ++ Curation.all ++ Components.all ++ Analytics.all ++
       PageRank.all
 

@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kit
+import graft.pipeline.{SinkPolicy, Warehouse}
+
+/** WAREHOUSE-PERSISTED ANN INDEX — the lifecycle form of the IVF-PQ
+  * pipeline. [[Pq.ivfpqRerankTopk]] (and the scale harness's
+  * `ivfpqPhased`) re-derive the index artifacts every run because the
+  * oracle must replay the whole computation; production builds them ONCE
+  * per corpus and amortizes across every query batch and every ingest
+  * batch. This component makes that amortization real library surface
+  * instead of a harness note: the four build-time artifacts land as
+  * versioned warehouse tables and every later operation reads them back —
+  * the full-width corpus is touched only by exact re-rank fetches.
+  *
+  * Stored tables (under `name_ann_*`):
+  *   - `meta`      — (key, value): format version, built_n, ks, cbm,
+  *                   ivf modulus. 5 rows.
+  *   - `codebook`  — (j, qe): the Ks ≈ min(√n, 256) sampled PQ codebook
+  *                   vectors, j-ordered. ≤ 257 rows; read back to the
+  *                   driver as the plan literal [[Pq]] encodes against
+  *                   (the same bounded-collect class as the k-means
+  *                   centroid tables).
+  *   - `centroids` — (cent_id, ce, cn): the K ≈ √n IVF centroids.
+  *                   Broadcast at probe time: √n · 520 B ≈ 164 MB at
+  *                   10¹¹ vectors — heavy but broadcastable; past that,
+  *                   the two-level quantizer (`semdedup_twolevel`,
+  *                   STRESS_r09 §5) is the documented capacity escape.
+  *   - `entries`   — (vec_id, cell, codes): one row per indexed vector —
+  *                   the 4-byte PQ code and the IVF cell. THE index
+  *                   payload: ~16 B/row of information vs 520 B of
+  *                   vector, the 88 MB-vs-1.1 GB residency gap measured
+  *                   at 2M vectors (STRESS_r09 §6), ~1.6 TB at 10¹¹.
+  *
+  * Query ([[topk]]) and dedup ([[dedupArrivals]]) read `entries` — never
+  * the corpus — for candidate generation and ADC shortlisting; the
+  * corpus frame the caller passes is hit only by the ≤ shortlist-width
+  * equi-join fetch for exact re-rank. [[ingest]] appends accepted
+  * arrivals' entries txn-tagged (exactly-once under foreachBatch replay,
+  * same guard as [[graft.streaming.Streams]]), so always-on
+  * dedup-at-the-door costs ∝ batch while the index grows with the
+  * corpus.
+  *
+  * STALENESS is first-class because every index parameter is an
+  * adaptive formula of n — Ks(n), cbm(n), ivf modulus ⌈√n⌉ — and rounds
+  * 8–9 measured exactly what happens when such parameters freeze while
+  * the corpus grows (`ann_lsh_topk` 295.8 → 23.6 s, `ivf_topk` 573.0 →
+  * 8.6 s at 100× after un-freezing them). A corpus that doubled has
+  * outgrown its √n cell geometry: [[needsRebuild]] trips at growth ≥ 2×
+  * the built size and [[build]] re-derives everything under the current
+  * formulas (an Overwrite commit — readers on the old version keep
+  * their snapshot, the manifest swap is atomic).
+  *
+  * Reference anchor: the reference stores derived per-source staging
+  * tables once and reuses them across pipeline runs
+  * (`datasources.py:480` fulltable staging); this is the analogous
+  * derived-artifact store for the embedding family.
+  */
+final case class AnnIndex(wh: Warehouse, name: String) {
+
+  private val spark: SparkSession = wh.spark
+  import spark.implicits._
+
+  /** Bumped whenever the stored layout or the encode arithmetic
+    * changes — a stale store from an older format is rebuilt, not
+    * misread. */
+  val Format = "1"
+
+  import AnnIndex.{IngestResult, Meta}
+
+  private def tMeta = s"${name}_ann_meta"
+  private def tCodebook = s"${name}_ann_codebook"
+  private def tCentroids = s"${name}_ann_centroids"
+  private def tEntries = s"${name}_ann_entries"
+
+  /** The built corpus size, if a current-format index exists. */
+  def builtN: Option[Long] =
+    if (wh.currentFiles(tMeta).isEmpty) None
+    else {
+      val kv = wh.read(tMeta).as[(String, String)].collect().toMap
+      if (kv.get("format").contains(Format)) kv.get("built_n").map(_.toLong)
+      else None
+    }
+
+  def meta: Meta = {
+    val kv = wh.read(tMeta).as[(String, String)].collect().toMap
+    require(kv.get("format").contains(Format),
+      s"ann index $name: stored format ${kv.get("format")} != $Format — rebuild")
+    Meta(kv("built_n").toLong, kv("ks").toInt, kv("cbm").toLong,
+      kv("ivf_modulus").toLong)
+  }
+
+  /** Build (or rebuild) every artifact from a quantized corpus frame
+    * ((vec_id, qe, nrm) — [[Similarity.quantized]]'s shape). One corpus
+    * pass for codes (pure projection against the codebook literal), one
+    * n·K assignment pass (CosTopK fold under a centroid broadcast);
+    * both land in a single `entries` table so ingest appends are one
+    * commit. Overwrite policy: rebuilds swap atomically. */
+  def build(corpus: DataFrame): Meta = {
+    val n = corpus.count()
+    val cbm = Pq.pqCbm(n)
+    val m = Similarity.ivfModulus(n)
+    val cb = Pq.sampledCodebook(corpus, cbm)
+    val cents = corpus
+      .select($"vec_id".as("cent_id"), $"qe".as("ce"), $"nrm".as("cn"))
+      .where($"cent_id" % m === 0)
+    val assign = Similarity.probeCells(corpus, cents, 1)
+      .select($"qid".as("vec_id"), $"cell")
+    val entries = assign.join(Pq.encode(corpus, cb), Seq("vec_id"))
+    wh.load(tEntries, entries, SinkPolicy.Overwrite)
+    wh.load(tCentroids, cents, SinkPolicy.Overwrite)
+    wh.load(tCodebook,
+      cb.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("j", "qe"),
+      SinkPolicy.Overwrite)
+    wh.load(tMeta, Seq(
+      "format" -> Format,
+      "built_n" -> n.toString,
+      "ks" -> Pq.pqKs(n).toString,
+      "cbm" -> cbm.toString,
+      "ivf_modulus" -> m.toString).toDF("key", "value"), SinkPolicy.Overwrite)
+    Meta(n, Pq.pqKs(n), cbm, m)
+  }
+
+  /** The stored codebook as the driver-side literal [[Pq.encode]] /
+    * [[Pq.luts]] fold against (≤ 257 rows — bounded collect). */
+  private def codebook(): Seq[Seq[Long]] =
+    wh.read(tCodebook).orderBy("j").select("qe").as[Seq[Long]].collect().toSeq
+
+  private def centroids: DataFrame = wh.read(tCentroids)
+  private def entries: DataFrame = wh.read(tEntries)
+
+  /** Rows currently indexed (built + ingested since). */
+  def indexedRows: Long = entries.count()
+
+  /** The adaptive formulas (Ks, cbm, ⌈√n⌉ cells) were evaluated at
+    * built_n; past `growth`× that, the geometry is stale — √n cells now
+    * hold growth·√n members each and probe cost drifts off the measured
+    * n^1.5 balance. */
+  def needsRebuild(growth: Double = 2.0): Boolean =
+    builtN match {
+      case None => true
+      case Some(n0) => indexedRows >= growth * n0
+    }
+
+  /** Top-`k` neighbours for `queries` against the STORED index — probe
+    * (stored centroids, broadcast) → ADC shortlist (stored codes,
+    * equi-joins) → exact re-rank (`corpus` hit only by the shortlist
+    * fetch). Row-for-row identical to the fresh [[Pq]] pipeline when the
+    * index is current (AnnIndexSpec pins the equality; the registered
+    * `ann_index_topk` pins it against the DuckDB oracle). */
+  def topk(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+           shortlist: Int = 20): DataFrame = {
+    val cb = codebook()
+    val probes = Similarity.probeCells(queries, centroids, 2)
+    val cand = probes
+      .join(entries.select($"vec_id", $"cell"), Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"))
+    val short = Pq.adcShortlistCoded(
+      cand, entries.select($"vec_id", $"codes"), queries, cb, shortlist)
+    Similarity.scoreCandidatesFor(short, corpus, queries, k)
+  }
+
+  /** Verdict an arrival batch against the stored index —
+    * [[Pq.pqIngestDedup]]'s contract with the index READ BACK instead of
+    * re-derived: probe arrivals into stored cells, ADC-shortlist stored
+    * codes to 4 candidates, exact re-rank the fetched vectors, flag
+    * cos ≥ `threshold`. Arrival `vec_id`s must be disjoint from indexed
+    * ids (the planted-batch offset rule). Cost ∝ batch, never corpus. */
+  def dedupArrivals(batch: DataFrame, corpus: DataFrame,
+                    threshold: Double = 0.90): DataFrame = {
+    val cb = codebook()
+    val probes = Similarity.probeCells(batch, centroids, 2)
+    val cand = probes
+      .join(entries.select($"vec_id", $"cell"), Seq("cell"))
+      .select($"qid", $"vec_id".as("cid"))
+    val short = Pq.adcShortlistCoded(
+      cand, entries.select($"vec_id", $"codes"), batch, cb, 4)
+    val best = Similarity.scoreCandidatesFor(short, corpus, batch, k = 1)
+    Pq.ingestVerdicts(batch, best, threshold)
+  }
+
+  /** Dedup-at-the-door + incremental index maintenance, exactly-once:
+    * verdict the batch against the stored index, then append the
+    * ACCEPTED (is_new) arrivals' entries — encoded with the STORED
+    * codebook, assigned to the STORED centroids, so a later near-dup of
+    * an accepted arrival probes into the same cell and is caught
+    * (AnnIndexSpec pins that loop). The txn tag makes foreachBatch
+    * replays no-ops on the index append; callers landing the batch
+    * payload elsewhere reuse the same tag (one logical commit per
+    * micro-batch, the [[graft.streaming.Streams]] discipline). The
+    * caller's `corpus` must include previously accepted arrivals (read
+    * it from the same warehouse the payload lands in). The returned
+    * `verdicts` frame is persisted (it feeds both the duplicate count
+    * and the accepted-set join); callers unpersist it when done — the
+    * repo's clearCache() leak-check convention. */
+  def ingest(batch: DataFrame, corpus: DataFrame, txnId: String,
+             threshold: Double = 0.90): IngestResult = {
+    val verdicts = dedupArrivals(batch, corpus, threshold).persist()
+    val nDup = verdicts.where(!$"is_new").count()
+    if (wh.txnLanded(tEntries, txnId)) {
+      // replay: verdicts are recomputed (deterministic), index untouched
+      return IngestResult(verdicts, 0L, nDup, "skipped-duplicate-txn")
+    }
+    val cb = codebook()
+    val accepted = batch
+      .join(verdicts.where($"is_new").select($"vec_id"), Seq("vec_id"))
+    val asg = Similarity.probeCells(accepted, centroids, 1)
+      .select($"qid".as("vec_id"), $"cell")
+    val newEntries = asg.join(Pq.encode(accepted, cb), Seq("vec_id"))
+    val res = wh.load(tEntries, newEntries, SinkPolicy.Append, Some(txnId))
+    IngestResult(verdicts, res.rows, nDup, res.action)
+  }
+}
+
+object AnnIndex {
+
+  final case class Meta(builtN: Long, ks: Int, cbm: Long, ivfModulus: Long)
+
+  final case class IngestResult(verdicts: DataFrame, accepted: Long,
+                                duplicates: Long, action: String)
+
+  /** The stored-index query path as a REGISTERED, ORACLE-CHECKED query:
+    * on first use per fixture dir the index is built into a tmp
+    * warehouse (same build-on-first-use convention as
+    * `flagship_bucketed` — the bench's median-of-3 therefore times the
+    * amortized stored-query path, which is the production claim); every
+    * run after reads only the stored artifacts. The oracle IS
+    * [[Pq.ivfpqRerankTopk]]'s (shared by reference, not copied): the
+    * whole contract is "same rows as the fresh pipeline, from the
+    * store". A stale or differently-sized store (format bump, changed
+    * fixture) rebuilds itself. */
+  val annIndexTopk: QueryDef = QueryDef(
+    "ann_index_topk",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val wh = Warehouse(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft-annidx-$tag")
+      val idx = AnnIndex(wh, "emb")
+      val base = Similarity.quantized(s, dir)
+      val n = base.count()
+      if (!idx.builtN.contains(n)) idx.build(base)
+      idx.topk(base.where($"vec_id" % 25 === 0), base, k = 5)
+        .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
+    },
+    Pq.ivfpqRerankTopk.oracle)
+
+  val all: Seq[QueryDef] = Seq(annIndexTopk)
+}

@@ -324,11 +324,24 @@ object Pq {
     * stage, CosTopK partials below the qid exchange. */
   private[ops] def adcShortlist(cand: DataFrame, codesBase: DataFrame,
                                 queries: DataFrame, cb: Seq[Seq[Long]],
-                                r: Int): DataFrame = {
+                                r: Int): DataFrame =
+    adcShortlistCoded(cand, encode(codesBase, cb), queries, cb, r)
+
+  /** [[adcShortlist]] over an ALREADY-ENCODED (vec_id, codes) frame —
+    * the stored-index path ([[AnnIndex]]), where the code table was
+    * written once at build time and is read back from the warehouse
+    * instead of re-derived from full-width vectors (re-encoding would
+    * scan exactly the 520 B/vector payload PQ exists to avoid). Same
+    * plan as the fresh form: [[encode]] is a pure projection, so
+    * composing it inline (fresh) or scanning its materialization
+    * (stored) feeds the identical join tree. */
+  private[ops] def adcShortlistCoded(cand: DataFrame, codes: DataFrame,
+                                     queries: DataFrame, cb: Seq[Seq[Long]],
+                                     r: Int): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     cand
-      .join(encode(codesBase, cb).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
       .join(luts(queries, cb), Seq("qid"))
       .select($"qid", $"cid",
         (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
@@ -492,13 +505,24 @@ object Pq {
     val cb = sampledCodebook(existing, pqCbm(nEx))
     val short = adcShortlist(cand, existing, arrivals, cb, 4)
     val best = Similarity.scoreCandidatesFor(short, existing, arrivals, k = 1)
-    arrivals.select($"vec_id")
+    ingestVerdicts(arrivals, best, 0.90)
+  }
+
+  /** The verdict projection shared by [[pqIngestDedup]] and
+    * [[AnnIndex.dedupArrivals]]: left-join each arrival to its best
+    * match and emit [[TextOps.incrementalNeardup]]'s (vec_id, dup_of,
+    * cos_q6, is_new) shape at `threshold`. */
+  private[ops] def ingestVerdicts(batch: DataFrame, best: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select($"vec_id")
       .join(best.select($"qid".as("vec_id"), $"cid", $"cos"), Seq("vec_id"),
         "left")
       .select($"vec_id",
-        when($"cos" >= 0.90, $"cid").as("dup_of"),
-        when($"cos" >= 0.90, Kit.quantize($"cos", 6)).as("cos_q6"),
-        ($"cos".isNull || $"cos" < 0.90).as("is_new"))
+        when($"cos" >= threshold, $"cid").as("dup_of"),
+        when($"cos" >= threshold, Kit.quantize($"cos", 6)).as("cos_q6"),
+        ($"cos".isNull || $"cos" < threshold).as("is_new"))
   }
 
   /** The planted arrival batch over a quantized corpus (the oracle's

@@ -941,6 +941,29 @@ object Similarity {
       m, nprobe)
   }
 
+  /** Probe cells for `queries` against an EXPLICIT centroid frame
+    * ((cent_id, ce, cn) — read back from a stored index rather than
+    * re-sampled from the corpus): one broadcast of the centroid table,
+    * CosTopK fold per query, (qid, cell) out — the probe half of
+    * [[ivfAssignProbesFor]] with the centroid SOURCE decoupled, which is
+    * what [[AnnIndex]]'s query path needs (its centroids come from a
+    * warehouse table written at build time; the corpus is never scanned
+    * to find them). Same tie-breaking (cos DESC, cent_id) as everywhere
+    * else, so a stored-index probe reproduces the fresh pipeline's cells
+    * bit-for-bit. */
+  private[ops] def probeCells(queries: DataFrame, cents: DataFrame,
+                              nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    queries.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
+      .groupBy($"vec_id")
+      .agg(Kit.cosTopK($"cos", $"cent_id", nprobe).as("top"))
+      .select($"vec_id".as("qid"), explode($"top").as("t"))
+      .select($"qid", $"t.cid".as("cell"))
+  }
+
   /** The split form: centroids are sampled from (and members assigned
     * over) `corpus`; probe cells are computed for an arbitrary `queries`
     * frame — [[Pq]]'s ingest-dedup path probes ARRIVALS against an index

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.pipeline.Warehouse
+
+/** Behavioral proof of the warehouse-persisted ANN index lifecycle:
+  * (1) the stored-index query path is row-for-row the fresh IVF-PQ
+  * pipeline — the store changes WHERE artifacts come from, never WHAT
+  * is computed; (2) dedup-at-the-door verdicts from the store equal the
+  * fresh `pq_ingest_dedup` verdicts; (3) the ingest loop closes — an
+  * accepted arrival becomes part of the index, so its own later
+  * near-dup is caught without any rebuild; (4) ingest replays are
+  * exactly-once no-ops on the entries table; (5) staleness trips at the
+  * documented 2× growth. */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshIndex(prefix: String): (AnnIndex, org.apache.spark.sql.DataFrame) = {
+    val wh = Warehouse(spark, tmpDir(prefix))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir)
+    idx.build(base)
+    (idx, base)
+  }
+
+  test("stored-index topk == fresh ivfpq_rerank_topk, row for row") {
+    val (idx, base) = freshIndex("annidx-q")
+    val stored = idx.topk(base.where($"vec_id" % 25 === 0), base, k = 5)
+      .select($"qid", $"cid", graft.functions.Kit.quantize($"cos", 6).as("cos_q6"))
+      .as[(Long, Long, Long)].collect().toSet
+    val fresh = Pq.ivfpqRerankTopk.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored.nonEmpty)
+    assert(stored == fresh)
+  }
+
+  test("stored-index dedupArrivals == fresh pq_ingest_dedup verdicts") {
+    val (idx, base) = freshIndex("annidx-d")
+    val arrivals = Pq.ingestArrivals(base)
+    val stored = idx.dedupArrivals(arrivals, base)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    val fresh = Pq.pqIngestDedup.fn(spark, dir)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    assert(stored.nonEmpty)
+    assert(stored == fresh)
+  }
+
+  test("ingest loop: an accepted arrival's own near-dup is caught next batch") {
+    val wh = Warehouse(spark, tmpDir("annidx-i"))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir).persist()
+    idx.build(base)
+    val n0 = idx.indexedRows
+
+    // batch 1: one genuinely novel vector (offset id, orthogonal-ish shift)
+    val novel = base.where($"vec_id" === 0)
+      .select(($"vec_id" + 5000000L).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 2 = 0 " +
+          "THEN CAST(800000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+    val r1 = idx.ingest(novel, base, txnId = "b1")
+    assert(r1.accepted == 1L && r1.duplicates == 0L)
+    assert(idx.indexedRows == n0 + 1)
+    r1.verdicts.unpersist()
+
+    // the accepted arrival now lives in the warehouse corpus too
+    val corpus2 = base.unionByName(novel)
+
+    // batch 2: a near-identical copy of the batch-1 arrival (+5000 every
+    // 7th dim, cos ~ 0.999) — must be flagged as dup OF THE ARRIVAL,
+    // which only works if ingest indexed it with the stored geometry
+    val echo = novel
+      .select(($"vec_id" + 1L).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(5000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+    val r2 = idx.ingest(echo, corpus2, txnId = "b2")
+    val v2 = r2.verdicts.as[(Long, Option[Long], Option[Long], Boolean)]
+      .collect()
+    assert(v2.length == 1)
+    val (_, dupOf, _, isNew) = v2.head
+    assert(!isNew && dupOf.contains(5000000L),
+      s"echo must dup to the ingested arrival, got $v2")
+    assert(r2.accepted == 0L && r2.duplicates == 1L)
+    assert(idx.indexedRows == n0 + 1) // duplicate not indexed
+    r2.verdicts.unpersist()
+
+    // replay of batch 1 (foreachBatch crash-replay): entries untouched
+    val r1b = idx.ingest(novel, base, txnId = "b1")
+    assert(r1b.action == "skipped-duplicate-txn")
+    assert(idx.indexedRows == n0 + 1)
+    r1b.verdicts.unpersist()
+    base.unpersist()
+  }
+
+  test("needsRebuild trips at 2x growth and after a format change") {
+    val wh = Warehouse(spark, tmpDir("annidx-s"))
+    val idx = AnnIndex(wh, "emb")
+    assert(idx.needsRebuild()) // no index yet
+    val base = Similarity.quantized(spark, dir)
+    val meta = idx.build(base)
+    assert(!idx.needsRebuild())
+    assert(meta.builtN == base.count())
+    // geometry formulas were evaluated at built_n
+    assert(meta.ivfModulus == Similarity.ivfModulus(meta.builtN))
+    assert(meta.cbm == Pq.pqCbm(meta.builtN))
+    // grow the entries table past 2x built_n without rebuilding
+    val clone = wh.read("emb_ann_entries")
+      .withColumn("vec_id", $"vec_id" + 7000000L)
+    wh.load("emb_ann_entries", clone, graft.pipeline.SinkPolicy.Append)
+    assert(idx.needsRebuild(), "2x growth must trip staleness")
+  }
+}

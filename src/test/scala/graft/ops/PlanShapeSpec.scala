@@ -244,6 +244,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("min(struct") && !p.contains("SortAggregate"), p)
   }
 
+  test("ann_index_topk reads stored artifacts; no corpus-wide work at query time") {
+    val p = plan("ann_index_topk")
+    // the candidate and ADC joins are fed by the STORED entries table
+    // (cell + 4 B code) and the probe broadcast by the STORED centroid
+    // table — the amortization claim is that these are warehouse scans,
+    // not recomputation
+    assert(p.contains("_ann_entries"), p)
+    assert(p.contains("_ann_centroids"), p)
+    // exactly ONE nested-loop broadcast: the query-probe against the
+    // K ≈ √n centroid table. The fresh pipeline has TWO (corpus-wide
+    // cell assignment + probes); assignment happened at build time, so
+    // a second one here means the query path is re-deriving the index
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    // shortlist + re-rank stay CosTopK object aggregations over
+    // equi-joins (the whole PQ-family discipline)
+    assert(p.contains("cos_topk") && !p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("min(struct") && !p.contains("SortAggregate"), p)
+  }
+
   test("dup_span_coverage windows per document and counts grams off one stage table") {
     val p = plan("dup_span_coverage")
     // interval union is a PER-DOCUMENT window, never a global sort
