@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, Pq, Similarity}
+import graft.pipeline.Warehouse
+
+/** Scale harness for the warehouse-persisted ANN index ([[ops.AnnIndex]])
+  * over a `gen_stress.py` corpus — measures the amortization claim the
+  * component exists for:
+  *
+  *   - build wall (paid ONCE per corpus) vs the registered
+  *     `ivfpq_rerank_topk` wall (which re-derives the index every run);
+  *   - stored-query wall from a COLD cache (the store means nothing has
+  *     to be resident between batches) + planted-pair recall@5;
+  *   - row-for-row parity of stored vs fresh results at the decade;
+  *   - index payload bytes on disk vs the full-width corpus parquet;
+  *   - dedup-at-the-door verdict wall at two batch sizes (cost ∝ batch,
+  *     never corpus) and one real exactly-once ingest + replay.
+  *
+  *   sbt 'runMain graft.AnnIndexScale /tmp/sf100_stress [noparity]
+  *        [wh=/path/to/existing] [phases=build,query,...]'
+  *
+  * `wh=` reuses an existing index warehouse (skips build when meta
+  * matches the corpus size); `phases=` runs a subset — both exist so a
+  * phase can be re-measured in a FRESH JVM: a 9-phase single-session
+  * sweep accumulates broadcasts (ContextCleaner reclaims them lazily,
+  * `clearCache` doesn't touch them), which is measurement contamination
+  * for the later phases at the 1000× decade. */
+object AnnIndexScale {
+
+  private def dirBytes(p: Path): Long = {
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val parity = !args.contains("noparity")
+    val whArg = args.collectFirst { case a if a.startsWith("wh=") => a.drop(3) }
+    val phases: String => Boolean =
+      args.collectFirst { case a if a.startsWith("phases=") =>
+        a.drop(7).split(",").toSet
+      }.map(s => (p: String) => s(p)).getOrElse(_ => true)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // see CosTopK scaladoc: the 128-row default silently converts
+      // every CosTopK aggregation to sort-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    val whRoot = whArg.map(java.nio.file.Paths.get(_))
+      .getOrElse(Files.createTempDirectory("annidx-scale"))
+    val wh = Warehouse(spark, whRoot.toString)
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir)
+    val n = base.count()
+
+    // ---- build: the once-per-corpus cost ----
+    if (phases("build") && !idx.builtN.contains(n)) {
+      val (buildSec, meta) = timed(idx.build(base))
+      println(f"""{"phase": "build", "sec": $buildSec%.2f, "n": $n, """ +
+        s""""ks": ${meta.ks}, "ivf_modulus": ${meta.ivfModulus}}""")
+    }
+
+    // ---- footprint: information kept per vector ----
+    if (phases("footprint")) {
+      val corpusBytes =
+        dirBytes(java.nio.file.Paths.get(dir, "embeddings.parquet"))
+      val indexBytes = dirBytes(whRoot)
+      println(s"""{"phase": "footprint", "corpus_bytes": $corpusBytes, """ +
+        s""""index_bytes": $indexBytes}""")
+    }
+
+    // ---- stored query, cold cache both runs (no residency assumed) ----
+    val queries = base.where($"vec_id" % 25 === 0)
+    if (phases("query")) {
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        timed(idx.topk(queries, base, k = 5)
+          .select("qid", "cid").as[(Long, Long)].collect())
+      }
+      runs.zipWithIndex.foreach { case ((sec, rows), i) =>
+        println(f"""{"phase": "query_${i + 1}", "sec": $sec%.2f, """ +
+          s""""rows": ${rows.length}}""")
+      }
+      val top = runs.last._2.groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+      // planted-pair recall@5 (PqScale's convention: an opportunity is a
+      // plant pair with a query-side member; recovered when the partner
+      // is in that member's top-k)
+      val plantsPath = java.nio.file.Paths.get(dir, "vec_plants.parquet")
+      if (Files.exists(plantsPath)) {
+        val plants = spark.read.parquet(plantsPath.toString)
+          .select("copy_id", "src_id").as[(Long, Long)].collect()
+        val opps = plants.flatMap { case (c, s) =>
+          Seq((c, s), (s, c)).filter(_._1 % 25 == 0)
+        }
+        val hit = opps.count { case (q, p) => top.getOrElse(q, Set.empty)(p) }
+        println(s"""{"phase": "recall", "hit": $hit, "opps": ${opps.length}}""")
+      }
+
+      // ---- parity: stored rows == fresh-pipeline rows, this decade ----
+      if (parity) {
+        spark.catalog.clearCache()
+        val (freshSec, fresh) = timed(
+          Pq.ivfpqRerankTopk.fn(spark, dir)
+            .select("qid", "cid").as[(Long, Long)].collect())
+        println(f"""{"phase": "fresh_end_to_end", "sec": $freshSec%.2f, """ +
+          s""""rows": ${fresh.length}, """ +
+          s""""equal": ${fresh.toSet == runs.last._2.toSet}}""")
+      }
+    }
+
+    // ---- dedup-at-the-door: verdict wall ∝ batch, never corpus ----
+    val arrivals = Pq.ingestArrivals(base).persist()
+    val nArr = arrivals.count()
+    if (phases("dedup")) {
+      val small = arrivals.where($"vec_id" % 100 === 0).persist()
+      val nSmall = small.count()
+      for ((label, batch, sz) <- Seq(("small", small, nSmall),
+                                     ("full", arrivals, nArr))) {
+        spark.catalog.clearCache()
+        val (sec, verdicts) = timed(
+          idx.dedupArrivals(batch, base)
+            .where(!$"is_new").count())
+        println(f"""{"phase": "dedup_$label", "sec": $sec%.2f, """ +
+          s""""batch": $sz, "dups": $verdicts}""")
+      }
+      small.unpersist()
+    }
+
+    // ---- one real ingest + exactly-once replay ----
+    if (phases("ingest")) {
+      val (ingSec, r1) = timed(idx.ingest(arrivals, base, "stress-b1"))
+      println(f"""{"phase": "ingest", "sec": $ingSec%.2f, """ +
+        s""""accepted": ${r1.accepted}, "duplicates": ${r1.duplicates}, """ +
+        s""""indexed": ${idx.indexedRows}}""")
+      r1.verdicts.unpersist()
+    }
+    if (phases("replay")) {
+      spark.catalog.clearCache()
+      val (repSec, r2) = timed(idx.ingest(arrivals, base, "stress-b1"))
+      println(f"""{"phase": "ingest_replay", "sec": $repSec%.2f, """ +
+        s""""action": "${r2.action}", "duplicates": ${r2.duplicates}, """ +
+        s""""indexed": ${idx.indexedRows}}""")
+      r2.verdicts.unpersist()
+    }
+
+    // ---- post-ingest skew: detect, rebuild, re-verdict ----
+    // the correlated "novel" plants flood one stored cell on ingest;
+    // needsRebuild(skew) must see it, and a rebuild (which re-samples
+    // centroids from the grown corpus, splitting the hot region) must
+    // restore the batch-proportional dedup wall
+    if (phases("skew")) {
+      val (rows0, maxCell0) = idx.cellStats
+      println(s"""{"phase": "skew_detect", "rows": $rows0, """ +
+        s""""max_cell": $maxCell0, "modulus": ${idx.meta.ivfModulus}, """ +
+        s""""needs_rebuild": ${idx.needsRebuild()}}""")
+      val grown = base.unionByName(
+        wh.read("emb_ann_entries").select($"vec_id")
+          .where($"vec_id" >= n) // ingested ids (offset rule)
+          .join(arrivals, Seq("vec_id")))
+      val (rbSec, meta2) = timed(idx.build(grown))
+      val (rows1, maxCell1) = idx.cellStats
+      println(f"""{"phase": "rebuild", "sec": $rbSec%.2f, """ +
+        s""""rows": $rows1, "max_cell": $maxCell1, """ +
+        s""""modulus": ${meta2.ivfModulus}, """ +
+        s""""needs_rebuild": ${idx.needsRebuild()}}""")
+      spark.catalog.clearCache()
+      val (sec, dups) = timed(
+        idx.dedupArrivals(arrivals, grown).where(!$"is_new").count())
+      println(f"""{"phase": "dedup_after_rebuild", "sec": $sec%.2f, """ +
+        s""""batch": $nArr, "dups": $dups}""")
+    }
+    arrivals.unpersist()
+    spark.stop()
+  }
+}

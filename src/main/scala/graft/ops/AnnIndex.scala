@@ -135,14 +135,41 @@ final case class AnnIndex(wh: Warehouse, name: String) {
   /** Rows currently indexed (built + ingested since). */
   def indexedRows: Long = entries.count()
 
+  /** (indexed rows, largest cell) in one aggregation pass over the
+    * 16 B/row entries table — linear in the index, never the corpus;
+    * production maintains the per-cell counts incrementally at append
+    * time, but one pass over 10¹¹ code rows is itself a small job. */
+  def cellStats: (Long, Long) = {
+    val r = entries.groupBy($"cell").agg(count(lit(1)).as("c"))
+      .agg(sum($"c"), max($"c")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** The adaptive formulas (Ks, cbm, ⌈√n⌉ cells) were evaluated at
-    * built_n; past `growth`× that, the geometry is stale — √n cells now
-    * hold growth·√n members each and probe cost drifts off the measured
-    * n^1.5 balance. */
-  def needsRebuild(growth: Double = 2.0): Boolean =
+    * built_n; the geometry is stale when either
+    *
+    *   - TOTAL GROWTH: indexed rows ≥ `growth`× built_n — √n cells now
+    *     hold growth·√n members each and probe cost drifts off the
+    *     measured n^1.5 balance; or
+    *   - CELL SKEW: the largest cell ≥ `skew`× the expected √n cell
+    *     size (= the stored ivf modulus). Growth cannot see this one:
+    *     a CORRELATED arrival batch (a same-source crawl, a template
+    *     family) assigns en masse to one stored centroid, and every
+    *     later dedup/query probe into that cell pays |cell| candidates
+    *     — measured at the 1000× decade, a 48.9k-vector correlated
+    *     ingest (+2.4% growth, far under any growth bar) built a
+    *     41,179-member cell (28× the 1,449 average) that turned the
+    *     72.7 s batch-verdict into a ~2·10⁹-candidate grind on ONE
+    *     shuffle key (STRESS_r09 §11). Rebuild repairs it: the modulus
+    *     re-sample drafts ~|cell|/m of the new cluster's own vectors
+    *     as centroids, splitting the hot region.
+    */
+  def needsRebuild(growth: Double = 2.0, skew: Double = 16.0): Boolean =
     builtN match {
       case None => true
-      case Some(n0) => indexedRows >= growth * n0
+      case Some(n0) =>
+        val (rows, maxCell) = cellStats
+        rows >= growth * n0 || maxCell >= skew * meta.ivfModulus
     }
 
   /** Top-`k` neighbours for `queries` against the STORED index — probe
@@ -174,8 +201,14 @@ final case class AnnIndex(wh: Warehouse, name: String) {
                     threshold: Double = 0.90): DataFrame = {
     val cb = codebook()
     val probes = Similarity.probeCells(batch, centroids, 2)
+    // arrival ids are disjoint from indexed ids by the offset rule, so
+    // the self-pair filter is a no-op on a first delivery — it exists
+    // for REPLAYS, where the original call's accepted arrivals are
+    // already in the index and would otherwise verdict as duplicates
+    // of themselves (see [[ingest]]'s idempotency note)
     val cand = probes
       .join(entries.select($"vec_id", $"cell"), Seq("cell"))
+      .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
     val short = Pq.adcShortlistCoded(
       cand, entries.select($"vec_id", $"codes"), batch, cb, 4)
@@ -196,13 +229,25 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * it from the same warehouse the payload lands in). The returned
     * `verdicts` frame is persisted (it feeds both the duplicate count
     * and the accepted-set join); callers unpersist it when done — the
-    * repo's clearCache() leak-check convention. */
+    * repo's clearCache() leak-check convention.
+    *
+    * Replay SURVIVES a rebuild: [[Warehouse.txnLanded]] walks every
+    * RETAINED manifest version, and a rebuild's Overwrite supersedes but
+    * does not delete the append's manifest — so a crash-replay that
+    * races a rebuild is still skipped (and the rebuilt entries already
+    * contain the accepted arrivals, read from the grown corpus). The
+    * exposure window is the warehouse-wide vacuum retention contract:
+    * size retention to the longest possible replay, as everywhere else. */
   def ingest(batch: DataFrame, corpus: DataFrame, txnId: String,
              threshold: Double = 0.90): IngestResult = {
     val verdicts = dedupArrivals(batch, corpus, threshold).persist()
     val nDup = verdicts.where(!$"is_new").count()
     if (wh.txnLanded(tEntries, txnId)) {
-      // replay: verdicts are recomputed (deterministic), index untouched
+      // replay: the index append is skipped (exactly-once is a property
+      // of the STORE) and the verdicts are recomputed — the self-pair
+      // filter in dedupArrivals keeps them equal to the original call's
+      // unless the batch itself contained accepted near-pairs, which now
+      // see each other in the index (AnnIndexSpec pins the common case)
       return IngestResult(verdicts, 0L, nDup, "skipped-duplicate-txn")
     }
     val cb = codebook()

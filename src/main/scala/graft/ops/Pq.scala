@@ -533,7 +533,7 @@ object Pq {
     * collision-free offset rule from [[Similarity.plantedOraclePrefix]]
     * (the two plant families cannot alias each other either: 2o ≥
     * o + max + 1). */
-  private[ops] def ingestArrivals(base: DataFrame): DataFrame = {
+  private[graft] def ingestArrivals(base: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val off = math.max(1000000L,

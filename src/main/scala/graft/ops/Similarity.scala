@@ -67,7 +67,7 @@ object Similarity {
     * row under a generator — the pathology measured in TextOps); every
     * similarity query reads this stage table instead. The harness clears
     * the cache between queries. */
-  private[ops] def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Parallelism floor BEFORE the persist (see [[ParallelismFloor]]):
     // every family member's compute-bound corpus pass — ivf_topk's n·√n

@@ -65,6 +65,8 @@ class AnnIndexSpec extends SparkTestBase {
     val r1 = idx.ingest(novel, base, txnId = "b1")
     assert(r1.accepted == 1L && r1.duplicates == 0L)
     assert(idx.indexedRows == n0 + 1)
+    val v1 = r1.verdicts.as[(Long, Option[Long], Option[Long], Boolean)]
+      .collect().toSet
     r1.verdicts.unpersist()
 
     // the accepted arrival now lives in the warehouse corpus too
@@ -89,10 +91,15 @@ class AnnIndexSpec extends SparkTestBase {
     assert(idx.indexedRows == n0 + 1) // duplicate not indexed
     r2.verdicts.unpersist()
 
-    // replay of batch 1 (foreachBatch crash-replay): entries untouched
+    // replay of batch 1 (foreachBatch crash-replay): entries untouched,
+    // and the verdicts equal the original call's — the self-pair filter
+    // keeps the now-indexed arrival from flagging itself
     val r1b = idx.ingest(novel, base, txnId = "b1")
     assert(r1b.action == "skipped-duplicate-txn")
     assert(idx.indexedRows == n0 + 1)
+    val v1b = r1b.verdicts.as[(Long, Option[Long], Option[Long], Boolean)]
+      .collect().toSet
+    assert(v1b == v1, s"replay verdicts must match the original: $v1b vs $v1")
     r1b.verdicts.unpersist()
     base.unpersist()
   }
@@ -113,5 +120,28 @@ class AnnIndexSpec extends SparkTestBase {
       .withColumn("vec_id", $"vec_id" + 7000000L)
     wh.load("emb_ann_entries", clone, graft.pipeline.SinkPolicy.Append)
     assert(idx.needsRebuild(), "2x growth must trip staleness")
+  }
+
+  test("needsRebuild trips on cell skew long before the growth bar") {
+    val wh = Warehouse(spark, tmpDir("annidx-k"))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir)
+    val meta = idx.build(base)
+    assert(!idx.needsRebuild())
+    // a correlated batch floods ONE cell: 16x the expected sqrt(n) cell
+    // size, but well under 2x total growth (the 1000x-decade failure
+    // mode — a hot cell that makes every later probe quadratic)
+    val hot = wh.read("emb_ann_entries").limit(1).head()
+    val hotCell = hot.getAs[Long]("cell")
+    val nHot = (16 * meta.ivfModulus).toInt
+    val flood = spark.range(nHot)
+      .select(($"id" + 8000000L).as("vec_id"), lit(hotCell).as("cell"),
+        typedLit(Seq(0, 0, 0, 0)).as("codes"))
+    wh.load("emb_ann_entries", flood, graft.pipeline.SinkPolicy.Append)
+    assert(idx.indexedRows < 2 * meta.builtN, "stay under the growth bar")
+    assert(idx.needsRebuild(), "a 16x hot cell must trip staleness")
+    // rebuild from the current corpus clears it
+    idx.build(base)
+    assert(!idx.needsRebuild())
   }
 }
