@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.pipeline.Warehouse
+
+/** The streaming dedup-at-the-door lifecycle: bootstrap on the first
+  * drop, near-dup verdicts against the stored index on every later one,
+  * accepted-only landing, and exactly-once across all three tables
+  * under replay and partial-crash re-delivery. */
+class VectorGateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+  /** Quantized slice of the fixture embeddings with ids offset into a
+    * private range (the gate's global-uniqueness rule). */
+  private def slice(from: Int, until: Int, idBase: Long,
+                    perturb: Boolean = false): DataFrame = {
+    val raw = spark.read.parquet(emb)
+      .where($"vec_id" >= from && $"vec_id" < until)
+    val shifted =
+      if (!perturb) raw.select(($"vec_id" + idBase).as("vec_id"), $"embedding")
+      else raw.select(($"vec_id" + idBase).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i % 7 = 0 " +
+          "THEN x + CAST(0.001 AS FLOAT) ELSE x END)").as("embedding"))
+    EmbeddingStage.quantize(shifted)
+  }
+
+  test("gate lifecycle: bootstrap, near-dup verdicts, accepted-only landing") {
+    val wh = Warehouse(spark, tmpDir("vg-wh"))
+    val gate = VectorGate(wh, "emb")
+
+    // drop 1 bootstraps: all 40 vectors accepted, index built
+    gate.landBatch(slice(0, 40, 1000L), "app:0")
+    assert(wh.read(gate.stageTable).count() == 40L)
+    assert(wh.read(gate.verdictTable).where($"is_new").count() == 40L)
+    assert(gate.idx.builtN.contains(40L))
+
+    // drop 2: 10 near-identical re-arrivals (perturbed copies of drop
+    // 1's first ten) + 10 genuinely new vectors
+    val nearDups = slice(0, 10, 2000L, perturb = true)
+    val novel = slice(40, 50, 2000L)
+    gate.landBatch(nearDups.unionByName(novel), "app:1")
+
+    val v2 = wh.read(gate.verdictTable)
+      .where($"vec_id" >= 2000L)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v2.length == 20)
+    val (dups, news) = v2.partition(!_._4)
+    assert(dups.length == 10 && news.length == 10)
+    // each near-dup names its drop-1 source: id 2000+i dups 1000+i
+    dups.foreach { case (vid, dupOf, cosQ6, _) =>
+      assert(dupOf.contains(vid - 1000L), s"$vid -> $dupOf")
+      assert(cosQ6.exists(_ >= 900000L))
+    }
+    // only the accepted 10 landed; the index grew by exactly those
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(gate.idx.indexedRows == 50L)
+  }
+
+  test("replay and partial-crash re-delivery keep all three tables exactly-once") {
+    val wh = Warehouse(spark, tmpDir("vg2-wh"))
+    val gate = VectorGate(wh, "emb")
+    gate.landBatch(slice(0, 40, 1000L), "app:0")
+
+    val batch2 = slice(0, 10, 2000L, perturb = true)
+      .unionByName(slice(40, 50, 2000L)).persist()
+
+    // WINDOW A — crash after the index append, before verdicts/stage
+    // landed: simulate by running the ingest half alone, then the full
+    // re-delivered batch
+    val r = gate.idx.ingest(batch2, wh.read(gate.stageTable), "app:1")
+    assert(r.accepted == 10L)
+    r.verdicts.unpersist()
+    gate.landBatch(batch2, "app:1")
+    assert(gate.idx.indexedRows == 50L, "no double entries append")
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(wh.read(gate.verdictTable).count() == 60L)
+
+    // WINDOW B — full replay (crash between stage commit and checkpoint
+    // advance): everything already landed, nothing may move
+    gate.landBatch(batch2, "app:1")
+    assert(gate.idx.indexedRows == 50L)
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(wh.read(gate.verdictTable).count() == 60L)
+    batch2.unpersist()
+  }
+
+  test("streaming end-to-end: two drains through a checkpointed file source") {
+    val src = tmpDir("vg3-src")
+    val ckpt = tmpDir("vg3-ckpt")
+    val wh = Warehouse(spark, tmpDir("vg3-wh"))
+    val gate = VectorGate(wh, "emb")
+    def stream = EmbeddingStage.quantize(
+      spark.readStream.schema(EmbeddingStage.rawSchema).parquet(src))
+
+    spark.read.parquet(emb).where($"vec_id" < 40)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+      .write.mode("append").parquet(src)
+    gate.drain(stream, ckpt, "vg")
+    assert(wh.read(gate.stageTable).count() == 40L)
+
+    // second drop: 5 perturbed re-arrivals + 5 new
+    spark.read.parquet(emb).where($"vec_id" < 5)
+      .select(($"vec_id" + 2000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i % 7 = 0 " +
+          "THEN x + CAST(0.001 AS FLOAT) ELSE x END)").as("embedding"))
+      .unionByName(
+        spark.read.parquet(emb).where($"vec_id" >= 40 && $"vec_id" < 45)
+          .select(($"vec_id" + 2000L).as("vec_id"), $"embedding"))
+      .write.mode("append").parquet(src)
+    gate.drain(stream, ckpt, "vg")
+
+    assert(wh.read(gate.stageTable).count() == 45L)
+    assert(wh.read(gate.verdictTable).where(!$"is_new").count() == 5L)
+    // a re-drain with nothing pending moves nothing
+    gate.drain(stream, ckpt, "vg")
+    assert(wh.read(gate.stageTable).count() == 45L)
+    assert(wh.read(gate.verdictTable).count() == 50L)
+  }
+}
