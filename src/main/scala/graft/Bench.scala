@@ -96,7 +96,21 @@ object Bench {
       (d.name, runs.sorted.apply(REPS / 2), runs, cpuSec / REPS)
     }
     val loadAfter = loadavg()
-    val clean = cleanMedians("bench_clean.json")
+    // The 3x-suspect gate only means something when the clean reference
+    // was recorded under the SAME parallelism: at sf0.1 the iterative
+    // dedup family is 1.3-1.7x SLOWER under local[32] than local[4]
+    // (per-task constants dominate tiny stages), so cross-protocol
+    // comparison manufactures false suspects — found when the round-9
+    // re-record moved the total 72.1 -> 85.5 s with zero code change
+    // (BENCH_NOTES, round-9 protocol note).
+    val cleanCpus =
+      try "\"cpus\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(Files.readString(Paths.get("bench_clean.json")))
+        .map(_.group(1))
+      catch { case _: Throwable => None }
+    val protocolMatch = cleanCpus.forall(_ == cpus)
+    val clean =
+      if (protocolMatch) cleanMedians("bench_clean.json") else Map.empty[String, Double]
     val suspects = results.collect {
       case (name, med, _, _) if clean.get(name).exists(c => c > 0 && med > 3 * c) =>
         name
@@ -117,7 +131,7 @@ object Bench {
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","cpu_sec":$cpuQs,"load_suspect":$suspectArr"""
     Files.writeString(
       Paths.get("bench_result.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","queries":$fullQs,"runs":$perRun,$loadMeta,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-$REPS","cpus":$cpus,"queries":$fullQs,"runs":$perRun,$loadMeta,"sf":"$sfDir"}""" + "\n")
     // The stdout line MUST fit, with room for sbt's trailing "[success]"
     // line, inside the driver's 2000-char output-tail window — round 3's
     // 6 KB line (full precision + per-run arrays) was clipped mid-line and
@@ -131,7 +145,7 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val ld =
         s""","loadavg":"$loadBefore;$loadAfter","load_suspect":${suspects.length}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$REPS","queries":$m$om$ld,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"median-of-$REPS","cpus":$cpus,"queries":$m$om$ld,"sf":"$sfDir"}"""
     }
     val bySlow = results.map { case (k, med, _, _) => (k, med) }
       .sortBy(-_._2)
