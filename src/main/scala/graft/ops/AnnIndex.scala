@@ -216,6 +216,23 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     Pq.ingestVerdicts(batch, best, threshold)
   }
 
+  /** Assign + encode + append `batch`'s entries WITHOUT verdicting —
+    * the generation-cutover catch-up path ([[graft.streaming.VectorGate]]
+    * indexes the stage rows that landed while the next generation was
+    * building) and the raw ingest primitive for callers that did their
+    * own dedup. Encoded with the STORED codebook, assigned to the STORED
+    * centroids (same geometry as [[ingest]]'s accepted-arrival append);
+    * txn-tagged so a crash-replay of the same logical range is a no-op.
+    * Returns rows appended (0 on a replay skip). */
+  def indexVectors(batch: DataFrame, txnId: String): Long = {
+    if (wh.txnLanded(tEntries, txnId)) return 0L
+    val cb = codebook()
+    val asg = Similarity.probeCells(batch, centroids, 1)
+      .select($"qid".as("vec_id"), $"cell")
+    val newEntries = asg.join(Pq.encode(batch, cb), Seq("vec_id"))
+    wh.load(tEntries, newEntries, SinkPolicy.Append, Some(txnId)).rows
+  }
+
   /** Dedup-at-the-door + incremental index maintenance, exactly-once:
     * verdict the batch against the stored index, then append the
     * ACCEPTED (is_new) arrivals' entries — encoded with the STORED
@@ -231,13 +248,22 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * and the accepted-set join); callers unpersist it when done — the
     * repo's clearCache() leak-check convention.
     *
-    * Replay SURVIVES a rebuild: [[Warehouse.txnLanded]] walks every
+    * Replay vs IN-PLACE rebuild: [[Warehouse.txnLanded]] walks every
     * RETAINED manifest version, and a rebuild's Overwrite supersedes but
     * does not delete the append's manifest — so a crash-replay that
-    * races a rebuild is still skipped (and the rebuilt entries already
-    * contain the accepted arrivals, read from the grown corpus). The
-    * exposure window is the warehouse-wide vacuum retention contract:
-    * size retention to the longest possible replay, as everywhere else. */
+    * races a rebuild is still skipped. That skip is only CORRECT when
+    * the rebuild's corpus already contained this batch's accepted
+    * arrivals (i.e. the caller's payload landing had committed before
+    * the rebuild snapshotted); a rebuild from a corpus that predates the
+    * crashed batch would orphan its arrivals behind the skip — the
+    * round-9 ADVICE window. [[graft.streaming.VectorGate]] therefore
+    * never rebuilds this table in place: it builds the next GENERATION
+    * out-of-band and a replay that arrives after the cutover appends
+    * fresh into the new generation's entries (VectorGateSpec pins that
+    * window). Direct users who rebuild in place must land the payload
+    * table FIRST or rebuild from stage ∪ batch. The retained-manifest
+    * walk's exposure window is the warehouse-wide vacuum retention
+    * contract: size retention to the longest possible replay. */
   def ingest(batch: DataFrame, corpus: DataFrame, txnId: String,
              threshold: Double = 0.90): IngestResult = {
     val verdicts = dedupArrivals(batch, corpus, threshold).persist()
@@ -263,6 +289,21 @@ final case class AnnIndex(wh: Warehouse, name: String) {
 
 object AnnIndex {
 
+  /** Size ⊕ mtime fold over the fixture's embeddings parquet files — a
+    * cheap driver-side content stamp for the build-on-first-use tmp
+    * warehouses (metadata-only: no data read). */
+  private def fixtureFingerprint(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val st = java.nio.file.Files.walk(p)
+    try st.filter(java.nio.file.Files.isRegularFile(_))
+      .sorted()
+      .mapToLong(f => java.nio.file.Files.size(f) * 31L +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      .reduce(17L, (a, b) => a * 1000003L + b)
+    finally st.close()
+  }
+
   final case class Meta(builtN: Long, ks: Int, cbm: Long, ivfModulus: Long)
 
   final case class IngestResult(verdicts: DataFrame, accepted: Long,
@@ -282,7 +323,14 @@ object AnnIndex {
     "ann_index_topk",
     (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      // the tmp-warehouse key carries the SANITIZED FULL PATH (two
+      // fixture dirs can never collide the way a 32-bit hashCode could)
+      // plus a content fingerprint over the embeddings parquet files
+      // (size + mtime), so a re-generated fixture with an unchanged row
+      // count rebuilds instead of silently serving a stale index
+      // (round-9 ADVICE)
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "-") + "-" +
+        java.lang.Long.toHexString(fixtureFingerprint(dir))
       val wh = Warehouse(s,
         s"${System.getProperty("java.io.tmpdir")}/graft-annidx-$tag")
       val idx = AnnIndex(wh, "emb")

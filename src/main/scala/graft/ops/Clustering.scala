@@ -403,8 +403,11 @@ object Clustering {
     semdedupOracleSql(k = 8, iters = 3, poolMult = 16, tau = SemdedupTau)) {
     (s, dir) =>
       val q = Similarity.plantedQuantized(s, dir).persist()
-      semdedupCensus(q, kmeansAssign(q, kmeansCentroids(q, k = 8, iters = 3)),
-        SemdedupTau.toDouble)
+      // persisted because the census reads the assignment 3x (both pair
+      // sides + the final census join) and caching is the CALLER's job
+      // there (round-9 ADVICE; same convention as semdedupAdaptive)
+      val asg = kmeansAssign(q, kmeansCentroids(q, k = 8, iters = 3)).persist()
+      semdedupCensus(q, asg, SemdedupTau.toDouble)
   }
 
   /** The pairwise half of semantic dedup, over any (vec_id, qe, nrm) ×

@@ -11,15 +11,38 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   * wired into the micro-batch landing discipline: every embedding drop
   * is verdicted against the stored index BEFORE it lands, accepted
   * vectors join the corpus stage table, duplicates are recorded and
-  * dropped, and the index maintains itself (bootstrap on the first
-  * batch, skew/growth-triggered rebuild before a verdict pass ever runs
-  * against a known-stale geometry — the 1000×-decade hot-cell lesson,
-  * STRESS_r09 §11).
+  * dropped.
   *
-  * Three tables move per micro-batch — `name_ann_*` (via
-  * [[AnnIndex.ingest]]), `name_verdicts`, `name_stage` — each append
-  * tagged with the same `appId:batchId` txn, each table's log
-  * independently idempotent. The STAGE table lands LAST and is the
+  * INDEX MAINTENANCE IS OUT-OF-BAND (round-9 verdict #1). A rebuild is
+  * O(corpus) — 95.5 s at 2M vectors, hours at 10¹¹ — so running it
+  * inline in a micro-batch (round 9's shape) stalls the stream for a
+  * full corpus pass while input queues. Instead the index is
+  * GENERATIONAL:
+  *
+  *   - the gate serves generation `g` (index tables `name_g<g>_ann_*`;
+  *     the head pointer is one tiny warehouse table, `name_idxgen`);
+  *   - [[prepareRebuild]] — a maintenance job, never the stream path —
+  *     builds generation `g+1` from a PINNED stage snapshot (version
+  *     `v0`) while drains keep verdicting against `g`, then publishes a
+  *     `pending` pointer row;
+  *   - the next [[landBatch]] cuts over FIRST: it indexes the stage
+  *     rows that landed after `v0` into `g+1` (a
+  *     [[Warehouse.readAppendedBetween]] CDC read — cost ∝ rows landed
+  *     during the build, never the corpus; txn-tagged so a
+  *     crash-replay of the cutover is a no-op), then atomically swaps
+  *     the head pointer. Old-generation tables stay until vacuum
+  *     (readers pinned to them finish on their snapshot).
+  *
+  * The cutover is the only index work on the stream path and its cost
+  * is batch-scale; a hot-cell or growth trip therefore degrades probe
+  * cost until maintenance lands, instead of freezing the stream
+  * (bounded grind, measured in the GateScale harness at the 1000×
+  * decade).
+  *
+  * Three tables move per micro-batch — the serving generation's
+  * entries (via [[AnnIndex.ingest]]), `name_verdicts`, `name_stage` —
+  * each append tagged with the same `appId:batchId` txn, each table's
+  * log independently idempotent. The STAGE table lands LAST and is the
   * gate's replay guard: once it committed, the whole logical batch did
   * (a replay consumes-and-skips); a crash anywhere earlier re-runs the
   * batch against steps that are each safe to repeat —
@@ -31,13 +54,21 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   *     artifacts — value-idempotent (the branch is chosen by "is the
   *     stage table empty", and the stage lands last, so a mid-bootstrap
   *     replay re-enters bootstrap);
-  *   - verdict append: skipped via its txn tag.
+  *   - verdict append: skipped via its txn tag;
+  *   - generation cutover: catch-up append skipped via its
+  *     deterministic range txn, pointer swap value-idempotent.
   *
-  * The one replay corner that can differ is doc'd at
-  * [[AnnIndex.ingest]]: a batch containing accepted intra-batch
-  * near-pairs re-verdicts those against each other. The STORE stays
-  * exactly-once in every window; VectorGateSpec drives the windows
-  * directly.
+  * The crash-replay × rebuild window (round-9 ADVICE, medium): a batch
+  * that died after its index append but before its stage landing,
+  * replayed AFTER a rebuild whose snapshot predates the batch, must not
+  * lose the accepted arrivals behind the entries table's txn skip. The
+  * generational design closes it structurally: the rebuild lands in a
+  * NEW generation's entries table, so the replay's ingest against `g+1`
+  * sees a fresh txn and appends the arrivals — nothing is orphaned
+  * (VectorGateSpec drives exactly this window). The one replay corner
+  * that can differ is doc'd at [[AnnIndex.ingest]]: a batch containing
+  * accepted intra-batch near-pairs re-verdicts those against each
+  * other. The STORE stays exactly-once in every window.
   *
   * Reference anchor: the reference's scrape pipelines land only
   * new-vs-warehouse rows each run (`datasources.py:748-756` delta
@@ -48,11 +79,93 @@ final case class VectorGate(wh: Warehouse, name: String) {
   private val spark = wh.spark
   import spark.implicits._
 
-  val idx: AnnIndex = AnnIndex(wh, name)
   def stageTable: String = s"${name}_stage"
   def verdictTable: String = s"${name}_verdicts"
 
-  /** One logical micro-batch: verdict, record, land. `batch` carries
+  /** Head/pending generation pointers — one tiny table, rows
+    * (kind, gen, stage_version). `head` is the generation the gate
+    * serves; `pending` (if newer) is a fully-built next generation
+    * waiting for its between-batches cutover. */
+  def genTable: String = s"${name}_idxgen"
+
+  private def genState: (Option[Long], Option[(Long, Long)]) =
+    if (wh.currentFiles(genTable).isEmpty) (None, None)
+    else {
+      val rows = wh.read(genTable)
+        .select($"kind", $"gen", $"stage_version")
+        .as[(String, Long, Long)].collect()
+      (rows.collectFirst { case ("head", g, _) => g },
+        rows.collectFirst { case ("pending", g, v) => (g, v) })
+    }
+
+  private def writeGen(rows: Seq[(String, Long, Long)]): Unit = {
+    wh.load(genTable, rows.toDF("kind", "gen", "stage_version"),
+      SinkPolicy.Overwrite)
+    ()
+  }
+
+  private def idxAt(gen: Long): AnnIndex = AnnIndex(wh, s"${name}_g$gen")
+
+  /** The generation currently served (0 before any bootstrap). */
+  def headGen: Long = genState._1.getOrElse(0L)
+
+  /** The LIVE index — always the last healthy generation; a pending
+    * rebuild becomes visible only after a [[landBatch]] cutover. */
+  def idx: AnnIndex = idxAt(headGen)
+
+  /** True when the SERVING generation's geometry is stale (growth or
+    * hot-cell skew — [[AnnIndex.needsRebuild]]) and a maintenance
+    * [[prepareRebuild]] should be scheduled. Never consulted on the
+    * stream path: a stale geometry degrades probe cost, it does not
+    * block landing. */
+  def maintenanceNeeded(): Boolean =
+    wh.currentFiles(stageTable).nonEmpty && idx.needsRebuild()
+
+  /** OUT-OF-BAND rebuild — run from a maintenance job (or a background
+    * thread), NEVER from the micro-batch path. Builds generation
+    * head+1 from a pinned snapshot of the stage table; concurrent
+    * [[landBatch]]es keep serving (and appending entries to) the
+    * current head meanwhile. Publishes a `pending` pointer on success;
+    * the swap itself happens between batches (see [[landBatch]]).
+    * Returns the prepared generation, or None when there is nothing to
+    * rebuild from (no bootstrap yet). Single-maintainer discipline:
+    * run one rebuild at a time per gate (the standard contract for
+    * out-of-band compaction/reindex jobs). */
+  def prepareRebuild(): Option[Long] = {
+    val (headOpt, _) = genState
+    for {
+      head <- headOpt
+      v0 <- wh.currentVersion(stageTable)
+    } yield {
+      val next = head + 1
+      idxAt(next).build(wh.readVersion(stageTable, v0))
+      writeGen(Seq(("head", head, -1L), ("pending", next, v0)))
+      next
+    }
+  }
+
+  /** The between-batches half of the rebuild: index the stage rows that
+    * landed after the snapshot into the pending generation (CDC read,
+    * cost ∝ rows-landed-during-build), then swap the head pointer.
+    * Idempotent under crash-replay: the catch-up append's txn encodes
+    * its exact version range, and the pointer swap is a value-identical
+    * Overwrite. */
+  private def cutoverIfPending(): Unit = {
+    val (headOpt, pendingOpt) = genState
+    for (head <- headOpt; (next, v0) <- pendingOpt if next > head) {
+      val v1 = wh.currentVersion(stageTable).getOrElse(v0)
+      if (v1 > v0) {
+        idxAt(next).indexVectors(
+          wh.readAppendedBetween(stageTable, v0, v1),
+          s"cutover:g$next:$v0-$v1")
+        ()
+      }
+      writeGen(Seq(("head", next, -1L)))
+    }
+  }
+
+  /** One logical micro-batch: cut over to a pending generation if one
+    * is ready, then verdict, record, land. `batch` carries
     * [[graft.ops.Similarity]]'s quantized shape (vec_id, qe, nrm);
     * vec_ids must be globally unique across all drops (the ingest
     * id-disjointness rule). Exposed publicly so crash replays can be
@@ -65,12 +178,14 @@ final case class VectorGate(wh: Warehouse, name: String) {
       batch.foreach(_ => ())
       return
     }
+    cutoverIfPending()
     if (wh.currentFiles(stageTable).isEmpty) {
       // bootstrap: nothing to dedup against — everything is new
       val b = batch.persist()
       try {
         if (b.count() == 0L) return
-        idx.build(b)
+        idxAt(0L).build(b)
+        writeGen(Seq(("head", 0L, -1L)))
         val verdicts = b.select($"vec_id",
           lit(null).cast("long").as("dup_of"),
           lit(null).cast("long").as("cos_q6"),
@@ -80,10 +195,6 @@ final case class VectorGate(wh: Warehouse, name: String) {
         ()
       } finally { b.unpersist(); () }
     } else {
-      // repair a stale geometry BEFORE verdicting against it: a hot
-      // cell (correlated past batch) or 2x growth makes the verdict
-      // pass itself the casualty (STRESS_r09 §11's 2e9-pair grind)
-      if (idx.needsRebuild()) idx.build(wh.read(stageTable))
       val corpus = wh.read(stageTable)
       val res = idx.ingest(batch, corpus, txn, threshold)
       try {

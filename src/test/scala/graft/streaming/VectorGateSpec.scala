@@ -89,6 +89,80 @@ class VectorGateSpec extends SparkTestBase {
     batch2.unpersist()
   }
 
+  test("out-of-band rebuild: landings proceed during the build, cutover catches up exactly-once") {
+    val wh = Warehouse(spark, tmpDir("vg4-wh"))
+    val gate = VectorGate(wh, "emb")
+    gate.landBatch(slice(0, 40, 1000L), "app:0") // bootstrap gen 0
+    assert(gate.headGen == 0L)
+
+    // maintenance runs on a BACKGROUND thread while a drop lands —
+    // the decoupling the round-9 verdict asked for: no stream stall
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rebuild = Future(gate.prepareRebuild())
+    gate.landBatch(slice(40, 50, 3000L), "app:1")
+    assert(Await.result(rebuild, 5.minutes).contains(1L))
+
+    // next batch cuts over FIRST (catch-up indexes whatever landed
+    // after the snapshot), then verdicts against generation 1: a
+    // near-dup of an app:1 row proves the catch-up indexed it
+    val echo = slice(40, 45, 4000L, perturb = true)
+    gate.landBatch(echo, "app:2")
+    assert(gate.headGen == 1L)
+    val v = wh.read(gate.verdictTable)
+      .where($"vec_id" >= 4000L)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v.length == 5 && v.forall(!_._4))
+    v.foreach { case (vid, dupOf, _, _) =>
+      assert(dupOf.contains(vid - 1000L), s"$vid -> $dupOf") }
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(gate.idx.indexedRows == 50L,
+      "live generation must contain bootstrap + catch-up rows")
+
+    // replay of the cutover batch: nothing moves anywhere
+    gate.landBatch(echo, "app:2")
+    assert(gate.headGen == 1L)
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(gate.idx.indexedRows == 50L)
+  }
+
+  test("crashed ingest replayed after an out-of-band rebuild keeps its arrivals indexed") {
+    // the round-9 ADVICE window: batch crashes AFTER its index append,
+    // a rebuild whose snapshot predates the batch lands, then the batch
+    // replays — the old in-place rebuild lost the accepted arrivals
+    // behind the entries table's txn skip; generations close it
+    val wh = Warehouse(spark, tmpDir("vg5-wh"))
+    val gate = VectorGate(wh, "emb")
+    gate.landBatch(slice(0, 40, 1000L), "app:0")
+
+    val batch2 = slice(0, 10, 2000L, perturb = true)
+      .unionByName(slice(40, 50, 2000L)).persist()
+
+    // Window A crash: entries appended to gen 0, stage/verdicts not landed
+    val r = gate.idx.ingest(batch2, wh.read(gate.stageTable), "app:1")
+    assert(r.accepted == 10L)
+    r.verdicts.unpersist()
+
+    // out-of-band rebuild from the 40-row stage snapshot (no batch2)
+    assert(gate.prepareRebuild().contains(1L))
+
+    // replay: cutover to gen 1, then a FRESH ingest against it — the
+    // new generation has no txn history, so the arrivals land
+    gate.landBatch(batch2, "app:1")
+    assert(gate.headGen == 1L)
+    assert(wh.read(gate.stageTable).count() == 50L)
+    assert(gate.idx.indexedRows == 50L,
+      "accepted arrivals must be present in the live index")
+    assert(wh.read(gate.verdictTable).count() == 60L)
+
+    // and a later near-dup of an accepted arrival is caught at the door
+    gate.landBatch(slice(40, 45, 4000L, perturb = true), "app:2")
+    assert(wh.read(gate.verdictTable)
+      .where($"vec_id" >= 4000L && !$"is_new").count() == 5L)
+    batch2.unpersist()
+  }
+
   test("streaming end-to-end: two drains through a checkpointed file source") {
     val src = tmpDir("vg3-src")
     val ckpt = tmpDir("vg3-ckpt")
