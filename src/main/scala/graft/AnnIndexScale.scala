@@ -164,6 +164,41 @@ object AnnIndexScale {
       r2.verdicts.unpersist()
     }
 
+    // ---- routed dispatch (AnnRouter.routedTopk): the production
+    // amortization — metadata-only dispatch to the stored index ----
+    if (phases("routed")) {
+      spark.catalog.clearCache()
+      val (sec, rows) = timed(ops.AnnRouter.routedTopk(idx, base)
+        .select("qid", "cid").as[(Long, Long)].collect())
+      println(f"""{"phase": "routed", "sec": $sec%.2f, """ +
+        s""""rows": ${rows.length}, "branch": "${ops.AnnRouter.choose(n)}", """ +
+        s""""via_store": ${idx.builtN.contains(n) && !idx.needsRebuild()}}""")
+    }
+
+    // ---- post-ingest skew: INCREMENTAL repair (O(hot cell), not
+    // O(corpus)) — the round-10 alternative to the rebuild below ----
+    if (phases("repair")) {
+      val (rows0, maxCell0) = idx.cellStats
+      println(s"""{"phase": "repair_detect", "rows": $rows0, """ +
+        s""""max_cell": $maxCell0, "modulus": ${idx.meta.ivfModulus}, """ +
+        s""""needs_rebuild": ${idx.needsRebuild()}}""")
+      val grown = base.unionByName(
+        wh.read("emb_ann_entries").select($"vec_id")
+          .where($"vec_id" >= n) // ingested ids (offset rule)
+          .join(arrivals, Seq("vec_id")))
+      val (rpSec, reassigned) = timed(idx.repairHotCells(grown))
+      val (rows1, maxCell1) = idx.cellStats
+      println(f"""{"phase": "repair", "sec": $rpSec%.2f, """ +
+        s""""reassigned": $reassigned, "rows": $rows1, """ +
+        s""""max_cell": $maxCell1, """ +
+        s""""needs_rebuild": ${idx.needsRebuild()}}""")
+      spark.catalog.clearCache()
+      val (sec, dups) = timed(
+        idx.dedupArrivals(arrivals, grown).where(!$"is_new").count())
+      println(f"""{"phase": "dedup_after_repair", "sec": $sec%.2f, """ +
+        s""""batch": $nArr, "dups": $dups}""")
+    }
+
     // ---- post-ingest skew: detect, rebuild, re-verdict ----
     // the correlated "novel" plants flood one stored cell on ingest;
     // needsRebuild(skew) must see it, and a rebuild (which re-samples

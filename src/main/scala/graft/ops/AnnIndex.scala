@@ -216,6 +216,76 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     Pq.ingestVerdicts(batch, best, threshold)
   }
 
+  /** INCREMENTAL repair of hot cells — the O(|cell|) alternative to an
+    * O(corpus) rebuild when staleness is CELL SKEW rather than growth
+    * (round-9 verdict #4). A correlated arrival batch (same-source
+    * crawl, template family) can concentrate tens of thousands of
+    * entries into ONE stored cell — the 1000×-decade ingest bomb
+    * (STRESS_r09 §11: 41,179 members vs a 1,449 average, every probe
+    * into the cell a 2·10⁹-candidate grind) — and the round-9 remedy,
+    * a full rebuild, paid 95.5 s of corpus pass to fix a defect local
+    * to one cell. This repairs in place:
+    *
+    *   1. find cells ≥ `skew`× the stored modulus (one aggregation over
+    *      the 16 B/row entries — the [[needsRebuild]] census);
+    *   2. fetch ONLY their members' vectors from `corpus` (one
+    *      equi-join — cost ∝ Σ|hot cell|, never n);
+    *   3. draft every modulus-th member (by vec_id rank WITHIN the
+    *      cell — the local analogue of build's `vec_id % m` re-sample)
+    *      as a new centroid, append those to the centroid table;
+    *   4. reassign only the hot members against the updated centroid
+    *      set and rewrite their entries in one keyed copy-on-write
+    *      commit ([[Warehouse.upsert]] — PQ codes carry over unchanged,
+    *      only the cell moves).
+    *
+    * Queries and dedup probe the UPDATED centroid table, so a near-dup
+    * of a reassigned member ranks the same split centroids highly and
+    * finds it (AnnIndexSpec pins the loop; the scale harness measures
+    * the verdict wall back at baseline). Boundary honesty: vectors in
+    * HEALTHY cells keep their assignment even if a new centroid is now
+    * marginally nearer — the same staleness class as ingest-appended
+    * entries, repaired for real by the next full rebuild; probe-2
+    * covers the boundary meanwhile, exactly as it does for ingests.
+    * Returns the number of entries reassigned (0 when nothing is hot). */
+  def repairHotCells(corpus: DataFrame, skew: Double = 16.0): Long = {
+    val m = meta
+    val threshold = math.max(1L, (skew * m.ivfModulus).toLong)
+    val hotCells = entries.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= threshold).select($"cell").persist()
+    try {
+      if (hotCells.isEmpty) return 0L
+      val hotEntries = entries.join(broadcast(hotCells), Seq("cell"))
+        .select($"vec_id", $"cell", $"codes").persist()
+      try {
+        val members = hotEntries.select($"vec_id")
+          .join(corpus, Seq("vec_id")).persist()
+        try {
+          // rank window over HOT members only — bounded by Σ|hot cell|,
+          // never a corpus window
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"cell").orderBy($"vec_id")
+          val ranked = hotEntries.withColumn("rn", row_number().over(w))
+          val draftIds = ranked
+            .where(($"rn" - 1) % m.ivfModulus === 0)
+            .select($"vec_id")
+          val newCents = members.join(draftIds, Seq("vec_id"))
+            .join(centroids.select($"cent_id".as("vec_id")),
+              Seq("vec_id"), "left_anti")
+            .select($"vec_id".as("cent_id"), $"qe".as("ce"), $"nrm".as("cn"))
+          wh.load(tCentroids, newCents, SinkPolicy.Append)
+          // reassign against the UPDATED centroid table (def centroids
+          // re-reads the post-append snapshot); codes carry unchanged
+          val asg = Similarity.probeCells(members, centroids, 1)
+            .select($"qid".as("vec_id"), $"cell")
+          val updated = asg
+            .join(hotEntries.select($"vec_id", $"codes"), Seq("vec_id"))
+          wh.upsert(tEntries, updated, Seq("vec_id"))
+          members.count()
+        } finally { members.unpersist(); () }
+      } finally { hotEntries.unpersist(); () }
+    } finally { hotCells.unpersist(); () }
+  }
+
   /** Assign + encode + append `batch`'s entries WITHOUT verdicting —
     * the generation-cutover catch-up path ([[graft.streaming.VectorGate]]
     * indexes the stage rows that landed while the next generation was

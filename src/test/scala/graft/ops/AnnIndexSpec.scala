@@ -122,6 +122,57 @@ class AnnIndexSpec extends SparkTestBase {
     assert(idx.needsRebuild(), "2x growth must trip staleness")
   }
 
+  test("repairHotCells clears a skew trip touching only the hot cells' rows") {
+    val wh = Warehouse(spark, tmpDir("annidx-rp"))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir).persist()
+    val meta = idx.build(base)
+    val n0 = idx.indexedRows
+
+    // a CORRELATED ingest through the REAL assignment path: near-copies
+    // of vector 0 all land in its cell (the STRESS_r09 §11 bomb in
+    // miniature) — under the growth bar but over the skew bar
+    val v0 = base.where($"vec_id" === 0).select($"qe").as[Seq[Long]].head()
+    val nFlood = (16 * meta.ivfModulus).toInt + 8
+    val flood = spark.range(nFlood.toLong)
+      .select(($"id" + 8000000L).as("vec_id"), typedLit(v0).as("qe0"))
+      .select($"vec_id", expr(
+        "transform(qe0, (x, i) -> x + CASE WHEN i % 8 = CAST(vec_id % 8 AS INT) " +
+          "THEN CAST(500 + (vec_id % 29) * 100 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+      .persist()
+    assert(idx.indexVectors(flood, "flood") == nFlood.toLong)
+    assert(idx.indexedRows < 2 * meta.builtN, "stay under the growth bar")
+    assert(idx.needsRebuild(), "the correlated ingest must trip cell skew")
+
+    val corpus2 = base.unionByName(flood)
+    val reassigned = idx.repairHotCells(corpus2)
+    assert(reassigned >= nFlood.toLong,
+      s"repair must touch at least the flooded rows, got $reassigned")
+    assert(idx.indexedRows == n0 + nFlood,
+      "repair rewrites assignments, never adds or drops entries")
+    assert(!idx.needsRebuild(), "repair must clear the skew trip")
+
+    // a replay of the repair is a pure no-op on the census
+    assert(idx.repairHotCells(corpus2) == 0L)
+
+    // the repaired geometry still catches a near-dup of a flood member
+    // at the door — reassigned entries stay findable through the split
+    // centroids
+    val echo = flood.where($"vec_id" === 8000005L)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(3000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+    val v = idx.dedupArrivals(echo, corpus2)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v.length == 1 && !v.head._4,
+      s"near-dup of a repaired entry must be flagged: ${v.toSeq}")
+    flood.unpersist()
+    base.unpersist()
+  }
+
   test("needsRebuild trips on cell skew long before the growth bar") {
     val wh = Warehouse(spark, tmpDir("annidx-k"))
     val idx = AnnIndex(wh, "emb")
