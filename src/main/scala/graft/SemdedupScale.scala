@@ -27,6 +27,11 @@ object SemdedupScale {
     val target = if (args.length > 1) args(1).toLong else 1024L
     val probes = if (args.length > 2) args(2).toInt else 2
     val mode = if (args.length > 3) args(3) else "flat"
+    // twolevel pruning dials (round-10): keep > 0 runs the PRUNED probe
+    // census instead of the full probes×probes one — the measurement
+    // path for the residual-distance bound
+    val keep = if (args.length > 4) args(4).toInt else 0
+    val ratio = if (args.length > 5) args(5).toDouble else Double.MaxValue
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -66,15 +71,27 @@ object SemdedupScale {
         Clustering.semdedupCensus(q, asg, tau = 0.90).collect())
       // multi-probe at BOTH levels: residual re-derived per probed
       // coarse centroid, then top-m fine cells per residual — a pair
-      // can straddle either boundary, so both dials are needed
-      val cand = Clustering
-        .twoLevelProbeCellAssign(q, cs1, cs2, probes, fineProbes = probes)
+      // can straddle either boundary, so both dials are needed. With
+      // keep > 0 the candidates are residual-distance PRUNED (round-9
+      // verdict #2): re-ranked by exact composed distance, top-`keep`
+      // kept (optionally ratio-bounded) — census pair volume ∝ keep²
+      val label =
+        if (keep > 0) s"probe${probes}x$probes-keep$keep" +
+          (if (ratio != Double.MaxValue) s"-r$ratio" else "")
+        else s"probe${probes}x$probes"
+      val cand = (if (keep > 0)
+        Clustering.twoLevelProbeCellAssignPruned(
+          q, cs1, cs2, probes, probes, keep, ratio)
+      else Clustering
+        .twoLevelProbeCellAssign(q, cs1, cs2, probes, fineProbes = probes))
         .persist()
-      val probed = phase(s"census-probe${probes}x$probes")(
+      val nCand = phase(s"cand-$label")(cand.count())
+      println(f"[semdedup-scale] $label candidates/vector: ${nCand.toDouble / n}%.2f")
+      val probed = phase(s"census-$label")(
         Clustering.semdedupCensus(q, asg, tau = 0.90, candAsg = Some(cand))
           .collect())
       cand.unpersist()
-      println(s"[semdedup-scale] probe${probes}x$probes n_dropped: " +
+      println(s"[semdedup-scale] $label n_dropped: " +
         probed.map(_.getAs[Long]("n_dropped")).sum)
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"""{"mode": "twolevel", "n": $n, "k": $k, """ +

@@ -886,6 +886,96 @@ object Clustering {
       expr(s"CAST((vec_id % $k1) * $k2 + cluster AS INT)").as("cluster"))
   }
 
+  /** Scored variant of [[kmeansProbeAssign]]: the top-`probes` centroids
+    * WITH their negated squared distances — the ranked form
+    * distance-bound pruning composes over. Exactness as there: d < 2⁵³,
+    * so the double-typed score is integer-exact. */
+  private def probeAssignScored(quantized: DataFrame,
+                                centroids: Seq[Seq[Long]],
+                                probes: Int): DataFrame = {
+    val s = quantized.sparkSession
+    import s.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c, c.map(v => v * v).sum) }
+      .toDF("cl", "cqe", "cnrm")
+    val base =
+      if (quantized.columns.contains("nrm")) quantized
+      else quantized.withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    base.join(broadcast(cdf))
+      .select($"vec_id", $"cl".cast("long").as("cll"),
+        (-($"nrm" - lit(2L) * Kit.dotI64($"qe", $"cqe") + $"cnrm"))
+          .cast(DoubleType).as("negd"))
+      .groupBy($"vec_id")
+      .agg(Kit.cosTopK($"negd", $"cll", probes).as("top"))
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t.cid".cast("int").as("cluster"),
+        $"t.cos".as("negd"))
+  }
+
+  /** [[twoLevelProbeCellAssign]] with RESIDUAL-DISTANCE pruning (round-9
+    * verdict #2): the 2×2 probe ladder pays the full m² candidate
+    * fan-out into the census — 778.9 s at 2M vectors vs 169.0 s for
+    * coarse-probe-2/fine-top-1 (STRESS_r09 §5) — yet for most vectors
+    * most of the 4 probed cells are geometrically hopeless. The key
+    * identity: the fine assignment distance of residual r_c = v − μ_c to
+    * fine centroid ν_j IS the exact composed distance |v − (μ_c + ν_j)|²
+    * — so the probed candidates are directly comparable ACROSS coarse
+    * probes, and a candidate cell whose distance already exceeds the
+    * ceiling can be dropped before the census ever sees it. Two dials,
+    * composable:
+    *
+    *   - `keep`: retain only the `keep` nearest cells per vector
+    *     (census pair volume scales ∝ keep², so keep=2 cuts the 2×2
+    *     census ~4×);
+    *   - `ratio`: additionally drop cells with d > ratio · d_best — the
+    *     adaptive bound (a vector deep inside one cell keeps 1
+    *     candidate; only genuine boundary-straddlers pay for more).
+    *
+    * With keep = probes·fineProbes and ratio = ∞ this reproduces
+    * [[twoLevelProbeCellAssign]] bit-for-bit (spec-pinned). Recall at
+    * the 1000× decade is measured in STRESS_r10.md. Returns (vec_id,
+    * cluster) candidate rows for [[semdedupCensus]]'s `candAsg`. */
+  def twoLevelProbeCellAssignPruned(q: DataFrame, cs1: Seq[Seq[Long]],
+                                    cs2: Seq[Seq[Long]], probes: Int,
+                                    fineProbes: Int, keep: Int,
+                                    ratio: Double = Double.MaxValue)
+      : DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val k1 = cs1.size.toLong
+    val k2 = cs2.size
+    val cdf = cs1.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("coarse", "cqe")
+    val probed = kmeansProbeAssign(q, cs1, probes)
+      .withColumnRenamed("cluster", "coarse")
+    val r = probed
+      .join(q.select($"vec_id", $"qe"), Seq("vec_id"))
+      .join(broadcast(cdf), Seq("coarse"))
+      .select(($"vec_id" * k1 + $"coarse").as("vec_id"),
+        expr("zip_with(qe, cqe, (a, b) -> a - b)").as("qe"))
+      .withColumn("nrm", Kit.dotI64($"qe", $"qe"))
+    val fine = probeAssignScored(r, cs2, fineProbes)
+    fine
+      .select(expr(s"vec_id div $k1").as("vid"),
+        expr(s"CAST((vec_id % $k1) * $k2 + cluster AS INT)").as("cell"),
+        $"negd")
+      .groupBy($"vid")
+      // CosTopK re-ranks the ≤ probes·fineProbes candidates by composed
+      // distance (best-first); the filter applies the ratio bound
+      // against the per-vector best — both run on O(keep) state. The
+      // sentinel ∞ ratio keeps everything unconditionally (a finite
+      // bound times a d_best of 0 — a vector AT a composed center —
+      // would otherwise keep only exact-distance-0 cells, which is the
+      // intended semantics for finite ratios but not for the sentinel)
+      .agg(Kit.cosTopK($"negd", $"cell".cast("long"), keep).as("top"))
+      .select($"vid".as("vec_id"),
+        explode(if (ratio == Double.MaxValue) $"top"
+          else expr(
+            s"filter(top, t -> -t.cos <= $ratio * -element_at(top, 1).cos)"))
+          .as("t"))
+      .select($"vec_id", $"t.cid".cast("int").as("cluster"))
+  }
+
   /** Train + single assignment — the registered-query form. */
   def semdedupTwoLevelAssign(q: DataFrame, k: Int,
                              iters: Int): DataFrame = {

@@ -261,6 +261,43 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("pruned two-level probing: keep=all reproduces the 2x2 ladder; " +
+    "keep=2 is a bounded subset that still drops every plant") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val n = q.count()
+    val (cs1, cs2) = Clustering
+      .kmeansTwoLevelTrain(q, Clustering.semdedupK(n, 64L), iters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val full = rows(
+      Clustering.twoLevelProbeCellAssign(q, cs1, cs2, 2, fineProbes = 2))
+    // keep = probes·fineProbes, ratio = ∞ → bit-identical candidates
+    assert(rows(Clustering.twoLevelProbeCellAssignPruned(
+      q, cs1, cs2, 2, 2, keep = 4)) == full)
+    // keep = 2: at most 2 cells per vector, always a subset of the
+    // unpruned ladder (pruning can only drop candidates, never invent)
+    val pruned = Clustering.twoLevelProbeCellAssignPruned(
+      q, cs1, cs2, 2, 2, keep = 2).persist()
+    val prs = rows(pruned)
+    assert(prs.subsetOf(full))
+    assert(prs.groupBy(_._1).forall(_._2.size <= 2))
+    // a finite ratio bound prunes further and stays inside keep=2's set
+    val ratioed = rows(Clustering.twoLevelProbeCellAssignPruned(
+      q, cs1, cs2, 2, 2, keep = 2, ratio = 1.5))
+    assert(ratioed.subsetOf(prs))
+    // the census over the pruned candidates still catches every plant:
+    // a planted copy and its source share their BEST composed cell, so
+    // distance-bound pruning cannot separate them on this fixture
+    val asg = Clustering.twoLevelCellAssign(q, cs1, cs2).persist()
+    val census = Clustering.semdedupCensus(q, asg, tau = 0.90,
+      candAsg = Some(pruned)).collect()
+    val nPlanted = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .where($"vec_id" % 37 === 0).count()
+    assert(census.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
+    spark.catalog.clearCache()
+  }
+
   test("multi-probe census: drops a superset of single-assignment drops") {
     import spark.implicits._
     val q = Similarity.plantedQuantized(spark, sfDir).persist()
