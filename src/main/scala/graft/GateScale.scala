@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+import graft.pipeline.Warehouse
+import graft.streaming.VectorGate
+
+/** Scale evidence for the DECOUPLED VectorGate rebuild (round-9 verdict
+  * #1) at the decade that exposed the inline design: 2M vectors, where
+  * a correlated arrival batch builds a 28× hot cell and the round-9
+  * gate would stall the stream for a 95.5 s inline rebuild — or, worse,
+  * the NEXT correlated batch would grind ~2·10⁹ candidate pairs through
+  * the hot cell (the STRESS_r09 §11 OOM). Phases:
+  *
+  *   1. bootstrap — the corpus lands through the gate (build + stage);
+  *   2. correlated — the `ingestArrivals` batch lands, flooding one
+  *      cell (needsRebuild trips, but the BATCH WALL contains no
+  *      rebuild — the decoupling claim);
+  *   3. stale — an echo batch verdicts against the hot geometry with
+  *      the 64×-modulus bounded-grind cap: the wall that used to OOM
+  *      is now bounded (dup recall inside the hot cell is the cost,
+  *      printed);
+  *   4. concurrent — another echo lands WHILE prepareRebuild runs on a
+  *      background thread (no stream stall: both walls printed);
+  *   5. cutover — the next batch swaps generations (catch-up append ∝
+  *      rows landed during the build) and verdicts at the healthy wall.
+  *
+  *   sbt 'runMain graft.GateScale /tmp/sf1000_stress'
+  */
+object GateScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: GateScale <fixtureDir>"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    val base = Similarity.quantized(spark, dir).persist()
+    val n = base.count()
+    val wh = Warehouse(spark,
+      Files.createTempDirectory("gate-scale").toString)
+    val gate = VectorGate(wh, "emb")
+
+    def echoOf(src: org.apache.spark.sql.DataFrame, offset: Long) = src
+      .select(($"vec_id" + offset).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 9 = 0 " +
+          "THEN CAST(2000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+
+    def dupsOf(idBase: Long): Long = wh.read(gate.verdictTable)
+      .where($"vec_id" >= idBase && !$"is_new").count()
+
+    // 1. bootstrap
+    val (bootSec, _) = timed(gate.landBatch(base, "g:0"))
+    println(f"""{"phase": "bootstrap", "sec": $bootSec%.2f, "n": $n}""")
+
+    // 2. the correlated batch (the r9 hot-cell bomb); NO rebuild inside
+    val arrivals = Pq.ingestArrivals(base).persist()
+    val nArr = arrivals.count()
+    spark.catalog.clearCache()
+    val (b1Sec, _) = timed(gate.landBatch(arrivals, "g:1"))
+    val (_, maxCell1) = gate.idx.cellStats
+    println(f"""{"phase": "correlated", "sec": $b1Sec%.2f, """ +
+      s""""batch": $nArr, "dups": ${dupsOf(n)}, """ +
+      s""""max_cell": $maxCell1, "modulus": ${gate.idx.meta.ivfModulus}, """ +
+      s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
+
+    // 3. echo against the STALE hot geometry — bounded by the cap
+    val echo1 = echoOf(arrivals, 10000000L).persist()
+    spark.catalog.clearCache()
+    val (b2Sec, _) = timed(gate.landBatch(echo1, "g:2"))
+    println(f"""{"phase": "stale_capped", "sec": $b2Sec%.2f, """ +
+      s""""batch": $nArr, "dups": ${dupsOf(10000000L)}}""")
+
+    // 4. another echo lands WHILE the rebuild runs — no stream stall
+    val echo2 = echoOf(arrivals, 20000000L).persist()
+    spark.catalog.clearCache()
+    val rebuild = Future(timed(gate.prepareRebuild()))
+    val (b3Sec, _) = timed(gate.landBatch(echo2, "g:3"))
+    val (rbSec, gen) = Await.result(rebuild, 60.minutes)
+    println(f"""{"phase": "concurrent", "batch_sec": $b3Sec%.2f, """ +
+      f""""rebuild_sec": $rbSec%.2f, "prepared_gen": ${gen.getOrElse(-1L)}, """ +
+      s""""dups": ${dupsOf(20000000L)}, "head_gen": ${gate.headGen}}""")
+
+    // 5. cutover + healthy-geometry verdicts
+    val echo3 = echoOf(arrivals, 30000000L).persist()
+    spark.catalog.clearCache()
+    val (b4Sec, _) = timed(gate.landBatch(echo3, "g:4"))
+    val (_, maxCell2) = gate.idx.cellStats
+    println(f"""{"phase": "cutover", "sec": $b4Sec%.2f, """ +
+      s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(30000000L)}, """ +
+      s""""max_cell": $maxCell2, """ +
+      s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
+    spark.stop()
+  }
+}

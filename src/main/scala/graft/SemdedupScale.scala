@@ -31,7 +31,11 @@ object SemdedupScale {
     // census instead of the full probes×probes one — the measurement
     // path for the residual-distance bound
     val keep = if (args.length > 4) args(4).toInt else 0
-    val ratio = if (args.length > 5) args(5).toDouble else Double.MaxValue
+    // ratio <= 0 means "no ratio bound" (the CLI spelling of the
+    // Double.MaxValue sentinel)
+    val ratio = Some(if (args.length > 5) args(5).toDouble else 0.0)
+      .filter(_ > 0).getOrElse(Double.MaxValue)
+    val fineProbes = if (args.length > 6) args(6).toInt else probes
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,14 +80,14 @@ object SemdedupScale {
       // verdict #2): re-ranked by exact composed distance, top-`keep`
       // kept (optionally ratio-bounded) — census pair volume ∝ keep²
       val label =
-        if (keep > 0) s"probe${probes}x$probes-keep$keep" +
+        if (keep > 0) s"probe${probes}x$fineProbes-keep$keep" +
           (if (ratio != Double.MaxValue) s"-r$ratio" else "")
-        else s"probe${probes}x$probes"
+        else s"probe${probes}x$fineProbes"
       val cand = (if (keep > 0)
         Clustering.twoLevelProbeCellAssignPruned(
-          q, cs1, cs2, probes, probes, keep, ratio)
+          q, cs1, cs2, probes, fineProbes, keep, ratio)
       else Clustering
-        .twoLevelProbeCellAssign(q, cs1, cs2, probes, fineProbes = probes))
+        .twoLevelProbeCellAssign(q, cs1, cs2, probes, fineProbes))
         .persist()
       val nCand = phase(s"cand-$label")(cand.count())
       println(f"[semdedup-scale] $label candidates/vector: ${nCand.toDouble / n}%.2f")

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Warehouse
+import graft.streaming.TextGate
+
+/** Scale evidence for the TEXT dedup-at-the-door gate
+  * ([[streaming.TextGate]]) over a `gen_stress.py` corpus — the claim
+  * is COST ∝ BATCH: the corpus's signature work is paid once at its own
+  * landing (the persisted band store), so a later batch pays only its
+  * own shingling/banding plus band-collision candidates, regardless of
+  * how large the corpus has grown.
+  *
+  *   sbt 'runMain graft.TextGateScale /tmp/sf100_stress'
+  *
+  * Protocol: the fixture's docs split 90/10 — the 90% lands first (one
+  * big seeding drop, which also measures the gate at corpus width),
+  * then the 10% re-lands as an arrival batch with fresh ids. The
+  * fixture's ~5% planted near-dups give the batch true positives whose
+  * sources live in the corpus side. Prints one JSON line per phase:
+  * seed wall, batch wall + verdict mix, replay wall. Comparing
+  * batch walls across corpus decades is the linearity evidence
+  * (STRESS_r10.md). */
+object TextGateScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: TextGateScale <fixtureDir>"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val batch = docs.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000000L).as("doc_id"), $"text")
+
+    val wh = Warehouse(spark,
+      Files.createTempDirectory("textgate-scale").toString)
+    val gate = TextGate(wh, "docs")
+
+    val (seedSec, _) = timed(gate.landBatch(corpus, "seed"))
+    val nCorpus = wh.read(gate.stageTable).count()
+    println(f"""{"phase": "seed", "sec": $seedSec%.2f, """ +
+      s""""staged": $nCorpus}""")
+
+    spark.catalog.clearCache()
+    val nb = batch.count()
+    val (batchSec, _) = timed(gate.landBatch(batch, "b1"))
+    val dups = wh.read(gate.verdictTable)
+      .where($"doc_id" >= 100000000L && !$"is_new").count()
+    println(f"""{"phase": "gate_batch", "sec": $batchSec%.2f, """ +
+      s""""batch": $nb, "dups": $dups, """ +
+      s""""staged": ${wh.read(gate.stageTable).count()}}""")
+
+    // exactly-once replay: consume-and-skip, nothing moves
+    spark.catalog.clearCache()
+    val (repSec, _) = timed(gate.landBatch(batch, "b1"))
+    println(f"""{"phase": "gate_replay", "sec": $repSec%.2f, """ +
+      s""""staged": ${wh.read(gate.stageTable).count()}}""")
+    spark.stop()
+  }
+}

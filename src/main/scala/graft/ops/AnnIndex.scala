@@ -196,18 +196,41 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * re-derived: probe arrivals into stored cells, ADC-shortlist stored
     * codes to 4 candidates, exact re-rank the fetched vectors, flag
     * cos ≥ `threshold`. Arrival `vec_id`s must be disjoint from indexed
-    * ids (the planted-batch offset rule). Cost ∝ batch, never corpus. */
+    * ids (the planted-batch offset rule). Cost ∝ batch, never corpus.
+    *
+    * `capPerCell` is the BOUNDED-GRIND guard for stale geometries
+    * (round-9 verdict #1's degraded-mode dial): a hot cell — 28× the
+    * expected size at the 1000× decade (STRESS_r09 §11) — turns a
+    * correlated batch's probe join into ~2·10⁹ candidate pairs through
+    * one shuffle key. With a cap, cells whose entry count exceeds it
+    * are deterministically THINNED to ≈ cap entries (xxhash64 of the
+    * entry id — stable across replays) before the probe join, bounding
+    * the per-batch grind at the cost of dup recall INSIDE the hot cell
+    * until maintenance rebuilds or [[repairHotCells]] splits it.
+    * Healthy cells (2–4× the modulus) pass untouched at any sane cap;
+    * None (the oracle paths) disables the census + thinning entirely. */
   def dedupArrivals(batch: DataFrame, corpus: DataFrame,
-                    threshold: Double = 0.90): DataFrame = {
+                    threshold: Double = 0.90,
+                    capPerCell: Option[Long] = None): DataFrame = {
     val cb = codebook()
     val probes = Similarity.probeCells(batch, centroids, 2)
+    val candEntries = capPerCell match {
+      case None => entries.select($"vec_id", $"cell")
+      case Some(cap) =>
+        val hot = entries.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+          .where($"cnt" > cap)
+        entries.select($"vec_id", $"cell")
+          .join(broadcast(hot), Seq("cell"), "left")
+          .where($"cnt".isNull || pmod(xxhash64($"vec_id"), $"cnt") < cap)
+          .select($"vec_id", $"cell")
+    }
     // arrival ids are disjoint from indexed ids by the offset rule, so
     // the self-pair filter is a no-op on a first delivery — it exists
     // for REPLAYS, where the original call's accepted arrivals are
     // already in the index and would otherwise verdict as duplicates
     // of themselves (see [[ingest]]'s idempotency note)
     val cand = probes
-      .join(entries.select($"vec_id", $"cell"), Seq("cell"))
+      .join(candEntries, Seq("cell"))
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
     val short = Pq.adcShortlistCoded(
@@ -335,8 +358,10 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * walk's exposure window is the warehouse-wide vacuum retention
     * contract: size retention to the longest possible replay. */
   def ingest(batch: DataFrame, corpus: DataFrame, txnId: String,
-             threshold: Double = 0.90): IngestResult = {
-    val verdicts = dedupArrivals(batch, corpus, threshold).persist()
+             threshold: Double = 0.90,
+             capPerCell: Option[Long] = None): IngestResult = {
+    val verdicts = dedupArrivals(batch, corpus, threshold, capPerCell)
+      .persist()
     val nDup = verdicts.where(!$"is_new").count()
     if (wh.txnLanded(tEntries, txnId)) {
       // replay: the index append is skipped (exactly-once is a property

@@ -609,7 +609,7 @@ object TextOps {
     * arrays, not the shingle strings — same counts barring a ~2⁻⁶⁴
     * collision, at a fraction of the per-pair compare cost. Keep
     * Jaccard ≥ 0.30, quantized. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
+  private[graft] def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
@@ -752,7 +752,19 @@ object TextOps {
     minhashBands(sets, StageLevels.pinnedFor(sets))
 
   private[ops] def minhashBands(sets: DataFrame,
-      stageLevel: StorageLevel): DataFrame = {
+      stageLevel: StorageLevel): DataFrame =
+    minhashBandsImpl(sets, Some(stageLevel))
+
+  /** [[minhashBands]] WITHOUT the internal signature-stage persist — for
+    * callers that persist the OUTPUT themselves and drop it per
+    * micro-batch (the streaming [[graft.streaming.TextGate]]), where a
+    * per-batch cached signature stage would accumulate in the executor
+    * pool with no unpersist hook. */
+  private[graft] def minhashBandsUncached(sets: DataFrame): DataFrame =
+    minhashBandsImpl(sets, None)
+
+  private def minhashBandsImpl(sets: DataFrame,
+      stageLevel: Option[StorageLevel]): DataFrame = {
     val s = sets.sparkSession
     import s.implicits._
     val sh = explodedShingles(sets)
@@ -762,8 +774,8 @@ object TextOps {
     val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
     }
-    val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .persist(stageLevel)
+    val sig0 = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = stageLevel.map(sig0.persist).getOrElse(sig0)
     val bandStructs = (0 until MH_BANDS).map { bd =>
       struct(lit(bd).as("band"),
         concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))

@@ -196,7 +196,17 @@ final case class VectorGate(wh: Warehouse, name: String) {
       } finally { b.unpersist(); () }
     } else {
       val corpus = wh.read(stageTable)
-      val res = idx.ingest(batch, corpus, txn, threshold)
+      // bounded-grind guard: while a stale (hot-cell) geometry waits
+      // for out-of-band maintenance, thin any cell past 64× the
+      // expected √n size before the probe join — the batch wall stays
+      // bounded instead of grinding ~2·10⁹ pairs through one shuffle
+      // key (STRESS_r09 §11); dup recall inside the hot cell degrades
+      // until the rebuild lands (documented trade: a false-accept
+      // during the window beats a stalled stream). Healthy cells are
+      // 2–4× the modulus — far under the cap, untouched.
+      val liveIdx = idx
+      val cap = Some(64L * liveIdx.meta.ivfModulus)
+      val res = liveIdx.ingest(batch, corpus, txn, threshold, cap)
       try {
         wh.load(verdictTable, res.verdicts, SinkPolicy.Append, Some(txn))
         val accepted = batch.join(

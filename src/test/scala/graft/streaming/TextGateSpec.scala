@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.pipeline.{SinkPolicy, Warehouse}
+
+/** The text dedup-at-the-door lifecycle: MinHash-band verdicts against
+  * the persisted band store, accepted-only landing, intra-batch
+  * lower-id-wins, and exactly-once across all three tables under replay
+  * and partial-crash re-delivery. */
+class TextGateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic 20-word docs over a PER-SEED vocabulary (cross-doc
+    * Jaccard is exactly 0 for distinct seeds); `mutate` substitutes one
+    * word, perturbing 3 of 18 shingles — Jaccard 15/21 ≈ 0.71, far
+    * above the 0.30 report threshold and band-colliding with its
+    * source. */
+  private def docText(seed: Int, mutate: Boolean = false): String =
+    (0 until 20).map { i =>
+      if (mutate && i == 3) "mutant" else s"w${seed}x${(i * 7 + seed) % 13}"
+    }.mkString(" ")
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def verdicts(wh: Warehouse, gate: TextGate, from: Long)
+      : Array[(Long, Long, Option[Long], Boolean)] =
+    wh.read(gate.verdictTable).where($"doc_id" >= from)
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1)
+
+  test("lifecycle: first drop all new, near-dups verdicted against the corpus, accepted-only landing") {
+    val wh = Warehouse(spark, tmpDir("tg-wh"))
+    val gate = TextGate(wh, "docs")
+
+    // drop 1: ten distinct docs — an empty band store, everything lands
+    gate.landBatch(docs((0L until 10L).map(i => i -> docText(i.toInt)): _*),
+      "app:0")
+    assert(wh.read(gate.stageTable).count() == 10L)
+    assert(wh.read(gate.verdictTable).where($"is_new").count() == 10L)
+    assert(wh.read(gate.bandTable).select($"doc_id").distinct().count() == 10L)
+
+    // drop 2: 3 near-dups of corpus docs + 2 novel
+    val b2 = docs(
+      100L -> docText(0, mutate = true),
+      101L -> docText(1, mutate = true),
+      102L -> docText(2, mutate = true),
+      103L -> docText(50),
+      104L -> docText(51))
+    gate.landBatch(b2, "app:1")
+    val v = verdicts(wh, gate, 100L)
+    assert(v.length == 5)
+    assert(v.count(!_._4) == 3 && v.count(_._4) == 2)
+    // each near-dup names its source (dup_of = MIN matching corpus id)
+    assert(v(0)._3.contains(0L) && v(1)._3.contains(1L) && v(2)._3.contains(2L))
+    // only the accepted 2 landed, bands grew by exactly those
+    assert(wh.read(gate.stageTable).count() == 12L)
+    assert(wh.read(gate.bandTable).select($"doc_id").distinct().count() == 12L)
+  }
+
+  test("intra-batch duplicates: lower id wins, higher side is dropped in the same drop") {
+    val wh = Warehouse(spark, tmpDir("tg2-wh"))
+    val gate = TextGate(wh, "docs")
+    val b = docs(
+      1L -> docText(7),
+      2L -> docText(7, mutate = true), // near-dup of 1 within the batch
+      3L -> docText(8))
+    gate.landBatch(b, "app:0")
+    val v = verdicts(wh, gate, 0L)
+    assert(v.map(r => (r._1, r._4)).toSeq == Seq((1L, true), (2L, false), (3L, true)))
+    assert(v(1)._3.contains(1L))
+    assert(wh.read(gate.stageTable).count() == 2L)
+  }
+
+  test("crash windows: each table lands exactly once under partial re-delivery") {
+    val wh = Warehouse(spark, tmpDir("tg3-wh"))
+    val gate = TextGate(wh, "docs")
+    gate.landBatch(docs((0L until 10L).map(i => i -> docText(i.toInt)): _*),
+      "app:0")
+
+    val b2 = docs(
+      100L -> docText(0, mutate = true), // dup of corpus doc 0
+      101L -> docText(60),               // novel
+      102L -> docText(60, mutate = true) // intra-batch dup of 101
+    ).persist()
+
+    // WINDOW A — crash after the verdict append, before bands/stage:
+    // land the verdicts alone, then replay the whole batch
+    val sets = graft.ops.TextOps.shingleSets(b2).persist()
+    val bands = graft.ops.TextOps.minhashBandsUncached(sets).persist()
+    val v0 = gate.verdictsFor(b2, sets, bands).persist()
+    wh.load(gate.verdictTable, v0, SinkPolicy.Append, Some("app:1"))
+    gate.landBatch(b2, "app:1")
+    assert(wh.read(gate.verdictTable).count() == 13L, "no double verdicts")
+    assert(wh.read(gate.stageTable).count() == 11L)
+    assert(wh.read(gate.bandTable).select($"doc_id").distinct().count() == 11L)
+
+    // replay verdicts equal the originally-landed ones
+    val replayed = verdicts(wh, gate, 100L)
+    val original = v0.as[(Long, Long, Option[Long], Boolean)]
+      .collect().sortBy(_._1)
+    assert(replayed.toSeq == original.toSeq)
+    v0.unpersist(); sets.unpersist(); bands.unpersist()
+
+    // WINDOW B — crash after verdicts + bands, before stage: the
+    // batch's stranded bands must not poison its own replay
+    val b3 = docs(
+      200L -> docText(70),
+      201L -> docText(70, mutate = true), // intra-batch dup of 200
+      202L -> docText(71)).persist()
+    val sets3 = graft.ops.TextOps.shingleSets(b3).persist()
+    val bands3 = graft.ops.TextOps.minhashBandsUncached(sets3).persist()
+    val v3 = gate.verdictsFor(b3, sets3, bands3).persist()
+    wh.load(gate.verdictTable, v3, SinkPolicy.Append, Some("app:2"))
+    // stranded bands: ONLY the accepted side, as the real landing does
+    wh.load(gate.bandTable,
+      bands3.join(v3.where($"is_new").select($"doc_id"), Seq("doc_id")),
+      SinkPolicy.Append, Some("app:2"))
+    gate.landBatch(b3, "app:2")
+    val v3r = verdicts(wh, gate, 200L)
+    assert(v3r.map(r => (r._1, r._4)).toSeq ==
+      Seq((200L, true), (201L, false), (202L, true)),
+      s"replay with stranded bands must reproduce the original verdicts: ${v3r.toSeq}")
+    assert(wh.read(gate.verdictTable).count() == 16L)
+    assert(wh.read(gate.stageTable).count() == 13L)
+    // per-doc band rows landed exactly once (8 bands per doc)
+    val perDoc = wh.read(gate.bandTable).groupBy($"doc_id").count()
+      .select($"count").distinct().as[Long].collect().toSet
+    assert(perDoc == Set(8L), s"every doc exactly 8 band rows, got $perDoc")
+    v3.unpersist(); sets3.unpersist(); bands3.unpersist()
+
+    // WINDOW C — full replay: nothing moves
+    gate.landBatch(b3, "app:2")
+    assert(wh.read(gate.verdictTable).count() == 16L)
+    assert(wh.read(gate.stageTable).count() == 13L)
+    b2.unpersist(); b3.unpersist()
+  }
+
+  test("streaming end-to-end: two drains through a checkpointed file source") {
+    val src = tmpDir("tg4-src")
+    val ckpt = tmpDir("tg4-ckpt")
+    val wh = Warehouse(spark, tmpDir("tg4-wh"))
+    val gate = TextGate(wh, "docs")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src)
+
+    docs((0L until 10L).map(i => i -> docText(i.toInt)): _*)
+      .write.mode("append").parquet(src)
+    gate.drain(stream, ckpt, "tg")
+    assert(wh.read(gate.stageTable).count() == 10L)
+
+    docs(100L -> docText(3, mutate = true), 101L -> docText(80))
+      .write.mode("append").parquet(src)
+    gate.drain(stream, ckpt, "tg")
+    assert(wh.read(gate.stageTable).count() == 11L)
+    assert(wh.read(gate.verdictTable).where(!$"is_new").count() == 1L)
+
+    // a re-drain with nothing pending moves nothing
+    gate.drain(stream, ckpt, "tg")
+    assert(wh.read(gate.stageTable).count() == 11L)
+    assert(wh.read(gate.verdictTable).count() == 12L)
+  }
+}
