@@ -129,6 +129,18 @@ object AnnIndexScale {
       }
     }
 
+    // ---- routed dispatch (AnnRouter.routedTopk): the production
+    // amortization — metadata-only dispatch to the stored index; must
+    // run while the index is CURRENT (before ingest grows it) ----
+    if (phases("routed")) {
+      spark.catalog.clearCache()
+      val (sec, rows) = timed(ops.AnnRouter.routedTopk(idx, base)
+        .select("qid", "cid").as[(Long, Long)].collect())
+      println(f"""{"phase": "routed", "sec": $sec%.2f, """ +
+        s""""rows": ${rows.length}, "branch": "${ops.AnnRouter.choose(n)}", """ +
+        s""""via_store": ${idx.builtN.contains(n) && !idx.needsRebuild()}}""")
+    }
+
     // ---- dedup-at-the-door: verdict wall ∝ batch, never corpus ----
     val arrivals = Pq.ingestArrivals(base).persist()
     val nArr = arrivals.count()
@@ -162,17 +174,6 @@ object AnnIndexScale {
         s""""action": "${r2.action}", "duplicates": ${r2.duplicates}, """ +
         s""""indexed": ${idx.indexedRows}}""")
       r2.verdicts.unpersist()
-    }
-
-    // ---- routed dispatch (AnnRouter.routedTopk): the production
-    // amortization — metadata-only dispatch to the stored index ----
-    if (phases("routed")) {
-      spark.catalog.clearCache()
-      val (sec, rows) = timed(ops.AnnRouter.routedTopk(idx, base)
-        .select("qid", "cid").as[(Long, Long)].collect())
-      println(f"""{"phase": "routed", "sec": $sec%.2f, """ +
-        s""""rows": ${rows.length}, "branch": "${ops.AnnRouter.choose(n)}", """ +
-        s""""via_store": ${idx.builtN.contains(n) && !idx.needsRebuild()}}""")
     }
 
     // ---- post-ingest skew: INCREMENTAL repair (O(hot cell), not

@@ -36,6 +36,11 @@ object SemdedupScale {
     val ratio = Some(if (args.length > 5) args(5).toDouble else 0.0)
       .filter(_ > 0).getOrElse(Double.MaxValue)
     val fineProbes = if (args.length > 6) args(6).toInt else probes
+    // twolevel k override (round-10): the two-level trainer's assignment
+    // is n·2√k, not n·k, so the census/assignment balance moves from
+    // k = √(n/2) to k = (n/2)^(2/3) — a finer lattice divides census
+    // cost by k; this dial measures recall along that axis
+    val kOverride = if (args.length > 7) Some(args(7).toInt) else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,7 +62,7 @@ object SemdedupScale {
       .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
       .persist()
     val n = q.count()
-    val k = Clustering.semdedupK(n, target)
+    val k = kOverride.getOrElse(Clustering.semdedupK(n, target))
     def phase[T](name: String)(body: => T): T = {
       val t = System.nanoTime()
       val r = body

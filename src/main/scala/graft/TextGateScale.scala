@@ -49,8 +49,13 @@ object TextGateScale {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text")
-    val corpus = docs.where($"doc_id" % 10 =!= 0)
-    val batch = docs.where($"doc_id" % 10 === 0)
+    // FIXED 5k-doc batch at every decade (ids < 50,000, i.e. inside the
+    // smallest stress fixture) — the cost ∝ batch claim needs the batch
+    // held constant while the corpus grows 10×; everything else seeds
+    // the corpus side
+    val isBatch = $"doc_id" % 10 === 0 && $"doc_id" < 50000
+    val corpus = docs.where(!isBatch)
+    val batch = docs.where(isBatch)
       .select(($"doc_id" + 100000000L).as("doc_id"), $"text")
 
     val wh = Warehouse(spark,

@@ -384,6 +384,16 @@ final case class AnnIndex(wh: Warehouse, name: String) {
 
 object AnnIndex {
 
+  /** FNV-1a 64-bit over a string — the tmp-warehouse path key (64-bit:
+    * collisions across a handful of fixture dirs are not a practical
+    * concern, unlike String.hashCode's 32). */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Size ⊕ mtime fold over the fixture's embeddings parquet files — a
     * cheap driver-side content stamp for the build-on-first-use tmp
     * warehouses (metadata-only: no data read). */
@@ -418,16 +428,22 @@ object AnnIndex {
     "ann_index_topk",
     (s: SparkSession, dir: String) => {
       import s.implicits._
-      // the tmp-warehouse key carries the SANITIZED FULL PATH (two
-      // fixture dirs can never collide the way a 32-bit hashCode could)
-      // plus a content fingerprint over the embeddings parquet files
-      // (size + mtime), so a re-generated fixture with an unchanged row
-      // count rebuilds instead of silently serving a stale index
-      // (round-9 ADVICE)
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "-") + "-" +
-        java.lang.Long.toHexString(fixtureFingerprint(dir))
+      // the tmp-warehouse key: the fixture dir's last segment
+      // (debuggability) + 48 bits of FNV-1a over the FULL PATH folded
+      // with a size/mtime fingerprint of the embeddings parquet files —
+      // so distinct fixture dirs never practically collide (unlike the
+      // 32-bit hashCode this replaced, round-9 ADVICE) and a
+      // re-generated fixture with an unchanged row count rebuilds
+      // instead of silently serving a stale index. Kept SHORT
+      // deliberately: a long warehouse path pushes the table-name
+      // suffix past the plan text's 100-char location truncation and
+      // breaks PlanShapeSpec's stored-artifact pins
+      val key = fnv64(dir) * 31 + fixtureFingerprint(dir)
+      val tag = java.nio.file.Paths.get(dir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "-") + "-" +
+        java.lang.Long.toHexString(key >>> 16)
       val wh = Warehouse(s,
-        s"${System.getProperty("java.io.tmpdir")}/graft-annidx-$tag")
+        s"${System.getProperty("java.io.tmpdir")}/graft-ai-$tag")
       val idx = AnnIndex(wh, "emb")
       val base = Similarity.quantized(s, dir)
       val n = base.count()

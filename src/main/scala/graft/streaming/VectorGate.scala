@@ -197,15 +197,18 @@ final case class VectorGate(wh: Warehouse, name: String) {
     } else {
       val corpus = wh.read(stageTable)
       // bounded-grind guard: while a stale (hot-cell) geometry waits
-      // for out-of-band maintenance, thin any cell past 64× the
-      // expected √n size before the probe join — the batch wall stays
-      // bounded instead of grinding ~2·10⁹ pairs through one shuffle
-      // key (STRESS_r09 §11); dup recall inside the hot cell degrades
-      // until the rebuild lands (documented trade: a false-accept
-      // during the window beats a stalled stream). Healthy cells are
-      // 2–4× the modulus — far under the cap, untouched.
+      // for out-of-band maintenance, thin any cell past 4× the expected
+      // √n size before the probe join, so a correlated batch's
+      // per-arrival candidate budget stays at healthy-cell width
+      // instead of grinding ~2·10⁹ pairs into the shortlist shuffle
+      // (STRESS_r09 §11; a first cut of this cap at 64× sat ABOVE the
+      // measured 28× bomb and reproduced the OOM — the calibration is
+      // "just past healthy", not "just past staleness": healthy cells
+      // measure 2.3–4× post-rebuild, the skew trip is 16×). Dup recall
+      // inside a thinned cell degrades until the rebuild lands — a
+      // bounded false-accept window beats a stalled stream.
       val liveIdx = idx
-      val cap = Some(64L * liveIdx.meta.ivfModulus)
+      val cap = Some(4L * liveIdx.meta.ivfModulus)
       val res = liveIdx.ingest(batch, corpus, txn, threshold, cap)
       try {
         wh.load(verdictTable, res.verdicts, SinkPolicy.Append, Some(txn))

@@ -173,6 +173,48 @@ class AnnIndexSpec extends SparkTestBase {
     base.unpersist()
   }
 
+  test("bounded-grind cap: a thinned hot cell still verdicts near-dups, bounded") {
+    val wh = Warehouse(spark, tmpDir("annidx-cap"))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir).persist()
+    val meta = idx.build(base)
+    // flood one cell through the real assignment path (as the repair
+    // test), but verdict WITHOUT repairing — the degraded-mode window
+    val v0 = base.where($"vec_id" === 0).select($"qe").as[Seq[Long]].head()
+    val nFlood = (16 * meta.ivfModulus).toInt + 8
+    val flood = spark.range(nFlood.toLong)
+      .select(($"id" + 8000000L).as("vec_id"), typedLit(v0).as("qe0"))
+      .select($"vec_id", expr(
+        "transform(qe0, (x, i) -> x + CASE WHEN i % 8 = CAST(vec_id % 8 AS INT) " +
+          "THEN CAST(500 + (vec_id % 29) * 100 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+      .persist()
+    idx.indexVectors(flood, "flood")
+    assert(idx.needsRebuild(), "hot cell must be live for this test")
+    val corpus2 = base.unionByName(flood)
+    // a tiny cap forces the thinning branch on the flooded cell; the
+    // echo is near-identical to EVERY flood member (they differ
+    // pairwise by ~2 dims), so any surviving member flags it
+    val echo = flood.where($"vec_id" === 8000003L)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(3000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+    val v = idx.dedupArrivals(echo, corpus2,
+        capPerCell = Some(meta.ivfModulus))
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v.length == 1 && !v.head._4,
+      s"thinned hot cell must still flag the echo: ${v.toSeq}")
+    // and an uncapped call agrees on the verdict (cap trades candidate
+    // volume, not the decision, when any near member survives)
+    val vFull = idx.dedupArrivals(echo, corpus2)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(!vFull.head._4)
+    flood.unpersist()
+    base.unpersist()
+  }
+
   test("needsRebuild trips on cell skew long before the growth bar") {
     val wh = Warehouse(spark, tmpDir("annidx-k"))
     val idx = AnnIndex(wh, "emb")
