@@ -163,6 +163,48 @@ class VectorGateSpec extends SparkTestBase {
     batch2.unpersist()
   }
 
+  test("cutover crash window: death at the pointer swap replays exactly-once") {
+    import graft.pipeline.CrashHooks
+    val wh = Warehouse(spark, tmpDir("vg6-wh"))
+    val gate = VectorGate(wh, "emb")
+    gate.landBatch(slice(0, 40, 1000L), "app:0")
+
+    // maintenance concurrent with a landing, as in production: whether
+    // app:1 lands before or after the rebuild's snapshot read is racy,
+    // so the cutover may or may not have catch-up rows — the
+    // exactly-once invariants below hold either way
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rebuild = Future(gate.prepareRebuild())
+    gate.landBatch(slice(40, 50, 3000L), "app:1")
+    assert(Await.result(rebuild, 5.minutes).contains(1L))
+
+    // the next batch performs the cutover — kill it ON the pointer-swap
+    // commit (any catch-up append has already committed by then)
+    CrashHooks.beforeManifestCommit = t =>
+      if (t == gate.genTable)
+        throw new RuntimeException("injected: die on pointer swap")
+    val crashed = intercept[RuntimeException] {
+      gate.landBatch(slice(0, 5, 5000L, perturb = true), "app:2")
+    }
+    assert(crashed.getMessage.contains("injected"))
+    CrashHooks.reset()
+    assert(gate.headGen == 0L,
+      "swap did not commit — the gate still serves the old generation")
+
+    // replay: the catch-up append txn-skips if it committed, the swap
+    // lands, the batch verdicts against gen 1 — everything exactly once
+    gate.landBatch(slice(0, 5, 5000L, perturb = true), "app:2")
+    assert(gate.headGen == 1L)
+    assert(wh.read(gate.stageTable).count() == 50L, "all 5 echoes dropped")
+    assert(gate.idx.indexedRows == 50L,
+      "live index rows == stage rows after the crashed cutover replays")
+    val v = wh.read(gate.verdictTable).where($"vec_id" >= 5000L)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v.length == 5 && v.forall(!_._4))
+  }
+
   test("streaming end-to-end: two drains through a checkpointed file source") {
     val src = tmpDir("vg3-src")
     val ckpt = tmpDir("vg3-ckpt")
