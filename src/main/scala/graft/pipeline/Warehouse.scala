@@ -455,6 +455,64 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** SET-MEMBERSHIP zone-map read: scan only the files whose recorded
+    * [min, max] on `column` (an INTEGRAL stats column) contains at least
+    * one of `values`. The probe-side complement of [[readBetween]]'s
+    * range form: a band/bucket store clustered on a hash column (see
+    * [[compact]]'s `clusterBy`) is probed by a batch that knows exactly
+    * which hash values it touches — a streaming dedup gate's band keys,
+    * an index's cell ids — and a disjunction of points prunes where one
+    * covering [lo, hi] range could not (the batch's min..max span
+    * typically covers every file). Sorted-array binary search per file
+    * keeps the prune pure driver-side manifest arithmetic at any
+    * |values| or file count. Returns the SURVIVING FILES' rows — a
+    * superset of the exact membership; callers that need row exactness
+    * apply their own residual (an equi-join on the underlying key is
+    * the usual one). An empty survivor set (or empty `values`) reads as
+    * an empty frame with the table's schema. */
+  def readInSet(table: String, column: String, values: Seq[Long]): DataFrame = {
+    val dir = tableDir(table)
+    val m = TxnLog.current(dir).getOrElse(
+      sys.error(s"no such table: $table (no committed manifest)"))
+    val survivors = prunedFilesInSet(m, table, column, values)
+    if (survivors.isEmpty)
+      readSnapshot(dir, table, m.version, m.files.take(1)).limit(0)
+    else readSnapshot(dir, table, m.version, survivors)
+  }
+
+  /** The file-skipping half of [[readInSet]], exposed for plan/test
+    * introspection (same contract as the range-form [[prunedFiles]]). */
+  def prunedFilesInSet(m: Manifest, table: String, column: String,
+                       values: Seq[Long]): Seq[String] = {
+    val idx = m.statsCols.indexOf(column)
+    require(idx >= 0,
+      s"$table carries no zone map for $column (stats columns: ${m.statsCols.mkString(",")})")
+    if (values.isEmpty) return Seq.empty
+    val sorted = values.distinct.sorted.toArray
+    // any probed value inside [mn, mx]? — smallest value ≥ mn, then ≤ mx
+    def anyIn(mn: Long, mx: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val p = if (i >= 0) i else -i - 1
+      p < sorted.length && sorted(p) <= mx
+    }
+    m.files.filter { f =>
+      m.fileStats.get(f).flatMap(_.lift(idx)) match {
+        case None => true // unknown range: never prune
+        case Some((mn, mx)) =>
+          // stats are string casts; a non-integral stats column fails
+          // the parse and conservatively keeps the file
+          try anyIn(mn.toLong, mx.toLong)
+          catch { case _: NumberFormatException => true }
+      }
+    }
+  }
+
+  /** The current snapshot's declared zone-map columns (empty when the
+    * table has none) — lets probe-side callers fall back to a full read
+    * against a store that predates their stats declaration. */
+  def statsColsOf(table: String): Seq[String] =
+    TxnLog.current(tableDir(table)).map(_.statsCols).getOrElse(Seq.empty)
+
   /** Column type from ONE file's footer (+ partition discovery) — never
     * a schema-merge over the whole table just to learn a type. The probe
     * file is one that RECORDED STATS for the column: after schema

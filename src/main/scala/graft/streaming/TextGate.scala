@@ -54,11 +54,29 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   * an empty band store simply yields no corpus candidates, and
   * intra-batch duplicates are caught from the first drop.
   *
+  * THE PROBE IS BUCKET-PRUNED (round-10: the §4 scale note's "band-store
+  * scan breaks ∝-batch at 10¹¹ docs" term, closed). Every stored band
+  * row carries `bkt = pmod(xxhash64(band, k), bandBuckets)`, declared as
+  * the table's zone-map column, and appends land range-clustered on it
+  * so each file covers a narrow bkt span. A batch probes with its OWN
+  * distinct bkt values (≤ 8·|batch|, ∝ batch by construction — the only
+  * driver-side state the probe needs) through `Warehouse.readInSet`,
+  * which opens only the files whose [min, max] can contain a probed
+  * bucket. Against a compacted store (see [[compactBands]] — the same
+  * out-of-band maintenance discipline as [[VectorGate]]'s rebuild) the
+  * corpus side of the band join reads O(|batch| / bandBuckets · corpus)
+  * bytes instead of the table: the store behaves as a disk-backed hash
+  * index whose lookup cost follows the BATCH. Pruning is a superset
+  * optimization — the (band, k) equi-join downstream is the exact
+  * residual, so verdicts are bit-identical to a full scan (spec-pinned
+  * against a bandBuckets=1 gate, whose single bucket disables pruning).
+  *
   * Reference anchor: the delta-landing contract the reference applies
   * to scraped rows (`datasources.py:748-756` — land only
   * new-vs-warehouse rows) with near-duplicate (not just key-equal)
   * arrivals caught at the door. */
-final case class TextGate(wh: Warehouse, name: String) {
+final case class TextGate(wh: Warehouse, name: String,
+                          bandBuckets: Int = 1 << 20) {
 
   private val spark = wh.spark
   import spark.implicits._
@@ -66,6 +84,31 @@ final case class TextGate(wh: Warehouse, name: String) {
   def stageTable: String = s"${name}_stage"
   def bandTable: String = s"${name}_bands"
   def verdictTable: String = s"${name}_verdicts"
+
+  /** The band-bucket column: a band row's zone-map key. One function of
+    * (band, k) shared by the landing side and the probe side — the two
+    * MUST agree or pruning silently drops true candidates. */
+  private def bktCol = pmod(xxhash64($"band", $"k"), lit(bandBuckets.toLong))
+
+  /** The distinct band buckets `bands` touches — the probe's driver-side
+    * pruning set, bounded by min(8·|batch|, bandBuckets). Exposed to the
+    * spec so it can pin file skipping with the gate's own bucket set. */
+  private[streaming] def batchBuckets(bands: DataFrame): Seq[Long] =
+    bands.select(bktCol.as("bkt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  /** The STORED shape of a batch's accepted band rows — bkt attached and
+    * range-clustered so each landed file's zone map covers a narrow
+    * bucket span (the probe's skipping unit); file count follows the
+    * batch so tiny drops stay one file. Factored out so crash-window
+    * specs land byte-identical shapes to [[landBatch]]. */
+  private[streaming] def storedBandRows(bands: DataFrame,
+      acceptedIds: DataFrame, nDocs: Long): DataFrame = {
+    val nf = math.max(1L, math.min(16L, nDocs / 50000L)).toInt
+    bands.join(acceptedIds, Seq("doc_id"))
+      .withColumn("bkt", bktCol)
+      .repartitionByRange(nf, $"bkt")
+  }
 
   /** The verdict computation alone (report threshold: exact Jaccard ≥
     * 0.30 over 3-gram shingle sets — the family's shared constant in
@@ -81,7 +124,14 @@ final case class TextGate(wh: Warehouse, name: String) {
     // original run did — intra-batch pairs go through the lower-id rule)
     val stored =
       if (wh.currentFiles(bandTable).isEmpty) bands.limit(0)
-      else wh.read(bandTable)
+      // bucket-pruned probe: only files whose bkt range can hold one of
+      // the batch's own buckets are opened; the (band, k) join below is
+      // the exact residual. Stores landed before the bkt declaration
+      // carry no zone map — full scan, same verdicts.
+      else if (wh.statsColsOf(bandTable).contains("bkt"))
+        wh.readInSet(bandTable, "bkt", batchBuckets(bands))
+          .select($"doc_id", $"band", $"k")
+      else wh.read(bandTable).select($"doc_id", $"band", $"k")
     val corpusBands = stored.join(batchIds, Seq("doc_id"), "left_anti")
     val corpusCand = bands.select($"doc_id".as("doc_a"), $"band", $"k")
       .join(corpusBands.select($"doc_id".as("doc_b"), $"band", $"k"),
@@ -125,7 +175,8 @@ final case class TextGate(wh: Warehouse, name: String) {
     }
     val b = batch.persist()
     try {
-      if (b.count() == 0L) return
+      val nDocs = b.count()
+      if (nDocs == 0L) return
       val sets = TextOps.shingleSets(b).persist()
       val bands = TextOps.minhashBandsUncached(sets).persist()
       try {
@@ -133,14 +184,28 @@ final case class TextGate(wh: Warehouse, name: String) {
         try {
           wh.load(verdictTable, verdicts, SinkPolicy.Append, Some(txn))
           val acceptedIds = verdicts.where($"is_new").select($"doc_id")
-          wh.load(bandTable, bands.join(acceptedIds, Seq("doc_id")),
-            SinkPolicy.Append, Some(txn))
+          wh.load(bandTable, storedBandRows(bands, acceptedIds, nDocs),
+            SinkPolicy.Append, Some(txn), statsCols = Seq("bkt"))
           wh.load(stageTable, b.join(acceptedIds, Seq("doc_id")),
             SinkPolicy.Append, Some(txn))
           ()
         } finally { verdicts.unpersist(); () }
       } finally { sets.unpersist(); bands.unpersist(); () }
     } finally { b.unpersist(); () }
+  }
+
+  /** OUT-OF-BAND band-store maintenance: rewrite the append-fragmented
+    * store into bkt-disjoint files (`Warehouse.compact` range-clusters on
+    * the table's lead zone-map column), restoring the probe's skipping
+    * ratio after many small appends have left each bucket scattered
+    * across per-batch files. Run from a maintenance job between batches
+    * — the [[VectorGate]] rebuild discipline; readers pinned to the old
+    * version are unaffected, and a batch that interleaves sees either
+    * snapshot with identical verdicts (pruning is superset-safe over
+    * both layouts). */
+  def compactBands(targetBytesPerFile: Long = 16L << 20): Unit = {
+    wh.compact(bandTable, targetBytesPerFile)
+    ()
   }
 
   /** Drain every pending drop through the gate, exactly-once per

@@ -251,4 +251,40 @@ class ZoneMapSpec extends SparkTestBase {
       .select("k").as[Long].collect().toSet
     assert(pruned == full && full.size == 11)
   }
+
+  test("set-membership read opens only files whose range holds a probed value") {
+    val w = Warehouse(spark, tmpDir("zm5-wh"))
+    Seq(0L, 100L, 200L, 300L).foreach(lo =>
+      w.load("t", batch(lo, 100).coalesce(1), SinkPolicy.Append,
+        statsCol = Some("k")))
+    val m = TxnLog.current(Paths.get(w.root, "t")).get
+
+    // a point disjunction spanning files 1 and 3 — a covering RANGE
+    // [50, 250] would open file 2 as well; the set form skips it
+    assert(w.prunedFilesInSet(m, "t", "k", Seq(50L, 250L)).size == 2)
+    assert(w.prunedFiles(m, "t", "k", "50", "250").size == 3)
+    val got = w.readInSet("t", "k", Seq(50L, 250L))
+      .select("k").as[Long].collect()
+    assert(got.length == 200 && got.contains(50L) && got.contains(250L)
+      && !got.contains(150L))
+
+    // boundary values prune exactly (min and max are inclusive)
+    assert(w.prunedFilesInSet(m, "t", "k", Seq(99L, 100L)).size == 2)
+    // values in no file: zero files, an empty frame with the schema
+    assert(w.prunedFilesInSet(m, "t", "k", Seq(5000L)).isEmpty)
+    val empty = w.readInSet("t", "k", Seq(5000L))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "payload"))
+    // an empty probe set reads nothing rather than everything
+    assert(w.readInSet("t", "k", Seq.empty).count() == 0)
+
+    // a stats-less file is never pruned (conservative, as in range reads)
+    w.load("t", batch(400, 10).coalesce(1), SinkPolicy.Append) // inherits k
+    val w2 = Warehouse(spark, tmpDir("zm5b-wh"))
+    w2.load("t", batch(0, 10).coalesce(1), SinkPolicy.Append)
+    w2.load("t", batch(100, 10).coalesce(1), SinkPolicy.Append,
+      statsCol = Some("k"))
+    val m2 = TxnLog.current(Paths.get(w2.root, "t")).get
+    val kept = w2.prunedFilesInSet(m2, "t", "k", Seq(105L))
+    assert(kept.size == 2, s"stats-less file must survive: $kept")
+  }
 }

@@ -114,9 +114,10 @@ class TextGateSpec extends SparkTestBase {
     val bands3 = graft.ops.TextOps.minhashBandsUncached(sets3).persist()
     val v3 = gate.verdictsFor(b3, sets3, bands3).persist()
     wh.load(gate.verdictTable, v3, SinkPolicy.Append, Some("app:2"))
-    // stranded bands: ONLY the accepted side, as the real landing does
+    // stranded bands: ONLY the accepted side, in the gate's stored
+    // shape (bkt + clustering), as the real landing does
     wh.load(gate.bandTable,
-      bands3.join(v3.where($"is_new").select($"doc_id"), Seq("doc_id")),
+      gate.storedBandRows(bands3, v3.where($"is_new").select($"doc_id"), 3L),
       SinkPolicy.Append, Some("app:2"))
     gate.landBatch(b3, "app:2")
     val v3r = verdicts(wh, gate, 200L)
@@ -166,4 +167,77 @@ class TextGateSpec extends SparkTestBase {
     assert(wh.read(gate.stageTable).count() == 11L)
     assert(wh.read(gate.verdictTable).count() == 12L)
   }
+
+  test("bucket-pruned probe: identical verdicts to an unpruned gate, fewer files opened") {
+    // two gates over the same drops: bandBuckets=1 collapses every band
+    // to bucket 0, so its probe's readInSet keeps EVERY file — the
+    // full-scan reference — while the default gate prunes
+    val whP = Warehouse(spark, tmpDir("tg5-wh-pruned"))
+    val whF = Warehouse(spark, tmpDir("tg5-wh-full"))
+    val pruned = TextGate(whP, "docs")
+    val full = TextGate(whF, "docs", bandBuckets = 1)
+    val drops = Seq(
+      docs((0L until 40L).map(i => i -> docText(i.toInt)): _*),
+      docs(100L -> docText(1, mutate = true), 101L -> docText(70),
+           102L -> docText(2, mutate = true)),
+      docs(200L -> docText(70, mutate = true), 201L -> docText(71),
+           202L -> docText(5, mutate = true), 203L -> docText(101)))
+    drops.zipWithIndex.foreach { case (d, i) =>
+      pruned.landBatch(d, s"app:$i"); full.landBatch(d, s"app:$i")
+    }
+    val vP = wallVerdicts(whP, pruned)
+    val vF = wallVerdicts(whF, full)
+    assert(vP.nonEmpty && vP.sameElements(vF))
+    // the same near-dups were caught (2 in drop 2, 2 in drop 3)
+    assert(vP.count(!_._4) == 4)
+
+    // the probe's driver-side state is bounded by the batch: one doc
+    // yields ≤ 8 buckets, and the pruned read is superset-safe — every
+    // stored row whose bkt is probed survives the file skip
+    val bands = graft.ops.TextOps.minhashBandsUncached(
+      graft.ops.TextOps.shingleSets(docs(999L -> docText(7))))
+    val bkts = pruned.batchBuckets(bands)
+    assert(bkts.nonEmpty && bkts.size <= 8)
+    val inSet = whP.readInSet(pruned.bandTable, "bkt", bkts)
+    val expect = whP.read(pruned.bandTable)
+      .where($"bkt".isin(bkts: _*)).count()
+    assert(inSet.where($"bkt".isin(bkts: _*)).count() == expect)
+  }
+
+  test("compacted band store: probe prunes across the rewritten layout with verdicts unchanged") {
+    val wh = Warehouse(spark, tmpDir("tg6-wh"))
+    val gate = TextGate(wh, "docs")
+    // many small drops fragment the store: one file per drop, each
+    // spanning most of the bucket space
+    (0 until 12).foreach { i =>
+      gate.landBatch(docs((0 until 4).map(j =>
+        (i * 10L + j) -> docText(i * 4 + j)): _*), s"app:$i")
+    }
+    val before = wh.currentFiles(gate.bandTable).size
+    assert(before == 12)
+    // tiny target → several bkt-disjoint files after the rewrite
+    gate.compactBands(targetBytesPerFile = 4L << 10)
+    val m = graft.pipeline.TxnLog.current(
+      java.nio.file.Paths.get(wh.root, gate.bandTable)).get
+    assert(m.files.size > 1, "compaction produced one file — prune test is vacuous")
+    // a one-doc probe against the compacted layout opens a strict subset
+    val bands = graft.ops.TextOps.minhashBandsUncached(
+      graft.ops.TextOps.shingleSets(docs(999L -> docText(3))))
+    val opened = wh.prunedFilesInSet(m, gate.bandTable, "bkt",
+      gate.batchBuckets(bands))
+    assert(opened.size < m.files.size)
+    // and the gate still catches a near-dup through the pruned probe
+    gate.landBatch(docs(500L -> docText(7, mutate = true),
+                        501L -> docText(300)), "app:post")
+    val v = wallVerdicts(wh, gate).filter(_._1 >= 500L)
+    assert(v.map(r => (r._1, r._4)).toSeq == Seq((500L, false), (501L, true)))
+    // seed 7 landed as doc_id 13 (drop 1, j = 3): dup_of names it
+    assert(v.find(_._1 == 500L).get._3.contains(13L))
+  }
+
+  private def wallVerdicts(wh: Warehouse, gate: TextGate)
+      : Array[(Long, Long, Option[Long], Boolean)] =
+    wh.read(gate.verdictTable)
+      .select($"doc_id", $"n_dup_matches", $"dup_of", $"is_new")
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1)
 }
