@@ -81,6 +81,46 @@ object TextGateScale {
     val (repSec, _) = timed(gate.landBatch(batch, "b1"))
     println(f"""{"phase": "gate_replay", "sec": $repSec%.2f, """ +
       s""""staged": ${wh.read(gate.stageTable).count()}}""")
+
+    // ---- bucket-pruned probe vs full scan (round-10: the §4 note's
+    // "band-store scan breaks ∝-batch" term). Compact the band store
+    // into bkt-disjoint files (64 KB target: many files, so the
+    // skipping ratio ≈ probes/files is visible at fixture scale — at
+    // 100 TB the same ratio comes from 128 MB files at corpus width),
+    // then verdict a SMALL batch through the pruned and the full-scan
+    // probe over the SAME store. Verdicts are identical by
+    // construction; only files opened and wall differ.
+    val filesBefore = wh.currentFiles(gate.bandTable).size
+    val (compSec, _) = timed(gate.compactBands(targetBytesPerFile = 64L << 10))
+    val filesAfter = wh.currentFiles(gate.bandTable).size
+    println(f"""{"phase": "compact_bands", "sec": $compSec%.2f, """ +
+      s""""files_before": $filesBefore, "files_after": $filesAfter}""")
+
+    // batch-side work (shingles, bands) materialized ONCE outside the
+    // timed section — the two timed runs differ only in the probe's
+    // corpus-side read. Pruned runs FIRST so OS page-cache warmth
+    // favors the full scan: a pruned win is conservative.
+    val small = docs.where($"doc_id" % 100 === 5 && $"doc_id" < 5000)
+      .select(($"doc_id" + 200000000L).as("doc_id"), $"text").persist()
+    val nSmall = small.count()
+    val sets = graft.ops.TextOps.shingleSets(small).persist()
+    val bands = graft.ops.TextOps.minhashBandsUncached(sets).persist()
+    bands.count()
+    val bkts = gate.batchBuckets(bands)
+    val m = graft.pipeline.TxnLog.current(
+      java.nio.file.Paths.get(wh.root, gate.bandTable)).get
+    val opened = wh.prunedFilesInSet(m, gate.bandTable, "bkt", bkts).size
+
+    val (prunedSec, prunedRows) =
+      timed(gate.verdictsFor(small, sets, bands).where(!$"is_new").count())
+    val full = TextGate(wh, "docs", pruneProbe = false)
+    val (fullSec, fullRows) =
+      timed(full.verdictsFor(small, sets, bands).where(!$"is_new").count())
+    println(f"""{"phase": "probe_small_batch", "batch": $nSmall, """ +
+      s""""probe_buckets": ${bkts.size}, """ +
+      s""""files_opened": $opened, "files_total": ${m.files.size}, """ +
+      f""""full_scan_sec": $fullSec%.2f, "pruned_sec": $prunedSec%.2f, """ +
+      s""""dups_full": $fullRows, "dups_pruned": $prunedRows}""")
     spark.stop()
   }
 }

@@ -39,7 +39,11 @@ import graft.functions.Kit
   * The DuckDB oracle replays the SAME dispatch from COUNT(*): all three
   * branch pipelines are gated by scalar-subquery predicates on n, so a
   * Spark/oracle disagreement on either the thresholds or any branch's
-  * arithmetic is a hash mismatch. The fixture scales exercise exact
+  * arithmetic is a hash mismatch. The gates sit on the branch CTE
+  * INPUTS (xdots/idots/padc), not just the output union (round-9
+  * ADVICE): DuckDB folds the scalar predicate into the scans, so a
+  * dead branch — in particular the quadratic exact all-pairs — prunes
+  * instead of executing at every fixture size. The fixture scales exercise exact
   * (n = 500 at sf0.001/sf0.01) and IVF (n = 2,000 at sf0.1); the
   * IVF-PQ branch is dispatch-tested in AnnRouterSpec and measured at
   * the 1000× decade (2M vectors) in the scale harness.
@@ -112,7 +116,7 @@ object AnnRouter {
         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
         |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 25 = 0
+        |  WHERE a.vec_id % 25 = 0 AND (SELECT n FROM nn) <= 784
         |  GROUP BY 1, 2),
         |xsims AS (
         |  SELECT qid, cid,
@@ -134,6 +138,7 @@ object AnnRouter {
         |  FROM rcand c
         |  JOIN flat fa ON fa.vec_id = c.qid
         |  JOIN flat fb ON fb.vec_id = c.cid AND fb.i = fa.i
+        |  WHERE (SELECT n FROM nn) > 784 AND (SELECT n FROM nn) <= 500000
         |  GROUP BY 1, 2),
         |isims AS (
         |  SELECT qid, cid,
@@ -151,6 +156,7 @@ object AnnRouter {
         |  FROM rcand c
         |  JOIN codes x ON x.vec_id = c.cid
         |  JOIN qlut l ON l.qid = c.qid AND l.m = x.m AND l.j = x.code
+        |  WHERE (SELECT n FROM nn) > 500000
         |  GROUP BY 1, 2),
         |pshort AS (
         |  SELECT qid, cid FROM padc

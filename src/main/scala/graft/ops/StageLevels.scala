@@ -69,6 +69,27 @@ object StageLevels {
     * at full width (STRESS_r08.md §13). Catalyst's sizeInBytes for a
     * file-backed plan is the actual scan bytes; an unknown-size plan
     * reports defaultSizeInBytes (huge) → conservatively DISK_ONLY. */
+  /** Cache-batch companion to the DISK_ONLY choice, round-10 find at the
+    * FIFTH stress decade (10M docs): `persist(DISK_ONLY)` still builds
+    * SQL-columnar batches IN HEAP before streaming them to disk, and
+    * each task's `ColumnBuilder` grows by buffer DOUBLING — at
+    * local[32] on the default 8 GiB heap, 32 concurrent 10,000-row
+    * array-column builders OOM'd (`java.lang.OutOfMemoryError` in
+    * `ColumnBuilder.ensureFreeSpace`) where the 5M-doc decade survived.
+    * In the disk regime cache-build throughput is already I/O-bound, so
+    * smaller batches cost ~nothing and bound the per-task spike at
+    * cores × 2 × batchBytes regardless of row width. Lowers only the
+    * DEFAULT (10,000); an explicit user/session setting is respected.
+    * A cluster-shape note: the spike is per-task — 4–8 tasks per
+    * executor JVM never hit this; wide single-JVM local modes do. */
+  def tuneCacheBatchFor(s: SparkSession, lvl: StorageLevel): Unit =
+    if (lvl == StorageLevel.DISK_ONLY &&
+        s.conf.get("spark.sql.inMemoryColumnarStorage.batchSize",
+          "10000") == "10000") {
+      s.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
+      ()
+    }
+
   def pinnedFor(df: org.apache.spark.sql.DataFrame,
                 expansion: Long = TextStageExpansion): StorageLevel = {
     val s = df.sparkSession

@@ -725,6 +725,10 @@ object TextOps {
       stageLevel: StorageLevel): DataFrame = {
       val s = docs.sparkSession
       import s.implicits._
+      // disk regime: bound the columnar cache builder's per-task heap
+      // spike before the first stage table materializes (fifth-decade
+      // OOM — see StageLevels.tuneCacheBatchFor)
+      StageLevels.tuneCacheBatchFor(s, stageLevel)
       // persist: without it the interpreted transform/array_distinct chain
       // under the explode re-evaluates per OUTPUT row (shingle), not per
       // document — a ~50x recompute (measured 8s of a 9s query at sf0.1)
@@ -1252,10 +1256,36 @@ object TextOps {
       // w-gram granularity error
       .select($"doc_id", $"p",
         xxhash64(slice($"ts", $"p", lit(SPAN_W))).as("g"))
-      .persist(StageLevels.pinnedFor(docs))
-    val dup = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+    val lvl = StageLevels.pinnedFor(docs)
+    val gramsPinned = grams.persist(lvl)
+    val dup = gramsPinned.groupBy($"g").agg(count(lit(1)).as("cnt"))
       .where($"cnt" > 1).select($"g")
-    val dpos = grams.join(dup, Seq("g")).select($"doc_id", $"p")
+    // dup grams are a small fraction of the stream (3–6% of positions on
+    // the stress corpora), but the probe join used to exchange the FULL
+    // gram stream to meet them — at the fifth decade (20M docs, 940M
+    // grams) that exchange plus its sort spill was a >71 GB scratch
+    // high-water mark and the DISK, not the heap, became the wall
+    // (STRESS_r10.md §5). In the DISK_ONLY corpus regime — the same
+    // size decision that pinned the gram stage — Bloom-prune the stream
+    // before the exchange (the bloom_prune_join discipline): the filter
+    // passes dup positions + fpp·unique grams, and the exact equi-join
+    // behind it drops the false positives, so the result is
+    // bit-identical while the join exchanges ~5% of the bytes (34 GB
+    // high-water and 1.2–1.4× faster at the measured decades). Below
+    // that regime the sketch's fixed cost (an extra dup count to size
+    // it) only burdens the hot path, so the plan stays the pre-fix
+    // two-sided join. dup is persisted in the Bloom branch — it feeds
+    // the sizing count, the sketch build, and the join; unpersisted,
+    // each would replay the corpus-wide occurrence count.
+    val dpos =
+      if (lvl == StorageLevel.DISK_ONLY) {
+        val dupP = dup.persist(StorageLevel.MEMORY_AND_DISK)
+        val nDup = math.max(1000L, dupP.count())
+        val bloom =
+          graft.functions.BloomMightContain.build(dupP, "g", nDup, 0.01)
+        gramsPinned.where(Kit.bloomMightContain(bloom, $"g"))
+          .join(dupP, Seq("g")).select($"doc_id", $"p")
+      } else gramsPinned.join(dup, Seq("g")).select($"doc_id", $"p")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
     val agg = dpos

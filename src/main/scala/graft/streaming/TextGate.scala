@@ -76,7 +76,8 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   * new-vs-warehouse rows) with near-duplicate (not just key-equal)
   * arrivals caught at the door. */
 final case class TextGate(wh: Warehouse, name: String,
-                          bandBuckets: Int = 1 << 20) {
+                          bandBuckets: Int = 1 << 20,
+                          pruneProbe: Boolean = true) {
 
   private val spark = wh.spark
   import spark.implicits._
@@ -93,7 +94,7 @@ final case class TextGate(wh: Warehouse, name: String,
   /** The distinct band buckets `bands` touches — the probe's driver-side
     * pruning set, bounded by min(8·|batch|, bandBuckets). Exposed to the
     * spec so it can pin file skipping with the gate's own bucket set. */
-  private[streaming] def batchBuckets(bands: DataFrame): Seq[Long] =
+  private[graft] def batchBuckets(bands: DataFrame): Seq[Long] =
     bands.select(bktCol.as("bkt")).distinct()
       .collect().map(_.getLong(0)).toSeq
 
@@ -116,8 +117,8 @@ final case class TextGate(wh: Warehouse, name: String,
     * land a prefix of the batch's tables and then replay. `b`, `sets`,
     * `bands` must all describe the same batch ([[landBatch]] wires
     * them); reads the CURRENT band/stage stores. */
-  private[streaming] def verdictsFor(b: DataFrame, sets: DataFrame,
-                                     bands: DataFrame): DataFrame = {
+  private[graft] def verdictsFor(b: DataFrame, sets: DataFrame,
+                                 bands: DataFrame): DataFrame = {
     val batchIds = b.select($"doc_id")
     // corpus side: stored bands, minus any stranded rows of THIS batch
     // (a bands-landed/stage-missing replay must see the store as the
@@ -128,7 +129,9 @@ final case class TextGate(wh: Warehouse, name: String,
       // the batch's own buckets are opened; the (band, k) join below is
       // the exact residual. Stores landed before the bkt declaration
       // carry no zone map — full scan, same verdicts.
-      else if (wh.statsColsOf(bandTable).contains("bkt"))
+      // pruneProbe=false is the full-scan comparator (and kill switch):
+      // same verdicts, every file opened
+      else if (pruneProbe && wh.statsColsOf(bandTable).contains("bkt"))
         wh.readInSet(bandTable, "bkt", batchBuckets(bands))
           .select($"doc_id", $"band", $"k")
       else wh.read(bandTable).select($"doc_id", $"band", $"k")

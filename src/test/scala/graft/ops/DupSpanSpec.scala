@@ -52,4 +52,19 @@ class DupSpanSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 20L, 0L, 0L, 0L), (2L, 20L, 0L, 0L, 0L)))
   }
+
+  test("the disk-regime Bloom-pruned probe reproduces the default plan bit-for-bit") {
+    // the Bloom branch engages with the DISK_ONLY stage decision (the
+    // fifth-decade scratch fix, STRESS_r10.md §5) — force it through
+    // the documented override and pin row parity against the default
+    // two-sided join on the same planted corpus
+    val expected = TextOps.dupSpanCoverageOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.pinnedLevel", "disk_only")
+    try {
+      val pruned = TextOps.dupSpanCoverageOf(docs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(pruned == expected)
+    } finally spark.conf.unset("spark.graft.pinnedLevel")
+  }
 }
