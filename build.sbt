@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 concurrent parquet-writer tasks sit in JNI critical sections
+  // (compression) long enough to starve allocating threads: the JVM
+  // retries an allocation blocked by the GCLocker only TWICE by default
+  // before throwing a spurious OutOfMemoryError with free heap
+  // ("Retried waiting for GCLocker too often" — hit at the 4M-vector
+  // index build, STRESS_r10 §6). Raise the retry budget; this changes
+  // no memory limit.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

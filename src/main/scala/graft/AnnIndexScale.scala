@@ -169,10 +169,18 @@ object AnnIndexScale {
     }
     if (phases("replay")) {
       spark.catalog.clearCache()
-      val (repSec, r2) = timed(idx.ingest(arrivals, base, "stress-b1"))
+      // the replay re-verdicts against the POST-FLOOD index (the
+      // correlated accepts now sit in one hot cell), so it runs under
+      // the production 4×-modulus grind cap — the VectorGate default.
+      // The uncapped form's candidate volume is cell²: ~2·10⁹ pairs at
+      // 2M (75.4 s, r9) and heap death at 4M (STRESS_r10 §6) — the cap
+      // exists precisely for this window, maintenance repairs it.
+      val cap = 4L * idx.meta.ivfModulus
+      val (repSec, r2) = timed(
+        idx.ingest(arrivals, base, "stress-b1", capPerCell = Some(cap)))
       println(f"""{"phase": "ingest_replay", "sec": $repSec%.2f, """ +
         s""""action": "${r2.action}", "duplicates": ${r2.duplicates}, """ +
-        s""""indexed": ${idx.indexedRows}}""")
+        s""""cap_per_cell": $cap, "indexed": ${idx.indexedRows}}""")
       r2.verdicts.unpersist()
     }
 

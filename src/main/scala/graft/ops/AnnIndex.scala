@@ -107,10 +107,32 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val cents = corpus
       .select($"vec_id".as("cent_id"), $"qe".as("ce"), $"nrm".as("cn"))
       .where($"cent_id" % m === 0)
-    val assign = Similarity.probeCells(corpus, cents, 1)
+    val assign = Similarity.probeCells(
+        Similarity.boundedGroups(corpus, n), cents, 1)
       .select($"qid".as("vec_id"), $"cell")
-    val entries = assign.join(Pq.encode(corpus, cb), Seq("vec_id"))
+    // PHASE-DECOMPOSED (round-10, found at the 4M-vector decade): one
+    // job running the n·√n assignment aggregation AND the assign⋈encode
+    // sort-merge concurrently exhausted the default 8 GiB heap at
+    // local[32] (0.25 GB per concurrent task — 12 GiB completed, so a
+    // margin, not a leak; STRESS_r10 §6). Land the 12 B/row assignment
+    // first — its own job, peak = the aggregation alone — then join the
+    // stored narrow table to the encode projection in a second job
+    // whose peak is two narrow sorts. Same rows, same index; the
+    // staging table is dropped once entries commit. Scales: nothing
+    // here is a literal or a broadcast of O(n).
+    val tAssignTmp = s"${name}_build_assign"
+    wh.load(tAssignTmp, assign, SinkPolicy.Overwrite)
+    val entries =
+      wh.read(tAssignTmp).join(Pq.encode(corpus, cb), Seq("vec_id"))
     wh.load(tEntries, entries, SinkPolicy.Overwrite)
+    locally {
+      val dir = java.nio.file.Paths.get(wh.root, tAssignTmp)
+      if (java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
     wh.load(tCentroids, cents, SinkPolicy.Overwrite)
     wh.load(tCodebook,
       cb.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("j", "qe"),

@@ -75,14 +75,25 @@ object Similarity {
     // reads THIS cache, and a single-file fixture otherwise caches as
     // 1-2 partitions, starving all but 1-2 cores (measured on k-means at
     // 100×: 111 s starved vs 9.4 s floored, same arithmetic).
-    ParallelismFloor(
+    val base = ParallelismFloor(
       t(s, dir, "embeddings").select(
         $"vec_id",
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qe")),
       s"$dir/embeddings.parquet")
       .withColumn("nrm", Kit.dotI64(col("qe"), col("qe")))
-      .persist()
+    // SIZE the persist against the source (the stage-table doctrine,
+    // StageLevels.pinnedFor) — found missing here by the 2000×-vector
+    // decade (4M): the deserialized in-heap cache plus the index
+    // build's join spike exhausted the default heap (GCLocker thrash →
+    // OutOfMemoryError in the cache read-ahead, STRESS_r10 §6), while
+    // 2M measured safe. Expansion 3, not the text tables' 6: these are
+    // fixed-width int64-array rows (~2–3× their parquet bytes, no
+    // string blowup), and 6 would flip the measured-safe 1000× decade
+    // to disk while 3 flips exactly where the OOM starts.
+    val lvl = graft.ops.StageLevels.pinnedFor(base, expansion = 3)
+    graft.ops.StageLevels.tuneCacheBatchFor(s, lvl)
+    base.persist(lvl)
   }
 
   private[ops] def cosCol(dot: Column, na: Column, nb: Column): Column =
@@ -951,6 +962,21 @@ object Similarity {
     * to find them). Same tie-breaking (cos DESC, cent_id) as everywhere
     * else, so a stored-index probe reproduces the fresh pipeline's cells
     * bit-for-bit. */
+  /** Repartition `df` so each map task holds well under the object-hash
+    * aggregation's 65,536-group fallback threshold during a per-vector
+    * fold. A partition with more distinct vec_ids silently converts the
+    * PARTIAL aggregation to sort-based — over the K-times blown-up
+    * probe stream, which is the catastrophic form: found at the
+    * 4M-vector decade (125k groups/task → fallback → a 250M-row sort
+    * per task → heap death), while 2M sat just under the bar at
+    * 62.5k/task (STRESS_r10 §6). Costs one narrow exchange of the
+    * corpus; a no-op when the frame is already wide enough. */
+  private[ops] def boundedGroups(df: DataFrame, rows: Long): DataFrame = {
+    val parts = math.ceil(rows / 60000.0).toInt
+    if (parts <= df.rdd.getNumPartitions) df
+    else df.repartition(parts)
+  }
+
   private[ops] def probeCells(queries: DataFrame, cents: DataFrame,
                               nprobe: Int): DataFrame = {
     val s = queries.sparkSession
@@ -979,7 +1005,9 @@ object Similarity {
     def cos(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .select($"vec_id", $"cent_id",
         cosCol(Kit.dotI64($"qe", $"ce"), $"nrm", $"cn").as("cos"))
-    val assign = cos(corpus).groupBy($"vec_id")
+    // bound groups-per-task through the corpus-wide fold (m = ⌈√n⌉, so
+    // m² estimates the corpus rows without an extra count)
+    val assign = cos(boundedGroups(corpus, m * m)).groupBy($"vec_id")
       .agg(Kit.cosTopK($"cos", $"cent_id", 1).as("top"))
       .select($"vec_id", $"top"(0)("cid").as("cell"))
     val probes = cos(queries)
