@@ -33,12 +33,22 @@ import graft.streaming.VectorGate
   *   5. cutover — the next batch swaps generations (catch-up append ∝
   *      rows landed during the build) and verdicts at the healthy wall.
   *
-  *   sbt 'runMain graft.GateScale /tmp/sf1000_stress'
+  * A second mode, `autorepair` (round 10), measures the DOOR-REPAIR
+  * tier instead: bootstrap → the correlated bomb → an echo batch landed
+  * with the production default, which splits the hot cell in place
+  * (O(Σ|hot cell|)) before verdicting — the wall to compare against
+  * `lifecycle`'s stale_capped grind (134.0 s at 2M, with 66 verdicts
+  * lost to the cap) and the 2000×-decade capped OOM (STRESS_r10 §6).
+  * The `lifecycle` phases pass `autoRepairSkew = None` so the
+  * stale-geometry baselines those decades recorded stay reproducible.
+  *
+  *   sbt 'runMain graft.GateScale /tmp/sf1000_stress [lifecycle|autorepair]'
   */
 object GateScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: GateScale <fixtureDir>"))
+      sys.error("usage: GateScale <fixtureDir> [lifecycle|autorepair]"))
+    val mode = args.lift(1).getOrElse("lifecycle")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -80,17 +90,35 @@ object GateScale {
     val arrivals = Pq.ingestArrivals(base).persist()
     val nArr = arrivals.count()
     spark.catalog.clearCache()
-    val (b1Sec, _) = timed(gate.landBatch(arrivals, "g:1"))
+    val (b1Sec, _) = timed(
+      gate.landBatch(arrivals, "g:1", autoRepairSkew = None))
     val (_, maxCell1) = gate.idx.cellStats
     println(f"""{"phase": "correlated", "sec": $b1Sec%.2f, """ +
       s""""batch": $nArr, "dups": ${dupsOf(n)}, """ +
       s""""max_cell": $maxCell1, "modulus": ${gate.idx.meta.ivfModulus}, """ +
       s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
 
+    if (mode == "autorepair") {
+      // 3'. the production default: the echo batch REPAIRS the hot cell
+      // at the door (O(|cell|)) and verdicts at healthy geometry — no
+      // grind, no capped recall loss, no stream stall
+      val echo0 = echoOf(arrivals, 10000000L).persist()
+      spark.catalog.clearCache()
+      val (bSec, _) = timed(gate.landBatch(echo0, "g:2"))
+      val (_, maxCellR) = gate.idx.cellStats
+      println(f"""{"phase": "echo_autorepair", "sec": $bSec%.2f, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(10000000L)}, """ +
+        s""""max_cell": $maxCellR, """ +
+        s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
+      spark.stop()
+      return
+    }
+
     // 3. echo against the STALE hot geometry — bounded by the cap
     val echo1 = echoOf(arrivals, 10000000L).persist()
     spark.catalog.clearCache()
-    val (b2Sec, _) = timed(gate.landBatch(echo1, "g:2"))
+    val (b2Sec, _) = timed(
+      gate.landBatch(echo1, "g:2", autoRepairSkew = None))
     println(f"""{"phase": "stale_capped", "sec": $b2Sec%.2f, """ +
       s""""batch": $nArr, "dups": ${dupsOf(10000000L)}}""")
 
@@ -98,7 +126,8 @@ object GateScale {
     val echo2 = echoOf(arrivals, 20000000L).persist()
     spark.catalog.clearCache()
     val rebuild = Future(timed(gate.prepareRebuild()))
-    val (b3Sec, _) = timed(gate.landBatch(echo2, "g:3"))
+    val (b3Sec, _) = timed(
+      gate.landBatch(echo2, "g:3", autoRepairSkew = None))
     val (rbSec, gen) = Await.result(rebuild, 60.minutes)
     println(f"""{"phase": "concurrent", "batch_sec": $b3Sec%.2f, """ +
       f""""rebuild_sec": $rbSec%.2f, "prepared_gen": ${gen.getOrElse(-1L)}, """ +
@@ -107,7 +136,8 @@ object GateScale {
     // 5. cutover + healthy-geometry verdicts
     val echo3 = echoOf(arrivals, 30000000L).persist()
     spark.catalog.clearCache()
-    val (b4Sec, _) = timed(gate.landBatch(echo3, "g:4"))
+    val (b4Sec, _) = timed(
+      gate.landBatch(echo3, "g:4", autoRepairSkew = None))
     val (_, maxCell2) = gate.idx.cellStats
     println(f"""{"phase": "cutover", "sec": $b4Sec%.2f, """ +
       s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(30000000L)}, """ +

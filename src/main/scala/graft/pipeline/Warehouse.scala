@@ -513,6 +513,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def statsColsOf(table: String): Seq[String] =
     TxnLog.current(tableDir(table)).map(_.statsCols).getOrElse(Seq.empty)
 
+  /** Per-file [min, max] of an INTEGRAL zone-map column for the current
+    * snapshot — pure driver-side manifest arithmetic, no file opens.
+    * One entry per current file; `None` for a file without recorded (or
+    * non-integral) stats, which the pruning reads never skip. Probe-side
+    * callers use this to REASON about skipping efficiency — e.g.
+    * [[graft.streaming.TextGate.expectedOpensPerBucket]]'s fragmentation
+    * census, which decides when [[compact]] maintenance is due. */
+  def fileSpans(table: String, column: String): Seq[Option[(Long, Long)]] =
+    TxnLog.current(tableDir(table)) match {
+      case None => Seq.empty
+      case Some(m) =>
+        val idx = m.statsCols.indexOf(column)
+        require(idx >= 0,
+          s"$table carries no zone map for $column (stats columns: " +
+            s"${m.statsCols.mkString(",")})")
+        m.files.map { f =>
+          m.fileStats.get(f).flatMap(_.lift(idx)).flatMap {
+            case (mn, mx) =>
+              try Some((mn.toLong, mx.toLong))
+              catch { case _: NumberFormatException => None }
+          }
+        }
+    }
+
   /** Column type from ONE file's footer (+ partition discovery) — never
     * a schema-merge over the whole table just to learn a type. The probe
     * file is one that RECORDED STATS for the column: after schema

@@ -211,6 +211,34 @@ final case class TextGate(wh: Warehouse, name: String,
     ()
   }
 
+  /** Expected file opens for ONE probed bucket — Σ(per-file bkt span) /
+    * bandBuckets, pure driver-side manifest arithmetic
+    * ([[graft.pipeline.Warehouse.fileSpans]]; a file without stats
+    * counts as full-span, since pruning never skips it). A compacted
+    * store's files are bkt-disjoint, so the sum telescopes to ≈ 1.0;
+    * every appended batch re-covers the bucket range once more (its
+    * range-clustered files are disjoint WITHIN the batch only), so the
+    * metric counts, in effect, the batches landed since the last
+    * [[compactBands]] — the per-probe open cost the measured
+    * opens ≈ F·(1 − e^(−b/F)) model predicts at b = 1 (STRESS_r10
+    * §4.1). */
+  def expectedOpensPerBucket: Double =
+    if (wh.currentFiles(bandTable).isEmpty) 0.0
+    else wh.fileSpans(bandTable, "bkt").map {
+      case Some((mn, mx)) => (mx - mn + 1).toDouble
+      case None => bandBuckets.toDouble
+    }.sum / bandBuckets
+
+  /** True when append fragmentation has decayed probe pruning enough
+    * that a [[compactBands]] should be scheduled — the [[VectorGate]]
+    * `maintenanceNeeded` contract for the band store. Never consulted
+    * on the stream path: fragmentation degrades probe COST (extra file
+    * opens), never verdicts (pruning is superset-safe). The default bar
+    * tolerates ~4 uncompacted batches — past it each probed bucket pays
+    * ~`bar` opens instead of 1. */
+  def maintenanceNeeded(bar: Double = 4.0): Boolean =
+    expectedOpensPerBucket >= bar
+
   /** Drain every pending drop through the gate, exactly-once per
     * micro-batch. `stream` carries (doc_id, text); `appId` must be
     * stable across restarts of the same logical pipeline. */

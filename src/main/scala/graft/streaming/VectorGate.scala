@@ -33,11 +33,24 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   *     the head pointer. Old-generation tables stay until vacuum
   *     (readers pinned to them finish on their snapshot).
   *
-  * The cutover is the only index work on the stream path and its cost
-  * is batch-scale; a hot-cell or growth trip therefore degrades probe
-  * cost until maintenance lands, instead of freezing the stream
-  * (bounded grind, measured in the GateScale harness at the 1000×
-  * decade).
+  * Index work on the stream path is bounded by BATCH-scale cost, never
+  * corpus-scale, via a three-tier staleness response:
+  *
+  *   - GROWTH trips (indexed rows ≥ 2× built_n) wait for the
+  *     out-of-band rebuild above — O(corpus), never inline;
+  *   - SKEW trips (one cell ≥ 16× the modulus — a correlated batch's
+  *     flood) are repaired IN PLACE at the top of the next
+  *     [[landBatch]] ([[AnnIndex.repairHotCells]]: split only the hot
+  *     cells, O(Σ|hot cell|) ≈ the defect's own size — 12–18 s at the
+  *     2M/4M decades vs the 95.5 s rebuild, STRESS_r10 §3/§6);
+  *   - residual sub-bar skew (4–16× cells) is thinned by the
+  *     bounded-grind cap inside the verdict probe, trading bounded
+  *     recall inside those cells for a bounded wall.
+  *
+  * The round-10 measurement that forced the middle tier: at 4M vectors
+  * a post-flood batch OOM'd even UNDER the cap (the capped pipeline's
+  * residual working set at local[32]'s 32 tasks/JVM), while repair
+  * first + healthy-geometry verdicts ran at baseline (STRESS_r10 §6).
   *
   * Three tables move per micro-batch — the serving generation's
   * entries (via [[AnnIndex.ingest]]), `name_verdicts`, `name_stage` —
@@ -117,7 +130,9 @@ final case class VectorGate(wh: Warehouse, name: String) {
     * hot-cell skew — [[AnnIndex.needsRebuild]]) and a maintenance
     * [[prepareRebuild]] should be scheduled. Never consulted on the
     * stream path: a stale geometry degrades probe cost, it does not
-    * block landing. */
+    * block landing. Skew-class trips normally self-heal at the next
+    * [[landBatch]] (the door repair), so a PERSISTENT true here means
+    * growth — schedule the rebuild. */
   def maintenanceNeeded(): Boolean =
     wh.currentFiles(stageTable).nonEmpty && idx.needsRebuild()
 
@@ -165,14 +180,28 @@ final case class VectorGate(wh: Warehouse, name: String) {
   }
 
   /** One logical micro-batch: cut over to a pending generation if one
-    * is ready, then verdict, record, land. `batch` carries
-    * [[graft.ops.Similarity]]'s quantized shape (vec_id, qe, nrm);
-    * vec_ids must be globally unique across all drops (the ingest
-    * id-disjointness rule). Exposed publicly so crash replays can be
-    * driven deterministically in tests; streaming callers use
-    * [[drain]]. */
+    * is ready, repair a skew-tripped geometry in place, then verdict,
+    * record, land. `batch` carries [[graft.ops.Similarity]]'s quantized
+    * shape (vec_id, qe, nrm); vec_ids must be globally unique across
+    * all drops (the ingest id-disjointness rule). Exposed publicly so
+    * crash replays can be driven deterministically in tests; streaming
+    * callers use [[drain]].
+    *
+    * `autoRepairSkew`: hot cells at-or-past this multiple of the
+    * serving index's modulus are split IN PLACE
+    * ([[AnnIndex.repairHotCells]]) before the batch verdicts — cost
+    * ∝ Σ|hot cell|, batch-scale like the landing itself, NOT the
+    * O(corpus) rebuild (which stays out-of-band). Without it the gate's
+    * only defenses against a flooded cell were the grind cap (bounded
+    * wall, degraded recall — 66 verdicts lost at the 1000× decade) or
+    * the cap-less grind (heap death at the 2000× decade, STRESS_r10
+    * §6). `None` disables (the measurement harness's stale-geometry
+    * baseline); the default equals [[AnnIndex.needsRebuild]]'s skew
+    * bar, so the door repairs exactly the geometries maintenance would
+    * have flagged. */
   def landBatch(batch: DataFrame, txn: String,
-                threshold: Double = 0.90): Unit = {
+                threshold: Double = 0.90,
+                autoRepairSkew: Option[Double] = Some(16.0)): Unit = {
     if (wh.txnLanded(stageTable, txn)) {
       // landed but checkpoint behind: consume-and-skip (see drainInto)
       batch.foreach(_ => ())
@@ -208,6 +237,27 @@ final case class VectorGate(wh: Warehouse, name: String) {
       // inside a thinned cell degrades until the rebuild lands — a
       // bounded false-accept window beats a stalled stream.
       val liveIdx = idx
+      // SELF-HEALING AT THE DOOR (round 10): a correlated earlier batch
+      // can flood one cell past the skew bar (the STRESS_r09 §11 bomb —
+      // +2.4% growth, invisible to the growth criterion) and every
+      // later batch's probe into it pays |cell| candidates. The repair
+      // is O(Σ|hot cell|) — 18.2 s for a 41k-member cell at 2M vectors,
+      // 12.3 s at 4M (STRESS_r10 §3/§6) — the same cost class as the
+      // batch itself, so it belongs ON the stream path, unlike the
+      // O(corpus) rebuild it replaces for this defect class. The census
+      // that detects it is one pass over the 16 B/row entries (already
+      // paid by the grind cap's own hot-cell scan below); a healthy
+      // geometry repairs nothing and pays only that census. Crash
+      // replay: the repair is value-idempotent (ranked re-draft is
+      // anti-joined against landed centroids; re-running on a healed
+      // census is a no-op), and a crash between its centroid append and
+      // entries upsert leaves the same boundary-staleness class probe-2
+      // already covers — the replayed batch repairs the still-hot cell
+      // before verdicting.
+      autoRepairSkew.foreach { bar =>
+        liveIdx.repairHotCells(corpus, bar)
+        ()
+      }
       val cap = Some(4L * liveIdx.meta.ivfModulus)
       val res = liveIdx.ingest(batch, corpus, txn, threshold, cap)
       try {

@@ -235,6 +235,37 @@ class TextGateSpec extends SparkTestBase {
     assert(v.find(_._1 == 500L).get._3.contains(13L))
   }
 
+  test("fragmentation census: appends raise expectedOpensPerBucket, compaction restores it") {
+    val wh = Warehouse(spark, tmpDir("tg7-wh"))
+    val gate = TextGate(wh, "docs")
+    assert(gate.expectedOpensPerBucket == 0.0, "empty store probes nothing")
+    assert(!gate.maintenanceNeeded())
+
+    // each drop lands one file spanning most of the bucket range, so the
+    // census counts ≈ one open per drop per probed bucket
+    (0 until 6).foreach { i =>
+      gate.landBatch(docs((0 until 4).map(j =>
+        (i * 10L + j) -> docText(i * 4 + j)): _*), s"app:$i")
+    }
+    val frag = gate.expectedOpensPerBucket
+    assert(frag > 4.0 && frag <= 6.0,
+      s"six one-file drops must census ≈ 6 opens/bucket, got $frag")
+    assert(gate.maintenanceNeeded(), "fragmentation past the bar")
+
+    // out-of-band compaction: bkt-disjoint files telescope the census
+    // back to ≈ 1 (strictly ≤ 1 + files — span overlaps only at seams)
+    gate.compactBands(targetBytesPerFile = 4L << 10)
+    val after = gate.expectedOpensPerBucket
+    assert(after < 1.5, s"compacted store must census ≈ 1, got $after")
+    assert(!gate.maintenanceNeeded())
+
+    // the census is advisory only: verdicts are identical either side
+    // (pinned by the compaction spec above); here just prove the gate
+    // still verdicts through the compacted layout
+    gate.landBatch(docs(900L -> docText(2, mutate = true)), "app:post")
+    assert(wallVerdicts(wh, gate).count(v => v._1 == 900L && !v._4) == 1)
+  }
+
   private def wallVerdicts(wh: Warehouse, gate: TextGate)
       : Array[(Long, Long, Option[Long], Boolean)] =
     wh.read(gate.verdictTable)

@@ -205,6 +205,84 @@ class VectorGateSpec extends SparkTestBase {
     assert(v.length == 5 && v.forall(!_._4))
   }
 
+  test("skew trip is repaired at the door: the next batch splits the hot cell before verdicting") {
+    val wh = Warehouse(spark, tmpDir("vg7-wh"))
+    val gate = VectorGate(wh, "emb")
+    // bootstrap with the whole 500-vector fixture: the flood below must
+    // trip the SKEW bar while staying under the GROWTH bar (16·⌈√500⌉+8
+    // = 376 < 500), because repair clears only skew-class staleness
+    gate.landBatch(slice(0, 500, 1000L), "app:0")
+    val m = gate.idx.meta
+
+    // manufacture the post-flood state a correlated accepted batch
+    // leaves (the STRESS_r09 §11 bomb in miniature — the AnnIndexSpec
+    // construction): near-copies of one bootstrapped vector, all
+    // assigned to its cell, landed as entries + stage rows
+    val v0 = wh.read(gate.stageTable).where($"vec_id" === 1000L)
+      .select($"qe").as[Seq[Long]].head()
+    val nFlood = (16 * m.ivfModulus).toInt + 8
+    assert(500L + nFlood < 2L * m.builtN, "stay under the growth bar")
+    val flood = spark.range(nFlood.toLong)
+      .select(($"id" + 8000000L).as("vec_id"), typedLit(v0).as("qe0"))
+      .select($"vec_id", expr(
+        "transform(qe0, (x, i) -> x + CASE WHEN i % 8 = CAST(vec_id % 8 AS INT) " +
+          "THEN CAST(500 + (vec_id % 29) * 100 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+      .persist()
+    assert(gate.idx.indexVectors(flood, "app:1") == nFlood.toLong)
+    wh.load(gate.stageTable, flood, graft.pipeline.SinkPolicy.Append,
+      Some("app:1"))
+    assert(gate.maintenanceNeeded(), "the flood must trip the skew bar")
+
+    def echoOf(ids: Seq[Long], offset: Long) = flood
+      .where($"vec_id".isin(ids: _*))
+      .select(($"vec_id" + offset).as("vec_id"),
+        expr("transform(qe, (x, i) -> x + CASE WHEN i % 7 = 0 " +
+          "THEN CAST(3000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
+      .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
+    val targets = Seq(8000001L, 8000017L, 8000040L, 8000063L, 8000088L,
+      8000105L)
+
+    // the harness dial: with auto-repair OFF the geometry stays stale
+    // after a landing (the grind cap bounds the wall, nothing heals);
+    // the batch re-delivers bootstrap vectors — exact dups in healthy
+    // cells, so its outcome is deterministic under the cap
+    gate.landBatch(slice(40, 45, 8100000L), "app:2",
+      autoRepairSkew = None)
+    assert(gate.maintenanceNeeded(),
+      "without auto-repair the skew trip must persist")
+
+    // the production default: the NEXT batch repairs the hot cell in
+    // place before verdicting — O(|cell|), entries rewritten not added,
+    // and every echo of a reassigned flood member is caught (no
+    // grind-cap recall loss)
+    val n0 = gate.idx.indexedRows
+    gate.landBatch(echoOf(targets, 200000L), "app:3")
+    assert(!gate.maintenanceNeeded(),
+      "the door repair must clear the skew trip")
+    assert(gate.idx.indexedRows == n0,
+      "repair rewrites assignments, never adds or drops entries")
+    val v = wh.read(gate.verdictTable).where($"vec_id" >= 8200000L)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(v.length == targets.length && v.forall(!_._4),
+      s"every echo must be flagged against the repaired geometry: ${v.toSeq}")
+    // each names a flood member (usually its exact source; a k=1 tie
+    // can pick a sibling of the mutually-near flood — both prove the
+    // reassigned entries stayed findable through the split centroids)
+    v.foreach { case (vid, dupOf, _, _) =>
+      assert(dupOf.exists(d => d >= 8000000L && d < 8000000L + nFlood),
+        s"$vid -> $dupOf") }
+    assert(wh.read(gate.stageTable).count() == 500L + nFlood,
+      "no echo may land (bootstrap + the flood; app:2 was all-dup)")
+
+    // a replay of the repairing batch moves nothing anywhere
+    gate.landBatch(echoOf(targets, 200000L), "app:3")
+    assert(gate.idx.indexedRows == n0)
+    assert(wh.read(gate.stageTable).count() == 500L + nFlood)
+    flood.unpersist()
+  }
+
   test("streaming end-to-end: two drains through a checkpointed file source") {
     val src = tmpDir("vg3-src")
     val ckpt = tmpDir("vg3-ckpt")
