@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -251,5 +251,99 @@ object Components {
         when($"doc_id" === $"wdoc", 1L).otherwise(0L).as("keep"))
   }
 
-  val all: Seq[QueryDef] = Seq(neardupClusters, neardupKeepBest)
+  /** Validation fraction of [[leakageSafeSplit]] in basis points of the
+    * md5 bucket space — 5%, the conventional held-out slice. */
+  private val ValBp = 500L
+
+  /** GROUP-AWARE TRAIN/VAL SPLIT WITH A NEAR-DUP LEAKAGE GUARD — the
+    * split step a training pipeline runs AFTER near-dup detection.
+    * A naive per-document hash split leaks: a near-duplicate pair
+    * straddling the boundary puts a paraphrase of a validation document
+    * into training, and the eval overstates generalization (the
+    * train-test overlap Lee et al., ACL 2022 §6.2 measured on C4/Wiki40B
+    * — eval perplexity on leaked examples is spuriously low). The fix
+    * is the group-shuffle-split discipline: the ATOM of splitting is the
+    * near-dup CLUSTER, never the document.
+    *
+    *   1. provisional split: md5-bucket of doc_id < 5% → val (the
+    *      [[Curation.stratifiedSample]] hash idiom — deterministic,
+    *      engine-portable, no RNG);
+    *   2. clusters: MinHash-LSH pairs → [[connectedComponents]]
+    *      (singletons form their own cluster);
+    *   3. final split: every member takes the provisional split of the
+    *      cluster's REPRESENTATIVE (its minimum doc_id — exactly the
+    *      cluster_id, so the lookup is one join against the provisional
+    *      frame, no argmin pass). No pair can straddle the final split:
+    *      pairs live inside clusters and clusters move atomically.
+    *
+    * Output per document: (doc_id, cluster_id, is_val0, is_val, moved)
+    * — `moved` marks docs whose split changed, i.e. exactly the leakage
+    * the naive split would have shipped. Scale shape: steps 1 and 3 are
+    * a map-side hash and one (cluster_id, bit) equi-join; the pair+CC
+    * machinery is [[neardupClusters]]'s unchanged (O(E log n), no
+    * member list ever on one node), so the guard costs nothing beyond
+    * the dedup pass the pipeline already ran. Reference anchor: the
+    * reference has no split stage (`transform_functions.py` stops at
+    * drop_duplicates); this is the extension a 100 TB training corpus
+    * requires before any eval is trustworthy. */
+  val leakageSafeSplit: QueryDef =
+    QueryDef.sql(
+      "leakage_safe_split",
+      s"""WITH RECURSIVE ${TextOps.mhPairsCteSql},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < $ValBp THEN 1 ELSE 0 END AS is_val0
+        |  FROM documents),
+        |cl AS (
+        |  SELECT s0.doc_id, COALESCE(cc.cluster_id, s0.doc_id) AS cluster_id,
+        |    s0.is_val0
+        |  FROM s0 LEFT JOIN cc ON cc.doc_id = s0.doc_id)
+        |SELECT cl.doc_id, cl.cluster_id,
+        |  CAST(cl.is_val0 AS BIGINT) AS is_val0,
+        |  CAST(rep.is_val0 AS BIGINT) AS is_val,
+        |  CAST(CASE WHEN cl.is_val0 <> rep.is_val0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS moved
+        |FROM cl JOIN s0 rep ON rep.doc_id = cl.cluster_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = TextOps.minhashNeardupPairs(docs,
+            StageLevels.pinnedFor(docs))
+          .select($"doc_a", $"doc_b")
+        splitVerdicts(docs, pairs)
+    }
+
+  /** The split machinery behind [[leakageSafeSplit]], reusable with any
+    * pair detector. Returns (doc_id, cluster_id, is_val0, is_val,
+    * moved) covering EVERY document. */
+  def splitVerdicts(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def isVal(id: Column): Column =
+      when(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000L < ValBp, 1L).otherwise(0L)
+    val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val cl = docs.select($"doc_id", isVal($"doc_id").as("is_val0"))
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        $"is_val0")
+    // the representative IS the cluster_id, so its split bit derives
+    // from the id directly — no second scan, no argmin aggregation
+    cl.select($"doc_id", $"cluster_id", $"is_val0",
+        isVal($"cluster_id").as("is_val"))
+      .withColumn("moved",
+        when($"is_val0" =!= $"is_val", 1L).otherwise(0L))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(neardupClusters, neardupKeepBest, leakageSafeSplit)
 }

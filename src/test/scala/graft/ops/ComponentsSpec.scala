@@ -76,4 +76,37 @@ class ComponentsSpec extends SparkTestBase {
     assert(got(50L) == ((50L, 3, 1L)), "singleton keeps itself")
     assert(got.size == 5)
   }
+
+  test("leakage-safe split: clusters move atomically, no pair straddles the final split") {
+    // enough ids that the 5% md5 bucket puts SOME docs in val; pair the
+    // docs into chains of 3 so clusters mix provisional assignments
+    val docs = (0L until 600L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until 600L).filter(_ % 3 != 2)
+      .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Components.splitVerdicts(docs, pairs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 600)
+    val byDoc = got.map(r => r._1 -> r).toMap
+
+    // the naive split is non-degenerate on this id range (else the
+    // straddle check is vacuous) and some doc actually moved
+    val nVal0 = got.count(_._3 == 1L)
+    assert(nVal0 > 0 && nVal0 < 600, s"degenerate provisional split: $nVal0")
+    assert(got.exists(_._5 == 1L), "fixture must exhibit leakage to repair")
+
+    // leak-freedom: every pair ends up on ONE side of the final split
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(byDoc(a)._4 == byDoc(b)._4, s"pair ($a,$b) straddles the split")
+    }
+    // the final split is the cluster representative's provisional one,
+    // so a cluster CONTAINING its representative never moves it
+    got.foreach { case (doc, cl, v0, v, moved) =>
+      assert(byDoc(cl)._3 == v, s"doc $doc: rep $cl split0 != final")
+      if (doc == cl) assert(moved == 0L && v0 == v, s"rep $doc moved")
+    }
+    // moved flags exactly the disagreements
+    got.foreach { case (_, _, v0, v, moved) =>
+      assert(moved == (if (v0 == v) 0L else 1L))
+    }
+  }
 }
