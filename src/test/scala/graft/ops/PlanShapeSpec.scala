@@ -136,6 +136,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("leakage_safe_split derives both split bits in-plan with one corpus join") {
+    val p = plan("leakage_safe_split")
+    // the representative IS the cluster_id, so its split bit is a
+    // projection (md5 of the id in-plan) — never a second join against
+    // a representative table, never a per-cluster argmin aggregation
+    // or window over the corpus
+    assert(p.contains("md5"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // exactly one join: docs ⟕ the CC label frame (the CC loop's own
+    // internal rounds are severed behind localCheckpoint scans)
+    val joins = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => j.r.findAllIn(p).size).sum
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
+  }
+
   test("shard_shuffle digest buffers run digests, never the id sequence") {
     val p = plan("shard_shuffle_plan")
     // bounded-memory Merkle: the streamed per-run digest is a
