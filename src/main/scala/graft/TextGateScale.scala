@@ -82,6 +82,15 @@ object TextGateScale {
     println(f"""{"phase": "gate_replay", "sec": $repSec%.2f, """ +
       s""""staged": ${wh.read(gate.stageTable).count()}}""")
 
+    // fragmentation census BEFORE compaction: seed + one batch = two
+    // appended layouts, each covering the bucket range once, so the
+    // census should read ≈ the number of uncompacted landings (its
+    // manifest arithmetic is the b = 1 point of the opens model the
+    // probe phase below measures at b = |batch buckets|)
+    println(f"""{"phase": "census_fragmented", """ +
+      f""""opens_per_bucket": ${gate.expectedOpensPerBucket}%.2f, """ +
+      s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
+
     // ---- bucket-pruned probe vs full scan (round-10: the §4 note's
     // "band-store scan breaks ∝-batch" term). Compact the band store
     // into bkt-disjoint files (64 KB target: many files, so the
@@ -94,7 +103,9 @@ object TextGateScale {
     val (compSec, _) = timed(gate.compactBands(targetBytesPerFile = 64L << 10))
     val filesAfter = wh.currentFiles(gate.bandTable).size
     println(f"""{"phase": "compact_bands", "sec": $compSec%.2f, """ +
-      s""""files_before": $filesBefore, "files_after": $filesAfter}""")
+      s""""files_before": $filesBefore, "files_after": $filesAfter, """ +
+      f""""opens_per_bucket": ${gate.expectedOpensPerBucket}%.2f, """ +
+      s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
 
     // batch-side work (shingles, bands) materialized ONCE outside the
     // timed section — the two timed runs differ only in the probe's
