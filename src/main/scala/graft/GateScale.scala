@@ -110,6 +110,15 @@ object GateScale {
         s""""batch": $nArr, "dups": ${dupsOf(10000000L)}, """ +
         s""""max_cell": $maxCellR, """ +
         s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
+      // 4'. steady state: the next batch finds a healthy census (the
+      // repair inside it is a no-op) and pays only the normal verdict
+      // wall — the door repair is a one-batch event, not a per-batch tax
+      val echoS = echoOf(arrivals, 20000000L).persist()
+      spark.catalog.clearCache()
+      val (sSec, _) = timed(gate.landBatch(echoS, "g:3"))
+      println(f"""{"phase": "echo_steady", "sec": $sSec%.2f, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(20000000L)}, """ +
+        s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
       spark.stop()
       return
     }
