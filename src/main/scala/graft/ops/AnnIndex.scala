@@ -75,6 +75,12 @@ final case class AnnIndex(wh: Warehouse, name: String) {
   private def tCodebook = s"${name}_ann_codebook"
   private def tCentroids = s"${name}_ann_centroids"
   private def tEntries = s"${name}_ann_entries"
+  private def tCells = s"${name}_ann_cells"
+
+  /** Sentinel row key in [[tCells]]: (CensusSentinel, v) records that
+    * the stored census was computed at entries-table version v. A real
+    * cell id is a vec_id (≥ 0), so the sentinel can never collide. */
+  private val CensusSentinel = Long.MinValue
 
   /** The built corpus size, if a current-format index exists. */
   def builtN: Option[Long] =
@@ -125,6 +131,12 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val entries =
       wh.read(tAssignTmp).join(Pq.encode(corpus, cb), Seq("vec_id"))
     wh.load(tEntries, entries, SinkPolicy.Overwrite)
+    // seed the maintained census from the landed entries (one O(index)
+    // pass at build time; append paths keep it warm at O(batch))
+    wh.currentVersion(tEntries).foreach { v =>
+      writeCensus(
+        wh.read(tEntries).groupBy($"cell").agg(count(lit(1)).as("cnt")), v)
+    }
     locally {
       val dir = java.nio.file.Paths.get(wh.root, tAssignTmp)
       if (java.nio.file.Files.exists(dir)) {
@@ -157,14 +169,78 @@ final case class AnnIndex(wh: Warehouse, name: String) {
   /** Rows currently indexed (built + ingested since). */
   def indexedRows: Long = entries.count()
 
-  /** (indexed rows, largest cell) in one aggregation pass over the
-    * 16 B/row entries table — linear in the index, never the corpus;
-    * production maintains the per-cell counts incrementally at append
-    * time, but one pass over 10¹¹ code rows is itself a small job. */
+  /** Per-cell entry counts as a MAINTAINED √n-row table — the
+    * "production maintains the counts incrementally" note made real:
+    * every staleness probe (the gate's per-batch [[needsRebuild]], the
+    * grind cap's hot-cell scan, [[repairHotCells]]' detect) used to
+    * aggregate the full 16 B/row entries table, an O(index) pass PER
+    * BATCH that at 10¹¹ rows dwarfs the batch it guards. The census is
+    * a DERIVED CACHE, never a source of truth: a sentinel row records
+    * the entries-table version it was computed at, append paths merge
+    * the landed delta (a CDC read of just the appended files — cost ∝
+    * batch), and ANY version mismatch — a crash between the entries
+    * commit and the census update, an external writer, a pre-census
+    * store — falls back to one full recompute that re-persists. Reads
+    * therefore cost O(√n) when warm and O(index) exactly once after a
+    * disruption. */
+  private[graft] def cellCensus(): DataFrame = {
+    val vNow = wh.currentVersion(tEntries).getOrElse(
+      return Seq.empty[(Long, Long)].toDF("cell", "cnt"))
+    val stored =
+      if (wh.currentFiles(tCells).isEmpty) None
+      else {
+        val df = wh.read(tCells).select($"cell", $"cnt")
+        val v = df.where($"cell" === CensusSentinel)
+          .select($"cnt").as[Long].collect().headOption
+        if (v.contains(vNow)) Some(df.where($"cell" =!= CensusSentinel))
+        else None
+      }
+    stored.getOrElse {
+      val fresh = entries.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+      writeCensus(fresh, vNow)
+      wh.read(tCells).select($"cell", $"cnt")
+        .where($"cell" =!= CensusSentinel)
+    }
+  }
+
+  private def writeCensus(counts: DataFrame, v: Long): Unit = {
+    wh.load(tCells,
+      counts.select($"cell", $"cnt")
+        .unionByName(Seq((CensusSentinel, v)).toDF("cell", "cnt")),
+      SinkPolicy.Overwrite)
+    ()
+  }
+
+  /** Append-path census maintenance: merge the cells of the rows landed
+    * between `preV` and the current version into the stored census —
+    * cost ∝ batch (a [[Warehouse.readAppendedBetween]] CDC read plus a
+    * √n-row merge), valid only when the stored census matches `preV`;
+    * otherwise leave it stale and let the next [[cellCensus]] read
+    * recompute (the self-healing path every crash window lands in). */
+  private def bumpCensusAfterAppend(preV: Option[Long]): Unit = {
+    val postV = wh.currentVersion(tEntries).getOrElse(return)
+    if (preV.contains(postV)) return // replay skip: nothing landed
+    val storedValid = preV.isDefined && wh.currentFiles(tCells).nonEmpty && {
+      wh.read(tCells).where($"cell" === CensusSentinel)
+        .select($"cnt").as[Long].collect().headOption == preV
+    }
+    if (!storedValid) return // stale already; next read recomputes
+    val delta = wh.readAppendedBetween(tEntries, preV.get, postV)
+      .groupBy($"cell").agg(count(lit(1)).as("d"))
+    val merged = wh.read(tCells).where($"cell" =!= CensusSentinel)
+      .select($"cell", $"cnt")
+      .join(delta, Seq("cell"), "full_outer")
+      .select($"cell",
+        (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
+    writeCensus(merged, postV)
+  }
+
+  /** (indexed rows, largest cell) — two scalars off the maintained
+    * census: O(√n) when the census is warm (one aggregation over
+    * cell-count rows, never the entries table). */
   def cellStats: (Long, Long) = {
-    val r = entries.groupBy($"cell").agg(count(lit(1)).as("c"))
-      .agg(sum($"c"), max($"c")).head()
-    (r.getLong(0), r.getLong(1))
+    val r = cellCensus().agg(sum($"cnt"), max($"cnt")).head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
   /** The adaptive formulas (Ks, cbm, ⌈√n⌉ cells) were evaluated at
@@ -239,8 +315,9 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val candEntries = capPerCell match {
       case None => entries.select($"vec_id", $"cell")
       case Some(cap) =>
-        val hot = entries.groupBy($"cell").agg(count(lit(1)).as("cnt"))
-          .where($"cnt" > cap)
+        // per-batch hot-cell scan off the maintained √n census, not an
+        // O(index) entries aggregation (see [[cellCensus]])
+        val hot = cellCensus().where($"cnt" > cap)
         entries.select($"vec_id", $"cell")
           .join(broadcast(hot), Seq("cell"), "left")
           .where($"cnt".isNull || pmod(xxhash64($"vec_id"), $"cnt") < cap)
@@ -295,7 +372,10 @@ final case class AnnIndex(wh: Warehouse, name: String) {
   def repairHotCells(corpus: DataFrame, skew: Double = 16.0): Long = {
     val m = meta
     val threshold = math.max(1L, (skew * m.ivfModulus).toLong)
-    val hotCells = entries.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+    // detect off the maintained census (O(√n) warm — the per-batch
+    // economics that let the gate run this check at the top of EVERY
+    // landing; see [[cellCensus]])
+    val hotCells = cellCensus()
       .where($"cnt" >= threshold).select($"cell").persist()
     try {
       if (hotCells.isEmpty) return 0L
@@ -325,6 +405,14 @@ final case class AnnIndex(wh: Warehouse, name: String) {
           val updated = asg
             .join(hotEntries.select($"vec_id", $"codes"), Seq("vec_id"))
           wh.upsert(tEntries, updated, Seq("vec_id"))
+          // repair MOVES entries between cells: recompute the census
+          // once (same O(index) class as the detect this replaces was,
+          // and repair is a rare event) rather than tracking the move
+          // delta through the copy-on-write commit
+          wh.currentVersion(tEntries).foreach { v =>
+            writeCensus(wh.read(tEntries).groupBy($"cell")
+              .agg(count(lit(1)).as("cnt")), v)
+          }
           members.count()
         } finally { members.unpersist(); () }
       } finally { hotEntries.unpersist(); () }
@@ -345,7 +433,10 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val asg = Similarity.probeCells(batch, centroids, 1)
       .select($"qid".as("vec_id"), $"cell")
     val newEntries = asg.join(Pq.encode(batch, cb), Seq("vec_id"))
-    wh.load(tEntries, newEntries, SinkPolicy.Append, Some(txnId)).rows
+    val preV = wh.currentVersion(tEntries)
+    val rows = wh.load(tEntries, newEntries, SinkPolicy.Append, Some(txnId)).rows
+    bumpCensusAfterAppend(preV)
+    rows
   }
 
   /** Dedup-at-the-door + incremental index maintenance, exactly-once:
@@ -399,7 +490,9 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val asg = Similarity.probeCells(accepted, centroids, 1)
       .select($"qid".as("vec_id"), $"cell")
     val newEntries = asg.join(Pq.encode(accepted, cb), Seq("vec_id"))
+    val preV = wh.currentVersion(tEntries)
     val res = wh.load(tEntries, newEntries, SinkPolicy.Append, Some(txnId))
+    bumpCensusAfterAppend(preV)
     IngestResult(verdicts, res.rows, nDup, res.action)
   }
 }

@@ -122,6 +122,47 @@ class AnnIndexSpec extends SparkTestBase {
     assert(idx.needsRebuild(), "2x growth must trip staleness")
   }
 
+  test("maintained cell census tracks appends at O(batch) and self-heals on any mismatch") {
+    val wh = Warehouse(spark, tmpDir("annidx-cn"))
+    val idx = AnnIndex(wh, "emb")
+    val base = Similarity.quantized(spark, dir).persist()
+    idx.build(base)
+
+    def aggregated(): Map[Long, Long] = wh.read("emb_ann_entries")
+      .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+    def census(): Map[Long, Long] =
+      idx.cellCensus().as[(Long, Long)].collect().toMap
+    assert(census() == aggregated(), "build must seed the census")
+
+    // append through the real path: the census merges the CDC delta
+    // (its sentinel advances with the entries version — no recompute)
+    val batch = base.where($"vec_id" < 40)
+      .select(($"vec_id" + 9000000L).as("vec_id"), $"qe", $"nrm")
+    assert(idx.indexVectors(batch, "cn:1") == 40L)
+    assert(census() == aggregated(), "append must merge the batch delta")
+    val storedV = wh.read("emb_ann_cells")
+      .where($"cell" === Long.MinValue).select($"cnt").as[Long].head()
+    assert(wh.currentVersion("emb_ann_entries").contains(storedV),
+      "census sentinel must sit at the current entries version")
+
+    // a replay skip moves neither the entries nor the census
+    assert(idx.indexVectors(batch, "cn:1") == 0L)
+    assert(census() == aggregated())
+
+    // an EXTERNAL append (no census maintenance — the crash-window /
+    // foreign-writer stand-in) strands the sentinel; the next read
+    // detects the mismatch and recomputes rather than serving stale
+    val clone = wh.read("emb_ann_entries").limit(25)
+      .withColumn("vec_id", $"vec_id" + 8500000L)
+    wh.load("emb_ann_entries", clone, graft.pipeline.SinkPolicy.Append)
+    assert(census() == aggregated(), "mismatch must fall back to recompute")
+    // and the recompute re-persisted: the sentinel is current again
+    val healedV = wh.read("emb_ann_cells")
+      .where($"cell" === Long.MinValue).select($"cnt").as[Long].head()
+    assert(wh.currentVersion("emb_ann_entries").contains(healedV))
+    base.unpersist()
+  }
+
   test("repairHotCells clears a skew trip touching only the hot cells' rows") {
     val wh = Warehouse(spark, tmpDir("annidx-rp"))
     val idx = AnnIndex(wh, "emb")
