@@ -79,6 +79,24 @@ object AnnIndexScale {
         s""""ks": ${meta.ks}, "ivf_modulus": ${meta.ivfModulus}}""")
     }
 
+    // ---- census economics: the maintained √n-row table vs the
+    // O(index) entries aggregation it replaced (both return the same
+    // scalars; the warm read is what EVERY batch's staleness probe now
+    // pays, the aggregation is what it used to pay) ----
+    if (phases("census")) {
+      spark.catalog.clearCache()
+      val (warmSec, (rows, maxCell)) = timed(idx.cellStats)
+      val (aggSec, _) = timed {
+        val r = wh.read("emb_ann_entries")
+          .groupBy($"cell").agg(count(lit(1)).as("c"))
+          .agg(sum($"c"), max($"c")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"""{"phase": "census", "warm_read_sec": $warmSec%.3f, """ +
+        f""""full_agg_sec": $aggSec%.3f, """ +
+        s""""rows": $rows, "max_cell": $maxCell}""")
+    }
+
     // ---- footprint: information kept per vector ----
     if (phases("footprint")) {
       val corpusBytes =
