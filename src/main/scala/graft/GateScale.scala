@@ -25,7 +25,7 @@ import graft.streaming.VectorGate
   *      cell (needsRebuild trips, but the BATCH WALL contains no
   *      rebuild — the decoupling claim);
   *   3. stale — an echo batch verdicts against the hot geometry with
-  *      the 64×-modulus bounded-grind cap: the wall that used to OOM
+  *      the 4×-modulus bounded-grind cap: the wall that used to OOM
   *      is now bounded (dup recall inside the hot cell is the cost,
   *      printed);
   *   4. concurrent — another echo lands WHILE prepareRebuild runs on a
