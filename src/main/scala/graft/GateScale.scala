@@ -79,8 +79,13 @@ object GateScale {
           "THEN CAST(2000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("qe"))
       .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
 
+    // 1e9-spaced windows: at the 2000× decade the old +10M/+20M echo
+    // offsets overlapped (arrival ids reach ~12M, echo1 ids ~22M), so
+    // dupsOf(20M) double-counted part of echo1's verdicts — an
+    // accounting artifact, caught by dups > batch in the 4M steady row
     def dupsOf(idBase: Long): Long = wh.read(gate.verdictTable)
-      .where($"vec_id" >= idBase && !$"is_new").count()
+      .where($"vec_id" >= idBase && $"vec_id" < idBase + 1000000000L &&
+        !$"is_new").count()
 
     // 1. bootstrap
     val (bootSec, _) = timed(gate.landBatch(base, "g:0"))
@@ -102,37 +107,37 @@ object GateScale {
       // 3'. the production default: the echo batch REPAIRS the hot cell
       // at the door (O(|cell|)) and verdicts at healthy geometry — no
       // grind, no capped recall loss, no stream stall
-      val echo0 = echoOf(arrivals, 10000000L).persist()
+      val echo0 = echoOf(arrivals, 1000000000L).persist()
       spark.catalog.clearCache()
       val (bSec, _) = timed(gate.landBatch(echo0, "g:2"))
       val (_, maxCellR) = gate.idx.cellStats
       println(f"""{"phase": "echo_autorepair", "sec": $bSec%.2f, """ +
-        s""""batch": $nArr, "dups": ${dupsOf(10000000L)}, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(1000000000L)}, """ +
         s""""max_cell": $maxCellR, """ +
         s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
       // 4'. steady state: the next batch finds a healthy census (the
       // repair inside it is a no-op) and pays only the normal verdict
       // wall — the door repair is a one-batch event, not a per-batch tax
-      val echoS = echoOf(arrivals, 20000000L).persist()
+      val echoS = echoOf(arrivals, 2000000000L).persist()
       spark.catalog.clearCache()
       val (sSec, _) = timed(gate.landBatch(echoS, "g:3"))
       println(f"""{"phase": "echo_steady", "sec": $sSec%.2f, """ +
-        s""""batch": $nArr, "dups": ${dupsOf(20000000L)}, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(2000000000L)}, """ +
         s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
       spark.stop()
       return
     }
 
     // 3. echo against the STALE hot geometry — bounded by the cap
-    val echo1 = echoOf(arrivals, 10000000L).persist()
+    val echo1 = echoOf(arrivals, 1000000000L).persist()
     spark.catalog.clearCache()
     val (b2Sec, _) = timed(
       gate.landBatch(echo1, "g:2", autoRepairSkew = None))
     println(f"""{"phase": "stale_capped", "sec": $b2Sec%.2f, """ +
-      s""""batch": $nArr, "dups": ${dupsOf(10000000L)}}""")
+      s""""batch": $nArr, "dups": ${dupsOf(1000000000L)}}""")
 
     // 4. another echo lands WHILE the rebuild runs — no stream stall
-    val echo2 = echoOf(arrivals, 20000000L).persist()
+    val echo2 = echoOf(arrivals, 2000000000L).persist()
     spark.catalog.clearCache()
     val rebuild = Future(timed(gate.prepareRebuild()))
     val (b3Sec, _) = timed(
@@ -140,16 +145,16 @@ object GateScale {
     val (rbSec, gen) = Await.result(rebuild, 60.minutes)
     println(f"""{"phase": "concurrent", "batch_sec": $b3Sec%.2f, """ +
       f""""rebuild_sec": $rbSec%.2f, "prepared_gen": ${gen.getOrElse(-1L)}, """ +
-      s""""dups": ${dupsOf(20000000L)}, "head_gen": ${gate.headGen}}""")
+      s""""dups": ${dupsOf(2000000000L)}, "head_gen": ${gate.headGen}}""")
 
     // 5. cutover + healthy-geometry verdicts
-    val echo3 = echoOf(arrivals, 30000000L).persist()
+    val echo3 = echoOf(arrivals, 3000000000L).persist()
     spark.catalog.clearCache()
     val (b4Sec, _) = timed(
       gate.landBatch(echo3, "g:4", autoRepairSkew = None))
     val (_, maxCell2) = gate.idx.cellStats
     println(f"""{"phase": "cutover", "sec": $b4Sec%.2f, """ +
-      s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(30000000L)}, """ +
+      s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(3000000000L)}, """ +
       s""""max_cell": $maxCell2, """ +
       s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
     spark.stop()
