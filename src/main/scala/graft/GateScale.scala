@@ -82,10 +82,20 @@ object GateScale {
     // 1e9-spaced windows: at the 2000× decade the old +10M/+20M echo
     // offsets overlapped (arrival ids reach ~12M, echo1 ids ~22M), so
     // dupsOf(20M) double-counted part of echo1's verdicts — an
-    // accounting artifact, caught by dups > batch in the 4M steady row
-    def dupsOf(idBase: Long): Long = wh.read(gate.verdictTable)
-      .where($"vec_id" >= idBase && $"vec_id" < idBase + 1000000000L &&
-        !$"is_new").count()
+    // accounting artifact, caught by dups > batch in the 4M steady row.
+    // That guard is now ASSERTED per phase (a window can only hold one
+    // batch's verdicts, so dups > batch means windows overlapped again
+    // — e.g. past n ≈ 333M, where echo ids outgrow the 1e9 spacing).
+    def dupsOf(idBase: Long, batch: Long): Long = {
+      val d = wh.read(gate.verdictTable)
+        .where($"vec_id" >= idBase && $"vec_id" < idBase + 1000000000L &&
+          !$"is_new").count()
+      require(d <= batch,
+        s"dup window [$idBase, +1e9) counted $d verdicts for a $batch-row " +
+          "batch: echo-id windows overlap — widen the offset spacing " +
+          "past 10 * max arrival id")
+      d
+    }
 
     // 1. bootstrap
     val (bootSec, _) = timed(gate.landBatch(base, "g:0"))
@@ -99,7 +109,7 @@ object GateScale {
       gate.landBatch(arrivals, "g:1", autoRepairSkew = None))
     val (_, maxCell1) = gate.idx.cellStats
     println(f"""{"phase": "correlated", "sec": $b1Sec%.2f, """ +
-      s""""batch": $nArr, "dups": ${dupsOf(n)}, """ +
+      s""""batch": $nArr, "dups": ${dupsOf(n, nArr)}, """ +
       s""""max_cell": $maxCell1, "modulus": ${gate.idx.meta.ivfModulus}, """ +
       s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
 
@@ -112,7 +122,7 @@ object GateScale {
       val (bSec, _) = timed(gate.landBatch(echo0, "g:2"))
       val (_, maxCellR) = gate.idx.cellStats
       println(f"""{"phase": "echo_autorepair", "sec": $bSec%.2f, """ +
-        s""""batch": $nArr, "dups": ${dupsOf(1000000000L)}, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(1000000000L, nArr)}, """ +
         s""""max_cell": $maxCellR, """ +
         s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
       // 4'. steady state: the next batch finds a healthy census (the
@@ -122,7 +132,7 @@ object GateScale {
       spark.catalog.clearCache()
       val (sSec, _) = timed(gate.landBatch(echoS, "g:3"))
       println(f"""{"phase": "echo_steady", "sec": $sSec%.2f, """ +
-        s""""batch": $nArr, "dups": ${dupsOf(2000000000L)}, """ +
+        s""""batch": $nArr, "dups": ${dupsOf(2000000000L, nArr)}, """ +
         s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
       spark.stop()
       return
@@ -134,7 +144,7 @@ object GateScale {
     val (b2Sec, _) = timed(
       gate.landBatch(echo1, "g:2", autoRepairSkew = None))
     println(f"""{"phase": "stale_capped", "sec": $b2Sec%.2f, """ +
-      s""""batch": $nArr, "dups": ${dupsOf(1000000000L)}}""")
+      s""""batch": $nArr, "dups": ${dupsOf(1000000000L, nArr)}}""")
 
     // 4. another echo lands WHILE the rebuild runs — no stream stall
     val echo2 = echoOf(arrivals, 2000000000L).persist()
@@ -145,7 +155,7 @@ object GateScale {
     val (rbSec, gen) = Await.result(rebuild, 60.minutes)
     println(f"""{"phase": "concurrent", "batch_sec": $b3Sec%.2f, """ +
       f""""rebuild_sec": $rbSec%.2f, "prepared_gen": ${gen.getOrElse(-1L)}, """ +
-      s""""dups": ${dupsOf(2000000000L)}, "head_gen": ${gate.headGen}}""")
+      s""""dups": ${dupsOf(2000000000L, nArr)}, "head_gen": ${gate.headGen}}""")
 
     // 5. cutover + healthy-geometry verdicts
     val echo3 = echoOf(arrivals, 3000000000L).persist()
@@ -154,7 +164,7 @@ object GateScale {
       gate.landBatch(echo3, "g:4", autoRepairSkew = None))
     val (_, maxCell2) = gate.idx.cellStats
     println(f"""{"phase": "cutover", "sec": $b4Sec%.2f, """ +
-      s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(3000000000L)}, """ +
+      s""""head_gen": ${gate.headGen}, "dups": ${dupsOf(3000000000L, nArr)}, """ +
       s""""max_cell": $maxCell2, """ +
       s""""maintenance_needed": ${gate.maintenanceNeeded()}}""")
     spark.stop()

@@ -224,6 +224,12 @@ final case class TextGate(wh: Warehouse, name: String,
     * §4.1). */
   def expectedOpensPerBucket: Double =
     if (wh.currentFiles(bandTable).isEmpty) 0.0
+    // a store landed before the bkt declaration has no zone map at all —
+    // the same legacy case [[verdictsFor]] full-scans; report every file
+    // as full-span (opens = file count) instead of letting an ADVISORY
+    // maintenance probe throw where the verdict path degrades gracefully
+    else if (!wh.statsColsOf(bandTable).contains("bkt"))
+      wh.currentFiles(bandTable).size.toDouble
     else wh.fileSpans(bandTable, "bkt").map {
       case Some((mn, mx)) => (mx - mn + 1).toDouble
       case None => bandBuckets.toDouble

@@ -245,9 +245,11 @@ final case class VectorGate(wh: Warehouse, name: String) {
       // 12.3 s at 4M (STRESS_r10 §3/§6) — the same cost class as the
       // batch itself, so it belongs ON the stream path, unlike the
       // O(corpus) rebuild it replaces for this defect class. The census
-      // that detects it is one pass over the 16 B/row entries (already
-      // paid by the grind cap's own hot-cell scan below); a healthy
-      // geometry repairs nothing and pays only that census. Crash
+      // that detects it is an O(√n) read of the MAINTAINED cells table
+      // (AnnIndex.cellCensus, kept current by CDC merge at each ingest;
+      // a full O(index) aggregation is paid only once when rebuilding
+      // the census after a disruption); a healthy geometry repairs
+      // nothing and pays only that census. Crash
       // replay: the repair is value-idempotent (ranked re-draft is
       // anti-joined against landed centroids; re-running on a healed
       // census is a no-op), and a crash between its centroid append and

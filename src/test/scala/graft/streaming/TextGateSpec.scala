@@ -266,6 +266,33 @@ class TextGateSpec extends SparkTestBase {
     assert(wallVerdicts(wh, gate).count(v => v._1 == 900L && !v._4) == 1)
   }
 
+  test("legacy band store without a bkt zone map: census reports file count instead of throwing") {
+    val wh = Warehouse(spark, tmpDir("tg8-wh"))
+    val gate = TextGate(wh, "docs")
+    // a pre-declaration store: the gate's own band rows landed WITHOUT
+    // the bkt stats declaration (and without the bkt column at all) —
+    // the store shape verdictsFor already full-scan-tolerates
+    val corpus = docs((0L until 6L).map(i => i -> docText(i.toInt)): _*)
+    val bands = graft.ops.TextOps.minhashBandsUncached(
+      graft.ops.TextOps.shingleSets(corpus))
+    wh.load(gate.bandTable, bands.select($"doc_id", $"band", $"k"),
+      SinkPolicy.Append, Some("legacy:0"))
+    wh.load(gate.stageTable, corpus, SinkPolicy.Append, Some("legacy:0"))
+    assert(wh.statsColsOf(gate.bandTable).isEmpty)
+    // the ADVISORY census must degrade to the conservative answer
+    // (every file opened per probe), never crash the scheduler
+    val opens = gate.expectedOpensPerBucket
+    assert(opens == wh.currentFiles(gate.bandTable).size.toDouble)
+    assert(!gate.maintenanceNeeded(bar = opens + 1.0))
+    // and the verdict path full-scans the same store: a near-dup is caught
+    val b = docs(100L -> docText(2, mutate = true))
+    val bs = graft.ops.TextOps.shingleSets(b)
+    val v = gate.verdictsFor(b, bs,
+      graft.ops.TextOps.minhashBandsUncached(bs))
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    assert(v.toSeq == Seq((100L, 1L, Some(2L), false)))
+  }
+
   private def wallVerdicts(wh: Warehouse, gate: TextGate)
       : Array[(Long, Long, Option[Long], Boolean)] =
     wh.read(gate.verdictTable)
