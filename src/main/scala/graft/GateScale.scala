@@ -49,16 +49,7 @@ object GateScale {
     val dir = args.headOption.getOrElse(
       sys.error("usage: GateScale <fixtureDir> [lifecycle|autorepair]"))
     val mode = args.lift(1).getOrElse("lifecycle")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.build()
     import spark.implicits._
 
     def timed[A](f: => A): (Double, A) = {

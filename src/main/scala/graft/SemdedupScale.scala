@@ -36,10 +36,10 @@ object SemdedupScale {
     val ratio = Some(if (args.length > 5) args(5).toDouble else 0.0)
       .filter(_ > 0).getOrElse(Double.MaxValue)
     val fineProbes = if (args.length > 6) args(6).toInt else probes
-    // twolevel k override (round-10): the two-level trainer's assignment
-    // is n·2√k, not n·k, so the census/assignment balance moves from
-    // k = √(n/2) to k = (n/2)^(2/3) — a finer lattice divides census
-    // cost by k; this dial measures recall along that axis
+    // twolevel k override: the dial that MEASURED the lattice axis in
+    // round 10; since round 11 the winning (n/2)^(2/3) lattice IS the
+    // twolevel default (Clustering.semdedupK2), so the override remains
+    // only for off-default comparison runs
     val kOverride = if (args.length > 7) Some(args(7).toInt) else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -62,7 +62,12 @@ object SemdedupScale {
       .withColumn("nrm", graft.functions.Kit.dotI64($"qe", $"qe"))
       .persist()
     val n = q.count()
-    val k = kOverride.getOrElse(Clustering.semdedupK(n, target))
+    // flat mode balances assignment n·k against census n²/k → √(n/2);
+    // twolevel assignment is n·2√k, so its balance sits at the finer
+    // (n/2)^(2/3) lattice — the production default since round 11
+    val k = kOverride.getOrElse(
+      if (mode == "twolevel") Clustering.semdedupK2(n)
+      else Clustering.semdedupK(n, target))
     def phase[T](name: String)(body: => T): T = {
       val t = System.nanoTime()
       val r = body

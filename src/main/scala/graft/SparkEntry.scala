@@ -16,7 +16,7 @@ object SparkEntry {
       Similarity.all ++ Pq.all ++ AnnRouter.all ++ AnnIndex.all ++
       Windowed.all ++ Advanced.all ++ RangeJoin.all ++
       Clustering.all ++ Curation.all ++ Components.all ++ Analytics.all ++
-      PageRank.all
+      PageRank.all ++ graft.streaming.TextGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -28,17 +28,9 @@ import graft.streaming.TextGate
 object TextGateScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: TextGateScale <fixtureDir>"))
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      sys.error("usage: TextGateScale <fixtureDir> [lifecycle|drain]"))
+    val mode = args.lift(1).getOrElse("lifecycle")
+    val spark = HarnessSession.build()
     import spark.implicits._
 
     def timed[A](f: => A): (Double, A) = {
@@ -46,6 +38,8 @@ object TextGateScale {
       val a = f
       ((System.nanoTime() - t0) / 1e9, a)
     }
+
+    if (mode == "drain") { drain(spark, dir); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text")
@@ -133,5 +127,57 @@ object TextGateScale {
       f""""full_scan_sec": $fullSec%.2f, "pruned_sec": $prunedSec%.2f, """ +
       s""""dups_full": $fullRows, "dups_pruned": $prunedRows}""")
     spark.stop()
+  }
+
+  /** 20-BATCH DRAIN (round-10 verdict #4 done-bar): the same drop
+    * sequence through two gates — the production default (auto-compact
+    * at bar 4.0) and a maintenance-free one — printing per-batch wall
+    * and the fragmentation census. The claim this measures: with
+    * auto-compaction the probe's expected opens stay ≈ flat at the bar
+    * while the manual gate decays +1 per batch; verdict totals are
+    * identical across the two policies. */
+  private def drain(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Unit = {
+    import spark.implicits._
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    // same split discipline as the lifecycle protocol: 90% seeds the
+    // corpus, the 10% re-lands — here as 20 successive fixed-size drops
+    val isBatch = $"doc_id" % 10 === 0 && $"doc_id" < 50000
+    val corpus = docs.where(!isBatch)
+    val whA = graft.pipeline.Warehouse(spark,
+      Files.createTempDirectory("tg-drain-auto").toString)
+    val whM = graft.pipeline.Warehouse(spark,
+      Files.createTempDirectory("tg-drain-manual").toString)
+    val auto = TextGate(whA, "docs")
+    val manual = TextGate(whM, "docs", autoCompactBar = None)
+    val (seedA, _) = timed(auto.landBatch(corpus, "seed"))
+    val (seedM, _) = timed(manual.landBatch(corpus, "seed"))
+    println(f"""{"phase": "seed", "auto_sec": $seedA%.2f, """ +
+      f""""manual_sec": $seedM%.2f, """ +
+      s""""staged": ${whA.read(auto.stageTable).count()}}""")
+    (0 until 20).foreach { i =>
+      val b = docs.where(isBatch && $"doc_id" % 200 === (i * 10).toLong)
+        .select(($"doc_id" + 100000000L + i * 1000000L).as("doc_id"),
+          $"text").persist()
+      val nb = b.count()
+      spark.catalog.clearCache()
+      val (aSec, _) = timed(auto.landBatch(b, s"d:$i"))
+      val aOpens = auto.expectedOpensPerBucket
+      val (mSec, _) = timed(manual.landBatch(b, s"d:$i"))
+      val mOpens = manual.expectedOpensPerBucket
+      println(f"""{"phase": "drain", "i": $i, "batch": $nb, """ +
+        f""""auto_sec": $aSec%.2f, "auto_opens": $aOpens%.2f, """ +
+        f""""manual_sec": $mSec%.2f, "manual_opens": $mOpens%.2f}""")
+    }
+    val dupsA = whA.read(auto.verdictTable).where(!$"is_new").count()
+    val dupsM = whM.read(manual.verdictTable).where(!$"is_new").count()
+    println(s"""{"phase": "drain_summary", "dups_auto": $dupsA, """ +
+      s""""dups_manual": $dupsM, "parity": ${dupsA == dupsM}}""")
   }
 }

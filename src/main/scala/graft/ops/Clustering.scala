@@ -776,6 +776,37 @@ object Clustering {
   // Coarse/fine two-level quantizer — past the single-level pack bound
   // ---------------------------------------------------------------------
 
+  /** Corpus-adaptive cell count for the TWO-LEVEL quantizer — the
+    * measured-optimal lattice of STRESS_r10 §1, promoted to the
+    * production default (round-10 verdict #2). The two-level trainer's
+    * assignment cost is n·2√k (one coarse + one fine broadcast pass),
+    * not the flat n·k, so the census/assignment balance moves from
+    * [[semdedupK]]'s k = √(n/2) to k = (n/2)^(2/3) — census pair
+    * volume divides ∝ 1/k, which is how the probed census reached
+    * ≥98% recall at 0.88× the flat anchor's cost. The target is
+    * snapped DOWN to an equal power-of-two split
+    * (K1 = K2 = 2^⌊log2((n/2)^(1/3))⌋): the 64 × 64 lattice actually
+    * measured at 2M vectors (93.1 s probe-2×2 census, 98.3% recall —
+    * STRESS_r10 §1); snapping down lands on the measured, cheaper side
+    * of the balance rather than an unmeasured finer lattice, and a
+    * power-of-two side keeps [[twoLevelSplit]] exactly equal. Floors
+    * and caps: cells never smaller than `minClusterSize` (k ≤ n/min —
+    * 64 by default, the registered queries' floor, NOT the flat
+    * formula's 1,024 SemDeDup regime: the finer lattice relies on
+    * coarse-probe recall, measured, not on big cells), k ≥ 8, and the
+    * side is clamped to [[kmeansAssignJoin]]'s 32,768 per-level pack
+    * bound (k ≤ ~10⁹ cells ≈ 10¹² vectors). The registered
+    * `semdedup_twolevel` keeps [[semdedupK]]'s oracle-pinned formula
+    * byte-identical — this is the harness/production dial. */
+  def semdedupK2(n: Long, minClusterSize: Long = 64L): Int = {
+    val side = math.cbrt(n / 2.0)
+    val sideP2 = math.min(32768L,
+      math.max(1L, java.lang.Long.highestOneBit(math.max(1L, side.toLong))))
+    val k = sideP2 * sideP2
+    val maxK = math.max(8L, n / math.max(1L, minClusterSize))
+    math.max(8L, math.min(k, maxK)).toInt
+  }
+
   /** Split a cell budget into the two-level factors: K1 = ⌈√k⌉ coarse,
     * K2 = ⌈k/K1⌉ fine — each within [[kmeansAssignJoin]]'s 32,768 pack
     * bound up to k ≈ 10⁹ cells, i.e. corpora of ~10¹² vectors at the
@@ -981,6 +1012,26 @@ object Clustering {
                              iters: Int): DataFrame = {
     val (cs1, cs2) = kmeansTwoLevelTrain(q, k, iters)
     twoLevelCellAssign(q, cs1, cs2)
+  }
+
+  /** Two-level semantic dedup at the PRODUCTION-DEFAULT geometry — the
+    * entry point a caller who just wants SemDeDup at scale should
+    * reach for (round-10 verdict #2: the measured-optimal lattice must
+    * not hide behind a harness dial). k = [[semdedupK2]](n) (the
+    * (n/2)^(2/3) two-level balance), probe-2 at both levels for
+    * candidate generation — the configuration measured at ≥98% recall
+    * and 0.88× the flat anchor's census cost (STRESS_r10 §1). Returns
+    * [[semdedupCensus]]'s per-cell verdict frame; intermediate stage
+    * frames are persisted per the harness clearCache() convention. */
+  def semdedupTwoLevelAuto(q: DataFrame,
+                           tau: Double = SemdedupTau.toDouble,
+                           iters: Int = 3): DataFrame = {
+    val n = q.count()
+    val k = semdedupK2(n)
+    val (cs1, cs2) = kmeansTwoLevelTrain(q, k, iters)
+    val asg = twoLevelCellAssign(q, cs1, cs2).persist()
+    val cand = twoLevelProbeCellAssign(q, cs1, cs2, 2, 2).persist()
+    semdedupCensus(q, asg, tau, candAsg = Some(cand))
   }
 
   /** Semantic dedup through the TWO-LEVEL quantizer, oracle-checked:

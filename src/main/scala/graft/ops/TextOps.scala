@@ -655,11 +655,13 @@ object TextOps {
     * Exact Jaccard over full shingle sets then verifies the 0.30
     * threshold, so reported pairs are never false positives; banding only
     * bounds recall (by design, mirrored exactly in the oracle). */
-  /** The MinHash candidate + exact-verify pipeline as a DuckDB CTE chain
-    * ending in `pairs(doc_a, doc_b, jaccard_q6)` — shared verbatim by the
-    * pair query's oracle and the cluster query's (so the two oracles can
-    * never drift apart on what a near-dup pair is). */
-  private[ops] val mhPairsCteSql: String = {
+  /** The shingle → hash → signature → band CTE prefix (`tok`/`sh`/`hs`/
+    * `sig`/`bands`) shared by every oracle that replays the MinHash band
+    * family — [[mhPairsCteSql]]'s verify chain composes on top, and
+    * [[graft.streaming.TextGate]]'s registered gate query grafts its own
+    * store-acceptance semantics onto the same prefix, so no oracle can
+    * drift on what a band key is. */
+  private[graft] val mhPairsBaseCteSql: String = {
     val sigColsSql = MH_AB.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * h + $b) % $MH_P) AS m$i"
     }.mkString(",\n    ")
@@ -680,7 +682,15 @@ object TextOps {
       |    $sigColsSql
       |  FROM hs GROUP BY doc_id),
       |bands AS (
-      |  $bandsSql),
+      |  $bandsSql)""".stripMargin
+  }
+
+  /** The MinHash candidate + exact-verify pipeline as a DuckDB CTE chain
+    * ending in `pairs(doc_a, doc_b, jaccard_q6)` — shared verbatim by the
+    * pair query's oracle and the cluster query's (so the two oracles can
+    * never drift apart on what a near-dup pair is). */
+  private[ops] val mhPairsCteSql: String = {
+    s"""$mhPairsBaseCteSql,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a
@@ -884,7 +894,7 @@ object TextOps {
   /** Sources whose documents play the "incoming batch" role in
     * [[incrementalNeardup]] (fixture sources are uniform, so this is 10%
     * of the corpus arriving against the other 90%). */
-  private val IncSources = Seq("src2", "src3")
+  private[graft] val IncSources = Seq("src2", "src3")
 
   /** Incremental dedup-on-ingest — the production shape of near-dedup: an
     * INCOMING batch is checked against the EXISTING corpus (plus earlier

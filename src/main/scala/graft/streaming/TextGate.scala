@@ -77,7 +77,8 @@ import graft.pipeline.{SinkPolicy, Warehouse}
   * arrivals caught at the door. */
 final case class TextGate(wh: Warehouse, name: String,
                           bandBuckets: Int = 1 << 20,
-                          pruneProbe: Boolean = true) {
+                          pruneProbe: Boolean = true,
+                          autoCompactBar: Option[Double] = Some(4.0)) {
 
   private val spark = wh.spark
   import spark.implicits._
@@ -180,6 +181,25 @@ final case class TextGate(wh: Warehouse, name: String,
     try {
       val nDocs = b.count()
       if (nDocs == 0L) return
+      // AUTO-COMPACTION AT THE DOOR (round-10 verdict #4, the
+      // autoRepairSkew discipline): when append fragmentation has
+      // decayed probe pruning past the bar, rewrite the band store
+      // bkt-disjoint BEFORE this batch probes it — probe opens stay
+      // ≈ bar instead of +1 per batch drained. Safe on the stream path:
+      // the rewrite is one atomic manifest commit of the SAME rows
+      // (verdicts bit-identical over either layout — pruning is
+      // superset-safe, spec-pinned), and a crash after the commit but
+      // before the batch lands replays into a store that simply no
+      // longer needs maintenance. Cost honesty: the rewrite is
+      // O(band store) = O(corpus·8) narrow rows, paid ~once per `bar`
+      // batches — the amortized per-batch tax is O(corpus/bar) 20-byte
+      // rows of columnar IO, which measured well under one batch's own
+      // verdict compute (TextGateScale drain); a deployment that wants
+      // strictly ∝-batch walls sets autoCompactBar = None and runs
+      // [[compactBands]] from a maintenance job instead.
+      autoCompactBar.foreach { bar =>
+        if (maintenanceNeeded(bar)) compactBands()
+      }
       val sets = TextOps.shingleSets(b).persist()
       val bands = TextOps.minhashBandsUncached(sets).persist()
       try {
@@ -260,4 +280,112 @@ final case class TextGate(wh: Warehouse, name: String,
     q.awaitTermination()
     q
   }
+}
+
+object TextGate {
+  import graft.ops.{AnnIndex, QueryDef, TextOps}
+
+  /** The door's verdict semantics as a REGISTERED, ORACLE-CHECKED query
+    * (round-10 verdict #6): phase 1 lands the non-incoming sources
+    * through [[TextGate.landBatch]] into a build-on-first-use tmp
+    * warehouse (the `ann_index_topk` stored-artifact convention — every
+    * run after the first reads only the persisted band/stage store);
+    * phase 2 computes the arrival batch's verdicts through the gate's
+    * own bucket-pruned probe against that PERSISTED store, without
+    * landing (so bench reps are idempotent). Two semantics the oracle
+    * replays that `incremental_neardup` does not have:
+    *
+    *   - the corpus side is the gate's ACCEPTED set — a corpus doc that
+    *     near-dups a lower-id corpus doc was rejected at its own
+    *     landing, so arrivals are never verdicted against it (the store
+    *     holds survivors only);
+    *   - candidate texts come from the stage table the gate maintains,
+    *     not the source frame.
+    *
+    * Same MinHash band family, 3-gram shingles, and exact-Jaccard ≥
+    * 0.30 verification as the whole text family — all constants
+    * inlined into both engines from TextOps' one list. */
+  val gateVerdicts: QueryDef = {
+    val inc = TextOps.IncSources.mkString("','")
+    QueryDef.sql(
+      "textgate_verdicts",
+      s"""WITH ${TextOps.mhPairsBaseCteSql},
+        |src AS (
+        |  SELECT doc_id, source IN ('$inc') AS is_inc FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |corpus_cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN src sa ON sa.doc_id = a.doc_id AND NOT sa.is_inc
+        |  JOIN bands b ON b.band = a.band AND b.k = a.k
+        |    AND b.doc_id < a.doc_id
+        |  JOIN src sb ON sb.doc_id = b.doc_id AND NOT sb.is_inc),
+        |corpus_dup AS (
+        |  SELECT DISTINCT doc_a AS doc_id
+        |  FROM (SELECT doc_a, doc_b, COUNT(*) AS n_both
+        |        FROM corpus_cand
+        |        JOIN sh fa ON fa.doc_id = doc_a
+        |        JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+        |        GROUP BY doc_a, doc_b) ci
+        |  JOIN sizes sa ON sa.doc_id = ci.doc_a
+        |  JOIN sizes sb ON sb.doc_id = ci.doc_b
+        |  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30),
+        |accepted AS (
+        |  SELECT s.doc_id FROM src s
+        |  WHERE NOT s.is_inc
+        |    AND s.doc_id NOT IN (SELECT doc_id FROM corpus_dup)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN src sa ON sa.doc_id = a.doc_id AND sa.is_inc
+        |  JOIN bands b ON b.band = a.band AND b.k = a.k
+        |    AND b.doc_id <> a.doc_id
+        |  JOIN src sb ON sb.doc_id = b.doc_id
+        |  WHERE (NOT sb.is_inc
+        |         AND b.doc_id IN (SELECT doc_id FROM accepted))
+        |     OR (sb.is_inc AND b.doc_id < a.doc_id)),
+        |ver AS (
+        |  SELECT doc_a, doc_b
+        |  FROM (SELECT doc_a, doc_b, COUNT(*) AS n_both
+        |        FROM cand
+        |        JOIN sh fa ON fa.doc_id = doc_a
+        |        JOIN sh fb ON fb.doc_id = doc_b AND fb.s = fa.s
+        |        GROUP BY doc_a, doc_b) vi
+        |  JOIN sizes sa ON sa.doc_id = vi.doc_a
+        |  JOIN sizes sb ON sb.doc_id = vi.doc_b
+        |  WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.30),
+        |dups AS (
+        |  SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+        |    MIN(doc_b) AS dup_of
+        |  FROM ver GROUP BY doc_a)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+        |  dup_of, dup_of IS NULL AS is_new
+        |FROM (SELECT doc_id FROM documents WHERE source IN ('$inc')) d
+        |LEFT JOIN dups ON dups.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = graft.sources.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      // tmp-warehouse key: same content-stamp convention as
+      // ann_index_topk, over the documents table this query reads
+      val key = AnnIndex.fnv64(dir) * 31 +
+        AnnIndex.fixtureFingerprint(dir, "documents.parquet")
+      val tag = java.nio.file.Paths.get(dir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "-") + "-tg-" +
+        java.lang.Long.toHexString(key >>> 16)
+      val wh = Warehouse(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft-tg-$tag")
+      val gate = TextGate(wh, "docs")
+      val isInc = $"source".isin(TextOps.IncSources: _*)
+      if (!wh.txnLanded(gate.stageTable, "corpus"))
+        gate.landBatch(docs.where(!isInc).select($"doc_id", $"text"),
+          "corpus")
+      val b = docs.where(isInc).select($"doc_id", $"text").persist()
+      val sets = TextOps.shingleSets(b).persist()
+      val bands = TextOps.minhashBandsUncached(sets).persist()
+      gate.verdictsFor(b, sets, bands)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(gateVerdicts)
 }

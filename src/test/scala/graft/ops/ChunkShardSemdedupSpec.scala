@@ -213,6 +213,40 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
       Clustering.twoLevelSplit(Int.MaxValue))
   }
 
+  test("semdedupK2: the (n/2)^(2/3) two-level balance, snapped to the measured lattice") {
+    // the STRESS_r10 §1 measured-optimal row: 64 × 64 cells at 2M
+    assert(Clustering.semdedupK2(2000000) === 4096)
+    // 4M still snaps to 64 (cbrt(2e6) ≈ 126 → floor pow2 64); 8M moves
+    // to 128 × 128
+    assert(Clustering.semdedupK2(4000000) === 4096)
+    assert(Clustering.semdedupK2(8000000) === 16384)
+    // strictly finer than the flat balance wherever both apply — the
+    // whole point: census volume divides ∝ 1/k at n·2√k train cost
+    for (n <- Seq(1000000L, 4000000L, 64000000L, 1000000000L))
+      assert(Clustering.semdedupK2(n) > Clustering.semdedupK(n), s"n=$n")
+    // min-cluster floor caps k at fixture scale (cells never < 64)
+    val kSmall = Clustering.semdedupK2(2048)
+    assert(kSmall === 32 && 2048L / kSmall === 64L)
+    // per-level pack bound holds at any n: side clamped to 32,768
+    val (k1, k2) = Clustering.twoLevelSplit(
+      Clustering.semdedupK2(Long.MaxValue / 4))
+    assert(k1 <= 32768 && k2 <= 32768)
+  }
+
+  test("semdedupTwoLevelAuto: the default-lattice production path drops every plant") {
+    import spark.implicits._
+    val q = Similarity.plantedQuantized(spark, sfDir).persist()
+    val n = q.count()
+    val census = Clustering.semdedupTwoLevelAuto(q).collect()
+    val nPlanted = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .where($"vec_id" % 37 === 0).count()
+    assert(census.map(_.getAs[Long]("n_vecs")).sum === n)
+    // probe-2×2 candidates recover any boundary straddle at this scale:
+    // the verdict is exactly the plant count, same as the pinned forms
+    assert(census.map(_.getAs[Long]("n_dropped")).sum === nPlanted)
+    spark.catalog.clearCache()
+  }
+
   test("two-level semantic dedup drops every planted duplicate, conserves counts") {
     import spark.implicits._
     val q = Similarity.plantedQuantized(spark, sfDir).persist()

@@ -206,7 +206,9 @@ class TextGateSpec extends SparkTestBase {
 
   test("compacted band store: probe prunes across the rewritten layout with verdicts unchanged") {
     val wh = Warehouse(spark, tmpDir("tg6-wh"))
-    val gate = TextGate(wh, "docs")
+    // manual-maintenance gate: the auto-compactor would fire mid-drop
+    // sequence and leave nothing for the explicit compactBands to prove
+    val gate = TextGate(wh, "docs", autoCompactBar = None)
     // many small drops fragment the store: one file per drop, each
     // spanning most of the bucket space
     (0 until 12).foreach { i =>
@@ -237,7 +239,7 @@ class TextGateSpec extends SparkTestBase {
 
   test("fragmentation census: appends raise expectedOpensPerBucket, compaction restores it") {
     val wh = Warehouse(spark, tmpDir("tg7-wh"))
-    val gate = TextGate(wh, "docs")
+    val gate = TextGate(wh, "docs", autoCompactBar = None)
     assert(gate.expectedOpensPerBucket == 0.0, "empty store probes nothing")
     assert(!gate.maintenanceNeeded())
 
@@ -264,6 +266,51 @@ class TextGateSpec extends SparkTestBase {
     // still verdicts through the compacted layout
     gate.landBatch(docs(900L -> docText(2, mutate = true)), "app:post")
     assert(wallVerdicts(wh, gate).count(v => v._1 == 900L && !v._4) == 1)
+  }
+
+  test("auto-compaction at the door: long drain keeps probe opens at the bar, verdicts unchanged") {
+    val whA = Warehouse(spark, tmpDir("tg9-wh-auto"))
+    val whM = Warehouse(spark, tmpDir("tg9-wh-manual"))
+    val auto = TextGate(whA, "docs") // default bar 4.0
+    val manual = TextGate(whM, "docs", autoCompactBar = None)
+    // a 12-drop drain, each drop one fragmenting file + one near-dup of
+    // an earlier drop from drop 4 on (so verdicts depend on the store
+    // layout the probe reads at every stage)
+    (0 until 12).foreach { i =>
+      val fresh = (0 until 3).map(j => (i * 10L + j) -> docText(i * 3 + j))
+      val d =
+        if (i >= 4) docs((fresh :+ ((i * 10L + 9L) -> docText(i - 4, mutate = true))): _*)
+        else docs(fresh: _*)
+      auto.landBatch(d, s"app:$i"); manual.landBatch(d, s"app:$i")
+      // the invariant the wiring exists for: the census never walks away
+      // (≤ bar fragmented batches + the current batch's own file)
+      assert(auto.expectedOpensPerBucket <= 5.5,
+        s"drop $i: auto gate censused ${auto.expectedOpensPerBucket}")
+    }
+    // the manual gate fragmented linearly — the +1/batch decay the auto
+    // gate is keeping flat
+    assert(manual.expectedOpensPerBucket > 10.0)
+    // verdicts are bit-identical across the two maintenance policies
+    val vA = wallVerdicts(whA, auto)
+    assert(vA.nonEmpty && vA.sameElements(wallVerdicts(whM, manual)))
+    assert(vA.count(!_._4) == 8, "every planted near-dup caught")
+
+    // replay-safety around the compaction commit: fragment past the bar,
+    // run the compaction that a crashed landBatch would have committed,
+    // then replay the batch — it must land exactly once against the
+    // rewritten store with the same verdicts
+    val b = docs(500L -> docText(5, mutate = true), 501L -> docText(400))
+    auto.compactBands()
+    auto.landBatch(b, "app:crash")
+    val v = wallVerdicts(whA, auto).filter(_._1 >= 500L)
+    assert(v.map(r => (r._1, r._4)).toSeq == Seq((500L, false), (501L, true)))
+    // and a full replay of the same txn moves nothing
+    val counts = (whA.read(auto.verdictTable).count(),
+      whA.read(auto.stageTable).count(), whA.read(auto.bandTable).count())
+    auto.landBatch(b, "app:crash")
+    assert((whA.read(auto.verdictTable).count(),
+      whA.read(auto.stageTable).count(),
+      whA.read(auto.bandTable).count()) == counts)
   }
 
   test("legacy band store without a bkt zone map: census reports file count instead of throwing") {
