@@ -26,7 +26,11 @@ object ComposedScale {
     val spark = HarnessSession.build()
     import spark.implicits._
 
-    def timed(label: String)(df: org.apache.spark.sql.DataFrame): Double = {
+    // by-name: connectedComponents runs its label loop EAGERLY at frame
+    // construction (LoopState pins each round), so construction belongs
+    // inside the timed section — a by-value parameter would evaluate it
+    // before the clock starts and time only the final noop write
+    def timed(label: String)(df: => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -35,14 +39,22 @@ object ComposedScale {
       sec
     }
 
+    // FULL-COLUMN frame, exactly the registered queries' Tables.load
+    // shape: pinnedFor sizes its stage tables from the frame's plan
+    // stats, and a column-pruned frame under-reports the corpus (string
+    // stats estimate by default width), flipping the level to memory —
+    // the r8 §13 signature-aggregation starvation, reproduced by this
+    // harness's first cut at 1000× (UNABLE_TO_ACQUIRE_MEMORY in the
+    // shingle stage) and gone with the registered sizing convention.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", $"text")
-    def pairs() = TextOps.minhashNeardupPairs(docs,
-      StageLevels.pinnedFor(docs)).select($"doc_a", $"doc_b")
+    val lvl = StageLevels.pinnedFor(docs)
+    println(s"""{"phase": "config", "stage_level": "$lvl"}""")
+    def pairs() = TextOps.minhashNeardupPairs(docs, lvl)
+      .select($"doc_a", $"doc_b")
 
     // the two standalone registered-query shapes (their fn bodies less
     // the Tables indirection, so all three phases read the same frame)
-    val aSec = timed("standalone_clusters") {
+    def standaloneClusters() = timed("standalone_clusters") {
       val cc = Components.connectedComponents(pairs())
         .withColumnRenamed("id", "doc_id")
       val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
@@ -50,9 +62,21 @@ object ComposedScale {
         .select($"doc_id", $"cluster_id", $"n_members",
           when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("keep"))
     }
-    val bSec = timed("standalone_split")(
+    def standaloneSplit() = timed("standalone_split")(
       Components.splitVerdicts(docs, pairs()))
-    val cSec = timed("composed")(Components.neardupClustersAndSplit(docs))
+    def composed() = timed("composed")(Components.neardupClustersAndSplit(docs))
+    // order dial: the LAST phase rides warm page cache and compiled
+    // codegen; "composedfirst" puts the composed pass in the cold slot
+    // so its win is conservative, the default mirrors a pipeline that
+    // already ran the standalone forms
+    val (aSec, bSec, cSec) =
+      if (args.contains("composedfirst")) {
+        val c = composed(); val a = standaloneClusters(); val b = standaloneSplit()
+        (a, b, c)
+      } else {
+        val a = standaloneClusters(); val b = standaloneSplit(); val c = composed()
+        (a, b, c)
+      }
     println(f"""{"phase": "summary", "standalone_combined": ${aSec + bSec}%.2f, """ +
       f""""composed": $cSec%.2f, "ratio": ${cSec / (aSec + bSec)}%.3f}""")
     spark.stop()
