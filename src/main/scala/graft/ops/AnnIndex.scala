@@ -292,12 +292,14 @@ final case class AnnIndex(wh: Warehouse, name: String) {
            shortlist: Int = 20): DataFrame = {
     val cb = codebook()
     val probes = Similarity.probeCells(queries, centroids, 2)
+    // codes ride the cell join (the entries table stores them beside
+    // the assignment), so the candidate stream reaches the shortlist
+    // already coded — see adcShortlistCoded's round-11 redesign note
     val cand = probes
-      .join(entries.select($"vec_id", $"cell"), Seq("cell"))
+      .join(entries.select($"vec_id", $"cell", $"codes"), Seq("cell"))
       .where($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("cid"))
-    val short = Pq.adcShortlistCoded(
-      cand, entries.select($"vec_id", $"codes"), queries, cb, shortlist)
+      .select($"qid", $"vec_id".as("cid"), $"codes")
+    val short = Pq.adcShortlistCoded(cand, queries, cb, shortlist)
     Similarity.scoreCandidatesFor(short, corpus, queries, k)
   }
 
@@ -325,15 +327,15 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val cb = codebook()
     val probes = Similarity.probeCells(batch, centroids, 2)
     val candEntries = capPerCell match {
-      case None => entries.select($"vec_id", $"cell")
+      case None => entries.select($"vec_id", $"cell", $"codes")
       case Some(cap) =>
         // per-batch hot-cell scan off the maintained √n census, not an
         // O(index) entries aggregation (see [[cellCensus]])
         val hot = cellCensus().where($"cnt" > cap)
-        entries.select($"vec_id", $"cell")
+        entries.select($"vec_id", $"cell", $"codes")
           .join(broadcast(hot), Seq("cell"), "left")
           .where($"cnt".isNull || pmod(xxhash64($"vec_id"), $"cnt") < cap)
-          .select($"vec_id", $"cell")
+          .select($"vec_id", $"cell", $"codes")
     }
     // arrival ids are disjoint from indexed ids by the offset rule, so
     // the self-pair filter is a no-op on a first delivery — it exists
@@ -343,9 +345,8 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     val cand = probes
       .join(candEntries, Seq("cell"))
       .where($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("cid"))
-    val short = Pq.adcShortlistCoded(
-      cand, entries.select($"vec_id", $"codes"), batch, cb, 4)
+      .select($"qid", $"vec_id".as("cid"), $"codes")
+    val short = Pq.adcShortlistCoded(cand, batch, cb, 4)
     val best = Similarity.scoreCandidatesFor(short, corpus, batch, k = 1)
     Pq.ingestVerdicts(batch, best, threshold)
   }

@@ -307,49 +307,76 @@ object Pq {
     import s.implicits._
     val (assign, probes) =
       Similarity.ivfAssignProbes(base, Similarity.ivfModulus(n), 25, 2)
-    val cand = probes.join(assign, Seq("cell"))
-      .where($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("cid"))
     val cb = sampledCodebook(base, pqCbm(n))
+    val cand = probes.join(codedAssign(assign, base, cb), Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"codes")
     val short =
-      adcShortlist(cand, base, base.where($"vec_id" % 25 === 0), cb, 20)
+      adcShortlistCoded(cand, base.where($"vec_id" % 25 === 0), cb, 20)
     Similarity.scoreCandidates(short, base, k = 5)
       .select($"qid", $"cid", Kit.quantize($"cos", 6).as("cos_q6"))
   }
 
-  /** ADC shortlist of a (qid, cid) candidate stream → top-`r` per query
-    * by compressed-domain distance: pairs join the 4-byte code table
-    * (built over `codesBase`) on cid and the `queries` frame's LUTs on
-    * qid — narrow equi-joins, the M lookups projected out in the join
-    * stage, CosTopK partials below the qid exchange. */
-  private[ops] def adcShortlist(cand: DataFrame, codesBase: DataFrame,
-                                queries: DataFrame, cb: Seq[Seq[Long]],
-                                r: Int): DataFrame =
-    adcShortlistCoded(cand, encode(codesBase, cb), queries, cb, r)
-
-  /** [[adcShortlist]] over an ALREADY-ENCODED (vec_id, codes) frame —
-    * the stored-index path ([[AnnIndex]]), where the code table was
-    * written once at build time and is read back from the warehouse
-    * instead of re-derived from full-width vectors (re-encoding would
-    * scan exactly the 520 B/vector payload PQ exists to avoid). Same
-    * plan as the fresh form: [[encode]] is a pure projection, so
-    * composing it inline (fresh) or scanning its materialization
-    * (stored) feeds the identical join tree. */
-  private[ops] def adcShortlistCoded(cand: DataFrame, codes: DataFrame,
-                                     queries: DataFrame, cb: Seq[Seq[Long]],
+  /** ADC shortlist of a CODED candidate stream — (qid, cid, codes)
+    * rows, the codes RIDING THE CELL JOIN that produced the candidates
+    * — to the top-`r` per query by compressed-domain distance.
+    *
+    * Round-11 redesign, forced by the 8M-vector decade's disk wall:
+    * the previous shape joined a bare (qid, cid) stream to the code
+    * table on cid and to a per-query LUT TABLE on qid — two sort-merge
+    * exchanges of the q·nprobe·|cell| candidate stream (~1.8·10⁹ rows
+    * at 8M), whose sort spill alone (~90 GB) overran the box's scratch
+    * budget (`No space left on device` inside UnsafeExternalSorter).
+    * Now the candidate stream is NEVER exchanged:
+    *
+    *   - codes arrive WITH the candidates (every call site's cell join
+    *     has them on the entries/assignment side at narrow-row cost);
+    *   - the query side broadcasts as pre-sliced subvectors (~0.6
+    *     KB/query — one BHJ, zero candidate movement), and the ADC
+    *     distance is computed DIRECTLY against the codebook literal:
+    *     [[entryD2]] with e = [[cbEntries]](cb, m)[codes[m]], the SAME
+    *     integer the LUT entry held, so shortlists are bit-identical
+    *     to the LUT formulation (oracle hashes unchanged; ~16× more
+    *     arithmetic per candidate, all inside whole-stage codegen —
+    *     compute is cheaper than exchange at every measured decade);
+    *   - the CosTopK partial combines map-side over the cell-clustered
+    *     stream: distinct qids per task ≈ probes-per-cell ×
+    *     cells-per-task (~20k at 8M — under the 65,536 object-hash
+    *     fallback bar), so the only exchange left carries the combined
+    *     partials (≤ q·nprobe·r rows ≈ 13M at 8M, vs the 1.8·10⁹ it
+    *     replaced).
+    *
+    * The broadcast scales with the QUERY count, not the corpus — chunk
+    * the query frame past ~10⁷ queries per call. */
+  private[ops] def adcShortlistCoded(candCoded: DataFrame,
+                                     queries: DataFrame,
+                                     cb: Seq[Seq[Long]],
                                      r: Int): DataFrame = {
-    val s = cand.sparkSession
+    val s = candCoded.sparkSession
     import s.implicits._
-    cand
-      .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
-      .join(luts(queries, cb), Seq("qid"))
-      .select($"qid", $"cid",
-        (-adcD2($"codes", $"luts")).cast(DoubleType).as("nega"))
+    val q = withSubs(queries.select($"vec_id", $"qe"))
+      .withColumnRenamed("vec_id", "qid")
+    val d2 = (0 until M).map { m =>
+      entryD2(m,
+        element_at(cbEntries(cb, m), element_at($"codes", m + 1) + 1))
+    }.reduce(_ + _)
+    candCoded
+      .join(broadcast(q), Seq("qid"))
+      .select($"qid", $"cid", (-d2).cast(DoubleType).as("nega"))
       .groupBy($"qid")
       .agg(Kit.cosTopK($"nega", $"cid", r).as("top"))
       .select($"qid", explode($"top").as("t"))
       .select($"qid", $"t.cid".as("cid"))
   }
+
+  /** (vec_id, cell, codes) — an IVF assignment frame with the PQ codes
+    * attached by ONE narrow O(n) equi-join, the shape whose cell join
+    * hands [[adcShortlistCoded]] its coded candidates. The stored-index
+    * path ([[AnnIndex]]) reads this shape directly from its entries
+    * table; the fresh paths compose it inline. */
+  private[ops] def codedAssign(assign: DataFrame, base: DataFrame,
+                               cb: Seq[Seq[Long]]): DataFrame =
+    assign.join(encode(base, cb), Seq("vec_id"))
 
   /** DEDUP-ON-INGEST AGAINST THE COMPRESSED INDEX — the embedding
     * analogue of [[TextOps.incrementalNeardup]]'s contract, closing the
@@ -500,10 +527,10 @@ object Pq {
       existing, arrivals, Similarity.ivfModulus(nEx), 2)
     // (qid, cid) unique by construction; qid/cid sets are DISJOINT, so
     // no self-pair filter is needed
-    val cand = probes.join(assign, Seq("cell"))
-      .select($"qid", $"vec_id".as("cid"))
     val cb = sampledCodebook(existing, pqCbm(nEx))
-    val short = adcShortlist(cand, existing, arrivals, cb, 4)
+    val cand = probes.join(codedAssign(assign, existing, cb), Seq("cell"))
+      .select($"qid", $"vec_id".as("cid"), $"codes")
+    val short = adcShortlistCoded(cand, arrivals, cb, 4)
     val best = Similarity.scoreCandidatesFor(short, existing, arrivals, k = 1)
     ingestVerdicts(arrivals, best, 0.90)
   }
