@@ -160,7 +160,14 @@ object AnnIndexScale {
     }
 
     // ---- dedup-at-the-door: verdict wall ∝ batch, never corpus ----
-    val arrivals = Pq.ingestArrivals(base).persist()
+    // the batch cache follows the corpus's regime rule (deserialized
+    // int64-array rows are ~5-8x their parquet bytes as Java objects;
+    // at the 8M decade a plain .persist() of the 411k-row batch held
+    // multi-GB of heap and tipped the dedup-full phase into reader
+    // OOM — the harness's own scratch must not occupy the JVM it
+    // measures)
+    val arrivals = Pq.ingestArrivals(base)
+      .persist(graft.ops.StageLevels.pinnedFor(base, expansion = 3))
     val nArr = arrivals.count()
     if (phases("dedup")) {
       val small = arrivals.where($"vec_id" % 100 === 0).persist()
