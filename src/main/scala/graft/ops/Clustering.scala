@@ -790,10 +790,14 @@ object Clustering {
     * STRESS_r10 §1); snapping down lands on the measured, cheaper side
     * of the balance rather than an unmeasured finer lattice, and a
     * power-of-two side keeps [[twoLevelSplit]] exactly equal. Floors
-    * and caps: cells never smaller than `minClusterSize` (k ≤ n/min —
-    * 64 by default, the registered queries' floor, NOT the flat
-    * formula's 1,024 SemDeDup regime: the finer lattice relies on
-    * coarse-probe recall, measured, not on big cells), k ≥ 8, and the
+    * and caps: the `minClusterSize` cap bounds k ≤ n/min (64 by
+    * default, the registered queries' floor, NOT the flat formula's
+    * 1,024 SemDeDup regime: the finer lattice relies on coarse-probe
+    * recall, measured, not on big cells) — but the absolute k ≥ 8
+    * floor WINS below n = 8·minClusterSize, so tiny corpora get cells
+    * smaller than `minClusterSize` (n = 100 → k = 8 → ~12 vecs/cell;
+    * deliberate — at that size the whole corpus fits one census pass
+    * and the floor keeps the two-level mechanism exercised) — and the
     * side is clamped to [[kmeansAssignJoin]]'s 32,768 per-level pack
     * bound (k ≤ ~10⁹ cells ≈ 10¹² vectors). The registered
     * `semdedup_twolevel` keeps [[semdedupK]]'s oracle-pinned formula
@@ -1021,17 +1025,31 @@ object Clustering {
     * (n/2)^(2/3) two-level balance), probe-2 at both levels for
     * candidate generation — the configuration measured at ≥98% recall
     * and 0.88× the flat anchor's census cost (STRESS_r10 §1). Returns
-    * [[semdedupCensus]]'s per-cell verdict frame; intermediate stage
-    * frames are persisted per the harness clearCache() convention. */
+    * [[semdedupCensus]]'s per-cell verdict frame, MATERIALIZED: the two
+    * O(corpus) stage frames (assignment + probed candidates) are pinned
+    * at [[StageLevels.pinnedFor]]'s level only for the census pass and
+    * unpersisted before returning, so repeated calls accumulate nothing
+    * (round-11 ADVICE — the per-call cached-frame leak semdedupCensus's
+    * own contract forbids). The returned census is the one persisted
+    * frame left (O(k) rows — tiny next to the corpus); unpersist it when
+    * done. */
   def semdedupTwoLevelAuto(q: DataFrame,
                            tau: Double = SemdedupTau.toDouble,
                            iters: Int = 3): DataFrame = {
     val n = q.count()
     val k = semdedupK2(n)
     val (cs1, cs2) = kmeansTwoLevelTrain(q, k, iters)
-    val asg = twoLevelCellAssign(q, cs1, cs2).persist()
-    val cand = twoLevelProbeCellAssign(q, cs1, cs2, 2, 2).persist()
-    semdedupCensus(q, asg, tau, candAsg = Some(cand))
+    val asg0 = twoLevelCellAssign(q, cs1, cs2)
+    val asg = asg0.persist(StageLevels.pinnedFor(asg0))
+    val cand0 = twoLevelProbeCellAssign(q, cs1, cs2, 2, 2)
+    val cand = cand0.persist(StageLevels.pinnedFor(cand0))
+    try {
+      val census =
+        semdedupCensus(q, asg, tau, candAsg = Some(cand))
+          .persist(StageLevels.pinned(q.sparkSession))
+      census.count()
+      census
+    } finally { asg.unpersist(); cand.unpersist(); () }
   }
 
   /** Semantic dedup through the TWO-LEVEL quantizer, oracle-checked:

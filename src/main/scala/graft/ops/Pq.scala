@@ -346,28 +346,51 @@ object Pq {
     *     partials (≤ q·nprobe·r rows ≈ 13M at 8M, vs the 1.8·10⁹ it
     *     replaced).
     *
-    * The broadcast scales with the QUERY count, not the corpus — chunk
-    * the query frame past ~10⁷ queries per call. */
+    * The broadcast scales with the QUERY count, not the corpus — past
+    * [[AdcQueryChunkBound]] queries the frame is CHUNKED (qid mod
+    * nChunks slices, each broadcast-joined independently, unioned):
+    * per-qid top-k is independent across qids, so the union is
+    * bit-identical to the single shot (spec-pinned with a forced tiny
+    * bound), and a huge query frame degrades to more passes instead of
+    * a driver-OOM/broadcast-limit failure (round-11 ADVICE — the guard
+    * was comment-only). The guard costs one pruned-column count of the
+    * query frame per call — O(q) id rows next to the ADC pass itself. */
   private[ops] def adcShortlistCoded(candCoded: DataFrame,
                                      queries: DataFrame,
                                      cb: Seq[Seq[Long]],
-                                     r: Int): DataFrame = {
+                                     r: Int,
+                                     chunkBound: Long = AdcQueryChunkBound)
+      : DataFrame = {
     val s = candCoded.sparkSession
     import s.implicits._
-    val q = withSubs(queries.select($"vec_id", $"qe"))
-      .withColumnRenamed("vec_id", "qid")
     val d2 = (0 until M).map { m =>
       entryD2(m,
         element_at(cbEntries(cb, m), element_at($"codes", m + 1) + 1))
     }.reduce(_ + _)
-    candCoded
-      .join(broadcast(q), Seq("qid"))
-      .select($"qid", $"cid", (-d2).cast(DoubleType).as("nega"))
-      .groupBy($"qid")
-      .agg(Kit.cosTopK($"nega", $"cid", r).as("top"))
-      .select($"qid", explode($"top").as("t"))
-      .select($"qid", $"t.cid".as("cid"))
+    def shot(qs: DataFrame): DataFrame = {
+      val q = withSubs(qs.select($"vec_id", $"qe"))
+        .withColumnRenamed("vec_id", "qid")
+      candCoded
+        .join(broadcast(q), Seq("qid"))
+        .select($"qid", $"cid", (-d2).cast(DoubleType).as("nega"))
+        .groupBy($"qid")
+        .agg(Kit.cosTopK($"nega", $"cid", r).as("top"))
+        .select($"qid", explode($"top").as("t"))
+        .select($"qid", $"t.cid".as("cid"))
+    }
+    val qn = queries.select($"vec_id").count()
+    val nChunks = math.max(1L, (qn + chunkBound - 1) / chunkBound).toInt
+    if (nChunks == 1) shot(queries)
+    else (0 until nChunks).map { i =>
+      shot(queries.where(pmod($"vec_id", lit(nChunks)) === lit(i)))
+    }.reduce(_ unionByName _)
   }
+
+  /** Queries-per-shot bound for [[adcShortlistCoded]]'s query-side
+    * broadcast: at ~0.6 KB per pre-sliced query row, 4M queries ≈
+    * 2.4 GB — inside Spark's 8 GB broadcast-table cap with margin for
+    * the deserialized hash relation. */
+  private[ops] val AdcQueryChunkBound: Long = 4L * 1000 * 1000
 
   /** (vec_id, cell, codes) — an IVF assignment frame with the PQ codes
     * attached by ONE narrow O(n) equi-join, the shape whose cell join

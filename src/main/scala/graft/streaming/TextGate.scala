@@ -257,9 +257,13 @@ final case class TextGate(wh: Warehouse, name: String,
 
   /** True when append fragmentation has decayed probe pruning enough
     * that a [[compactBands]] should be scheduled — the [[VectorGate]]
-    * `maintenanceNeeded` contract for the band store. Never consulted
-    * on the stream path: fragmentation degrades probe COST (extra file
-    * opens), never verdicts (pruning is superset-safe). The default bar
+    * `maintenanceNeeded` contract for the band store. Consulted on the
+    * stream path by [[landBatch]] whenever `autoCompactBar` is set
+    * (one per-batch manifest-arithmetic probe; compaction fires when it
+    * trips — the round-11 self-compacting door); with `autoCompactBar =
+    * None` it is advisory-only for an out-of-band maintenance job.
+    * Either way fragmentation degrades probe COST (extra file opens),
+    * never verdicts (pruning is superset-safe). The default bar
     * tolerates ~4 uncompacted batches — past it each probed bucket pays
     * ~`bar` opens instead of 1. */
   def maintenanceNeeded(bar: Double = 4.0): Boolean =

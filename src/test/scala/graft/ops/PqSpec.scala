@@ -138,4 +138,33 @@ class PqSpec extends SparkTestBase {
       assert(isNew && dupOf.isEmpty, s"novel plant $id flagged as dup")
     }
   }
+
+  test("adcShortlistCoded chunked query broadcast is bit-identical to one shot") {
+    // The >AdcQueryChunkBound guard path never fires at test scale, so
+    // force it: a chunk bound of 7 splits the ~20-query frame into 3
+    // qid-mod slices, each broadcast-joined independently. Per-qid top-r
+    // is independent across qids, so the union must equal the single
+    // shot EXACTLY — the graceful-degradation contract of the round-11
+    // ADVICE fix.
+    val base = Similarity.quantized(spark, dir)
+    val n = base.count()
+    val (assign, probes) =
+      Similarity.ivfAssignProbes(base, Similarity.ivfModulus(n), 25, 2)
+    val cb = Pq.sampledCodebook(base, Pq.pqCbm(n))
+    val cand = probes.join(Pq.codedAssign(assign, base, cb), Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"codes")
+      .persist()
+    try {
+      val queries = base.where($"vec_id" % 25 === 0)
+      def rows(bound: Long): Set[(Long, Long)] =
+        Pq.adcShortlistCoded(cand, queries, cb, 20, chunkBound = bound)
+          .as[(Long, Long)].collect().toSet
+      val single = rows(Long.MaxValue)
+      val chunked = rows(7L)
+      assert(single.nonEmpty)
+      assert(chunked == single,
+        s"chunked shortlist diverged: ${chunked.size} vs ${single.size} rows")
+    } finally { cand.unpersist(); () }
+  }
 }
