@@ -41,6 +41,14 @@ object SemdedupScale {
     // twolevel default (Clustering.semdedupK2), so the override remains
     // only for off-default comparison runs
     val kOverride = if (args.length > 7) Some(args(7).toInt) else None
+    // twolevel split override "K1xK2" (e.g. 128x64) — the round-12
+    // rectangular-lattice measurement dial; k is then K1*K2 and
+    // kOverride is ignored
+    val splitOverride: Option[(Int, Int)] =
+      if (args.length > 8) {
+        val Array(a, b) = args(8).split("x").map(_.toInt)
+        Some((a, b))
+      } else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,9 +73,10 @@ object SemdedupScale {
     // flat mode balances assignment n·k against census n²/k → √(n/2);
     // twolevel assignment is n·2√k, so its balance sits at the finer
     // (n/2)^(2/3) lattice — the production default since round 11
-    val k = kOverride.getOrElse(
-      if (mode == "twolevel") Clustering.semdedupK2(n)
-      else Clustering.semdedupK(n, target))
+    val k = splitOverride.map { case (a, b) => a * b }.getOrElse(
+      kOverride.getOrElse(
+        if (mode == "twolevel") Clustering.semdedupK2(n)
+        else Clustering.semdedupK(n, target)))
     def phase[T](name: String)(body: => T): T = {
       val t = System.nanoTime()
       val r = body
@@ -76,8 +85,11 @@ object SemdedupScale {
     }
     if (mode == "twolevel") {
       val t0 = System.nanoTime()
-      val (cs1, cs2) = phase("twolevel-train")(
-        Clustering.kmeansTwoLevelTrain(q, k, iters = 3))
+      val (cs1, cs2) = phase("twolevel-train")(splitOverride match {
+        case Some((a, b)) =>
+          Clustering.kmeansTwoLevelTrainSplit(q, a, b, iters = 3)
+        case None => Clustering.kmeansTwoLevelTrain(q, k, iters = 3)
+      })
       val asg = phase("assign")(
         Clustering.twoLevelCellAssign(q, cs1, cs2).persist())
       phase("assign-count")(asg.count())
@@ -108,7 +120,12 @@ object SemdedupScale {
       println(s"[semdedup-scale] $label n_dropped: " +
         probed.map(_.getAs[Long]("n_dropped")).sum)
       val wall = (System.nanoTime() - t0) / 1e9
+      val splitStr = splitOverride.map { case (a, b) => s"${a}x$b" }
+        .getOrElse {
+          val (a, b) = Clustering.twoLevelSplit(k); s"${a}x$b"
+        }
       println(f"""{"mode": "twolevel", "n": $n, "k": $k, """ +
+        f""""split": "$splitStr", """ +
         f""""n_vecs": ${census.map(_.getAs[Long]("n_vecs")).sum}, """ +
         f""""n_dropped": ${census.map(_.getAs[Long]("n_dropped")).sum}, """ +
         f""""cells": ${census.length}, """ +

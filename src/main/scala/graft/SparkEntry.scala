@@ -14,7 +14,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ JoinsSetOps.all ++ Shaping.all ++ TextOps.all ++
       Similarity.all ++ Pq.all ++ AnnRouter.all ++ AnnIndex.all ++
-      Windowed.all ++ Advanced.all ++ RangeJoin.all ++
+      Windowed.all ++ Advanced.all ++ FuzzyBand.all ++ RangeJoin.all ++
       Clustering.all ++ Curation.all ++ Components.all ++ Analytics.all ++
       PageRank.all ++ graft.streaming.TextGate.all
 

@@ -320,10 +320,37 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * the per-batch grind at the cost of dup recall INSIDE the hot cell
     * until maintenance rebuilds or [[repairHotCells]] splits it.
     * Healthy cells (2–4× the modulus) pass untouched at any sane cap;
-    * None (the oracle paths) disables the census + thinning entirely. */
+    * None (the oracle paths) disables the census + thinning entirely.
+    *
+    * SLICED past [[AnnIndex.DedupSliceRows]] arrivals (round-11 verdict
+    * #3): verdicts are per-arrival independent, so a large batch is
+    * split into vec_id-mod slices verdicted one at a time against the
+    * SAME stored generation and unioned — bit-identical results
+    * (spec-pinned with a forced tiny bound), but each slice's resident
+    * footprint (the query-subvector broadcast in
+    * [[Pq.adcShortlistCoded]], the re-rank working sets) is bounded by
+    * the slice, not the batch. At the 8M decade the unsliced 411k-row
+    * batch held ~1 GB of broadcast next to 32 parquet-reader tasks and
+    * OOM'd the default 8 GiB/32-task JVM; slices keep the phase inside
+    * it. Cost: the entries/corpus side is re-scanned once per slice —
+    * narrow 24 B rows (entries) and an equi-join-pruned corpus fetch,
+    * measured well under the verdict compute itself. */
   def dedupArrivals(batch: DataFrame, corpus: DataFrame,
                     threshold: Double = 0.90,
-                    capPerCell: Option[Long] = None): DataFrame = {
+                    capPerCell: Option[Long] = None,
+                    sliceRows: Long = AnnIndex.DedupSliceRows): DataFrame = {
+    val nArr = batch.select($"vec_id").count()
+    val nSlices = math.max(1L, (nArr + sliceRows - 1) / sliceRows).toInt
+    if (nSlices == 1) dedupSlice(batch, corpus, threshold, capPerCell)
+    else (0 until nSlices).map { i =>
+      dedupSlice(batch.where(pmod($"vec_id", lit(nSlices)) === lit(i)),
+        corpus, threshold, capPerCell)
+    }.reduce(_ unionByName _)
+  }
+
+  private def dedupSlice(batch: DataFrame, corpus: DataFrame,
+                         threshold: Double,
+                         capPerCell: Option[Long]): DataFrame = {
     val cb = codebook()
     val probes = Similarity.probeCells(batch, centroids, 2)
     val candEntries = capPerCell match {
@@ -511,6 +538,15 @@ final case class AnnIndex(wh: Warehouse, name: String) {
 }
 
 object AnnIndex {
+
+  /** Arrivals-per-slice bound for [[AnnIndex.dedupArrivals]]'s verdict
+    * pass. Calibration: the 4M decade's ~205k batch verdicts clean at
+    * the default 8 GiB/32-task JVM (STRESS_r10 §6) while the 8M
+    * decade's 411k batch OOM'd it (STRESS_r11 §6) — 256k sits between
+    * them, leaves the measured-good decade unsliced, and halves the
+    * failing one. A production executor at 4–8 tasks/JVM has 4–8× the
+    * per-task margin, so the bound is conservative there. */
+  val DedupSliceRows: Long = 262144L
 
   /** FNV-1a 64-bit over a string — the tmp-warehouse path key (64-bit:
     * collisions across a handful of fixture dirs are not a practical

@@ -854,6 +854,21 @@ object Clustering {
   def kmeansTwoLevelTrain(q: DataFrame, k: Int,
                           iters: Int): (Seq[Seq[Long]], Seq[Seq[Long]]) = {
     val (k1, k2) = twoLevelSplit(k)
+    kmeansTwoLevelTrainSplit(q, k1, k2, iters)
+  }
+
+  /** [[kmeansTwoLevelTrain]] with an EXPLICIT (K1, K2) factorization —
+    * the measurement dial for rectangular lattices (round-11 verdict
+    * #5: does a 128×64 = 8,192 split hold the recall bar at materially
+    * lower census than the frozen 64×64 power-of-4 snap mid-band?).
+    * The coarse side gets the larger factor: coarse probing is what
+    * recovers boundary pairs, so coarse granularity is where extra
+    * cells pay recall, and the fine (residual) codebook stays the
+    * cheaper broadcast. */
+  def kmeansTwoLevelTrainSplit(q: DataFrame, k1: Int, k2: Int,
+                               iters: Int): (Seq[Seq[Long]], Seq[Seq[Long]]) = {
+    require(k1 <= 32768 && k2 <= 32768,
+      s"two-level split $k1 x $k2 exceeds the per-level pack bound")
     val cs1 = kmeansCentroidsLowId(q, k1, iters)
     val r = residuals(q, cs1).persist()
     try (cs1, kmeansCentroidsLowId(r, k2, iters))

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kit
+import graft.sources.Tables
+
+/** THE SCALE LADDER FOR FUZZY ENTITY MATCHING (round-11 verdict #4).
+  *
+  * The registered `fuzzy_match_entities`/`fuzzy_jw_entities` block on
+  * `c_nationkey` (25 values), so their per-block pair loop is O(n²/25):
+  * exact, fast at sf0.1, quadratic at 100× data — they stay as the
+  * DESIGNATED EXACTNESS BASELINES (same convention as
+  * `similarity_topk`/`pq_topk`). This is the production form: candidate
+  * pairs come from MinHash-LSH banding over NAME CHARACTER 3-GRAMS
+  * (the `ops/BandJoin` machinery the document near-dup family already
+  * proved linear to 20M docs), then the survivors are verified with the
+  * exact native Jaro-Winkler kernel — candidates ∝ true-match density,
+  * never Σ(block²).
+  *
+  * Banding geometry differs from the document family deliberately:
+  * 4 bands × 4 rows from the same 16 minhash slots
+  * ([[TextOps.MH_AB]]). Entity resolution verifies at HIGH similarity
+  * (JW ≥ 0.95 ⇒ gram-Jaccard ≥ ~0.75 for same-length names), where
+  * r = 4 keeps the random-pair collision at J⁴ — on a realistic-entropy
+  * name corpus (J_rand ≈ 0.004 for 32-char hex) that is ~10⁻¹⁰ per
+  * band: effectively zero false candidates at any corpus size, while a
+  * 1-char-edit true pair (J ≈ 0.82) collides in ≥1 of 4 bands with
+  * ~90% probability. The document family's 2-row bands (tuned for its
+  * 0.30 report threshold) would collide ~every pair of TPC-H's
+  * template names.
+  *
+  * THE FIXTURE PROBLEM, measured and designed around: TPC-H `c_name`
+  * is `Customer#000000001` — 18 chars of which ~10 are a shared
+  * template, so corpus-wide gram Jaccard between RANDOM pairs is ~0.6
+  * and ANY content-based blocking (grams, prefixes, partition
+  * pigeonholes) degenerates toward all-pairs. That is a property of
+  * the synthetic fixture, not of entity resolution: real name corpora
+  * have entropy. The registered query therefore PLANTS a
+  * realistic-entropy name corpus in-query, deterministically and
+  * identically in Spark and the oracle (the `embedding_neardup_planted`
+  * convention): nm = md5(custkey) — 32 hex chars — plus, for every
+  * custkey ≡ 0 (mod 10), a copy with ONE substituted character at a
+  * key-dependent position. Plants are true JW ≥ 0.95 matches; random
+  * pairs sit at JW ≈ 0.6–0.75 and gram-Jaccard ≈ 0.004. The oracle
+  * replays shingling, hashing, banding, candidates, and the JW verify
+  * exactly, so the hash check pins the whole pipeline (recall loss is
+  * mirrored by construction — banding bounds recall, never precision).
+  */
+object FuzzyBand {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** 4 bands × 4 rows over [[TextOps.MH_AB]]'s 16 minhash slots. */
+  private val FB_BANDS = 4
+
+  /** (entity_id, band, k) LSH bucket keys from an (entity_id, nm)
+    * frame — character-3-gram shingles, md5-prefix base hash mod
+    * [[TextOps.MH_P]], 16-slot signature, 4-slot band keys. The
+    * name-scale sibling of [[TextOps.minhashBands]], including its
+    * stage-table discipline: the SIGNATURE aggregation is persisted
+    * (every band projection and both self-join sides read it; without
+    * the pin the 4-way band union re-runs the gram/minhash aggregation
+    * per projection — measured ~2× on the registered query), dropped by
+    * the harness clearCache() convention. */
+  private[graft] def nameBands(names: DataFrame): DataFrame = {
+    val s = names.sparkSession
+    import s.implicits._
+    val grams = names.select($"entity_id",
+      explode(array_distinct(expr(
+        "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")))
+        .as("g"))
+    val hs = grams.select($"entity_id",
+      expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % ${TextOps.MH_P}")
+        .as("h"))
+    val sigCols = TextOps.MH_AB.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % ${TextOps.MH_P}")).as(s"m$i")
+    }
+    val sig = hs.groupBy($"entity_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(StageLevels.pinnedFor(names))
+    (0 until FB_BANDS).map { bd =>
+      sig.select($"entity_id", lit(bd).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"m${4 * bd + r}")): _*)
+          .as("k"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Banded candidate pairs + exact-JW verify over an (entity_id, nm)
+    * frame — the production entity-matching pass. The signature stage
+    * is persisted (read by all 4 band projections + both verify sides
+    * feed off `names`, not the bands); [[BandJoin.selfCandidates]]
+    * provides the hot-bucket-salted pair join. */
+  def fuzzyBandedPairs(names: DataFrame, jwThreshold: Double): DataFrame = {
+    val s = names.sparkSession
+    import s.implicits._
+    // nameBands pins the signature stage; the band projections over it
+    // are narrow column ops, so no second pin is needed here
+    val bands = nameBands(names)
+    val cand = BandJoin.selfCandidates(bands)
+      .toDF("key_a", "key_b")
+      .observe("fuzzy_band_candidates", count(lit(1)).as("n_pairs"))
+    cand
+      .join(names.select($"entity_id".as("key_a"), $"nm".as("nm_a")),
+        Seq("key_a"))
+      .join(names.select($"entity_id".as("key_b"), $"nm".as("nm_b")),
+        Seq("key_b"))
+      .where(Kit.jaroWinkler($"nm_a", $"nm_b") >= jwThreshold)
+      .select($"key_a", $"key_b",
+        Kit.quantize(Kit.jaroWinkler($"nm_a", $"nm_b"), 6).as("jw_q6"))
+  }
+
+  /** The planted realistic-entropy name corpus over `customer` —
+    * IDENTICAL construction in Spark and DuckDB (see object doc):
+    * every customer gets nm = md5(custkey); every 10th also plants a
+    * near-copy (id + 10⁸) with one key-dependent substituted char. */
+  private[ops] def plantedNames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("entity_id"),
+        md5($"c_custkey".cast("string")).as("nm"))
+    val plants = t(s, dir, "customer")
+      .where($"c_custkey" % 10 === 0)
+      .select(($"c_custkey".cast("long") + 100000000L).as("entity_id"),
+        expr("""concat(
+          substr(md5(CAST(c_custkey AS STRING)), 1, CAST(c_custkey % 27 + 3 AS INT)),
+          'z',
+          substr(md5(CAST(c_custkey AS STRING)), CAST(c_custkey % 27 + 5 AS INT)))""")
+          .as("nm"))
+    base.unionByName(plants)
+  }
+
+  /** The oracle's replay of [[plantedNames]] + [[nameBands]] +
+    * candidates + JW verify, as one DuckDB CTE chain — the name-corpus
+    * sibling of [[TextOps.mhPairsCteSql]]. */
+  private def fuzzyBandedOracleSql(jwThreshold: Double): String = {
+    val sigColsSql = TextOps.MH_AB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % ${TextOps.MH_P}) AS m$i"
+    }.mkString(",\n    ")
+    val bandsSql = (0 until FB_BANDS).map { bd =>
+      val key = (0 until 4).map(r => s"m${4 * bd + r}").mkString(", ")
+      s"SELECT entity_id, $bd AS band, concat_ws('_', $key) AS k FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH names AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS entity_id,
+      |    md5(CAST(c_custkey AS VARCHAR)) AS nm
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS BIGINT) + 100000000 AS entity_id,
+      |    concat(
+      |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, CAST(c_custkey % 27 + 3 AS INT)),
+      |      'z',
+      |      substr(md5(CAST(c_custkey AS VARCHAR)), CAST(c_custkey % 27 + 5 AS INT))) AS nm
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |grams AS (
+      |  SELECT DISTINCT entity_id, substr(nm, i, 3) AS g
+      |  FROM names, UNNEST(range(1, len(nm) - 1)) AS t(i)),
+      |hs AS (
+      |  SELECT entity_id,
+      |    CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % ${TextOps.MH_P} AS h
+      |  FROM grams),
+      |sig AS (
+      |  SELECT entity_id,
+      |    $sigColsSql
+      |  FROM hs GROUP BY entity_id),
+      |bands AS (
+      |  $bandsSql),
+      |cand AS (
+      |  SELECT DISTINCT a.entity_id AS key_a, b.entity_id AS key_b
+      |  FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.k = b.k
+      |    AND a.entity_id < b.entity_id)
+      |SELECT key_a, key_b,
+      |  CAST(FLOOR(jaro_winkler_similarity(na.nm, nb.nm) * 1000000) AS BIGINT) AS jw_q6
+      |FROM cand
+      |JOIN names na ON na.entity_id = key_a
+      |JOIN names nb ON nb.entity_id = key_b
+      |WHERE jaro_winkler_similarity(na.nm, nb.nm) >= $jwThreshold""".stripMargin
+  }
+
+  val fuzzyBandedEntities: QueryDef = QueryDef.sql(
+    "fuzzy_banded_entities",
+    fuzzyBandedOracleSql(0.95)) { (s, dir) =>
+    fuzzyBandedPairs(plantedNames(s, dir), 0.95)
+  }
+
+  val all: Seq[QueryDef] = Seq(fuzzyBandedEntities)
+}

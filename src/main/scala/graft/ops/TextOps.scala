@@ -641,8 +641,8 @@ object TextOps {
     * ~100% at J≥0.75 — tuned for the 0.30 report threshold where true
     * near-dups cluster high. All constants are inlined into BOTH the
     * Spark expressions and the oracle SQL from this one list. */
-  private val MH_P = 2147483647L
-  private val MH_AB: Seq[(Long, Long)] = (1 to 16).map { i =>
+  private[ops] val MH_P = 2147483647L
+  private[ops] val MH_AB: Seq[(Long, Long)] = (1 to 16).map { i =>
     ((1103515245L * i + 12345L) % MH_P, (69069L * i + 1013904223L) % MH_P)
   }
   private val MH_BANDS = 8 // × 2 rows each

@@ -49,6 +49,24 @@ class AnnIndexSpec extends SparkTestBase {
     assert(stored == fresh)
   }
 
+  test("sliced dedupArrivals verdicts are bit-identical to the one-shot pass") {
+    // Force the >DedupSliceRows path at fixture scale: a slice bound of
+    // 7 splits the arrival batch into many vec_id-mod slices, each
+    // verdicted independently against the same stored index. Verdicts
+    // are per-arrival, so the union must equal the unsliced pass
+    // exactly — the 8 GiB-heap degradation contract (round-11 #3).
+    val (idx, base) = freshIndex("annidx-sl")
+    val arrivals = Pq.ingestArrivals(base)
+    def verdicts(bound: Long): Set[(Long, Option[Long], Option[Long], Boolean)] =
+      idx.dedupArrivals(arrivals, base, sliceRows = bound)
+        .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    val one = verdicts(Long.MaxValue)
+    val sliced = verdicts(7L)
+    assert(one.nonEmpty)
+    assert(sliced == one,
+      s"sliced verdicts diverged: ${sliced.size} vs ${one.size}")
+  }
+
   test("ingest loop: an accepted arrival's own near-dup is caught next batch") {
     val wh = Warehouse(spark, tmpDir("annidx-i"))
     val idx = AnnIndex(wh, "emb")
