@@ -42,21 +42,23 @@ object AnnIndexScale {
     val dir = args.head
     val parity = !args.contains("noparity")
     val whArg = args.collectFirst { case a if a.startsWith("wh=") => a.drop(3) }
+    // slice=N overrides dedupArrivals' arrival-batch slice bound —
+    // slice=0 disables slicing (the pre-round-12 one-shot shape, for
+    // the 12 GiB comparison runs)
+    val sliceRows: Long = args
+      .collectFirst { case a if a.startsWith("slice=") => a.drop(6).toLong }
+      .map(v => if (v <= 0L) Long.MaxValue else v)
+      .getOrElse(graft.ops.AnnIndex.DedupSliceRows)
     val phases: String => Boolean =
       args.collectFirst { case a if a.startsWith("phases=") =>
         a.drop(7).split(",").toSet
       }.map(s => (p: String) => s(p)).getOrElse(_ => true)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      // see CosTopK scaladoc: the 128-row default silently converts
-      // every CosTopK aggregation to sort-based
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // HarnessSession: same protocol confs as the hand-rolled builder it
+    // replaces, plus SPARK_GRAFT_MASTER / SPARK_GRAFT_EXTRA_CONF — the
+    // extra-conf dial is how the 8 GiB dedup runs set the scan-split
+    // geometry (spark.sql.files.maxPartitionBytes) for the wide-array
+    // corpus scans; see dedupArrivals' heap-geometry scaladoc
+    val spark = HarnessSession.build()
     import spark.implicits._
 
     def timed[A](f: => A): (Double, A) = {
@@ -176,7 +178,7 @@ object AnnIndexScale {
                                      ("full", arrivals, nArr))) {
         spark.catalog.clearCache()
         val (sec, verdicts) = timed(
-          idx.dedupArrivals(batch, base)
+          idx.dedupArrivals(batch, base, sliceRows = sliceRows)
             .where(!$"is_new").count())
         println(f"""{"phase": "dedup_$label", "sec": $sec%.2f, """ +
           s""""batch": $sz, "dups": $verdicts}""")
@@ -228,7 +230,8 @@ object AnnIndexScale {
         s""""needs_rebuild": ${idx.needsRebuild()}}""")
       spark.catalog.clearCache()
       val (sec, dups) = timed(
-        idx.dedupArrivals(arrivals, grown).where(!$"is_new").count())
+        idx.dedupArrivals(arrivals, grown, sliceRows = sliceRows)
+          .where(!$"is_new").count())
       println(f"""{"phase": "dedup_after_repair", "sec": $sec%.2f, """ +
         s""""batch": $nArr, "dups": $dups}""")
     }
@@ -255,7 +258,8 @@ object AnnIndexScale {
         s""""needs_rebuild": ${idx.needsRebuild()}}""")
       spark.catalog.clearCache()
       val (sec, dups) = timed(
-        idx.dedupArrivals(arrivals, grown).where(!$"is_new").count())
+        idx.dedupArrivals(arrivals, grown, sliceRows = sliceRows)
+          .where(!$"is_new").count())
       println(f"""{"phase": "dedup_after_rebuild", "sec": $sec%.2f, """ +
         s""""batch": $nArr, "dups": $dups}""")
     }

@@ -58,7 +58,14 @@ object GateScale {
       ((System.nanoTime() - t0) / 1e9, a)
     }
 
-    val base = Similarity.quantized(spark, dir).persist()
+    // size the corpus cache like AnnIndexScale (r10 fifth-decade fix):
+    // deserialized int64-array rows are ~5-8x their parquet bytes; a
+    // plain MEMORY_AND_DISK persist of the 8M-row corpus would hold
+    // ~5 GB of heap in the JVM the harness is measuring
+    val base = {
+      val b = Similarity.quantized(spark, dir)
+      b.persist(graft.ops.StageLevels.pinnedFor(b, expansion = 3))
+    }
     val n = base.count()
     val wh = Warehouse(spark,
       Files.createTempDirectory("gate-scale").toString)

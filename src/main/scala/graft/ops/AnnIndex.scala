@@ -334,7 +334,31 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     * OOM'd the default 8 GiB/32-task JVM; slices keep the phase inside
     * it. Cost: the entries/corpus side is re-scanned once per slice —
     * narrow 24 B rows (entries) and an equi-join-pruned corpus fetch,
-    * measured well under the verdict compute itself. */
+    * measured well under the verdict compute itself.
+    *
+    * Slices are evaluated SEQUENTIALLY — each is eagerly
+    * `localCheckpoint`ed (one job per slice, verdict rows are ~30 B ×
+    * slice) before the next starts. A lazy union would schedule every
+    * slice's joins inside ONE job with all their broadcasts resident
+    * together, reproducing exactly the peak the slicing exists to
+    * bound (measured: the lazy-union first cut OOM'd the 8M decade's
+    * parquet reader at 8 GiB just like the unsliced shape). The
+    * checkpoint also cuts each slice's lineage, so its query broadcast
+    * becomes collectable while later slices run.
+    *
+    * HEAP GEOMETRY of the remaining constant: the re-rank's corpus
+    * fetch scans the full-width embedding parquet, and the vectored
+    * parquet reader holds ~split-bytes of heap buffer (plus decode
+    * copies) PER CONCURRENT TASK — at 32 tasks/JVM × the default
+    * 128 MB splits that is multi-GB before any operator state, and it
+    * does not shrink with slicing. Deployments running wide
+    * single-JVM task counts over wide-array corpora should size
+    * `spark.sql.files.maxPartitionBytes` so
+    * tasks/JVM × split ≤ heap/4: the 8M-decade evidence run completes
+    * dedup-full at the default 8 GiB/32 tasks with 32 MB splits
+    * (STRESS_r12 §2), where 128 MB splits OOM the reader at any slice
+    * bound. A production 4–8 tasks/JVM executor is inside the rule at
+    * the default split size. */
   def dedupArrivals(batch: DataFrame, corpus: DataFrame,
                     threshold: Double = 0.90,
                     capPerCell: Option[Long] = None,
@@ -345,6 +369,7 @@ final case class AnnIndex(wh: Warehouse, name: String) {
     else (0 until nSlices).map { i =>
       dedupSlice(batch.where(pmod($"vec_id", lit(nSlices)) === lit(i)),
         corpus, threshold, capPerCell)
+        .localCheckpoint(true)
     }.reduce(_ unionByName _)
   }
 
@@ -374,7 +399,8 @@ final case class AnnIndex(wh: Warehouse, name: String) {
       .where($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"), $"codes")
     val short = Pq.adcShortlistCoded(cand, batch, cb, 4)
-    val best = Similarity.scoreCandidatesFor(short, corpus, batch, k = 1)
+    val best = Similarity.scoreCandidatesFor(short, corpus, batch, k = 1,
+      broadcastCand = true)
     Pq.ingestVerdicts(batch, best, threshold)
   }
 
