@@ -44,6 +44,18 @@ object FuzzyScale {
     val names = base.unionByName(plants).persist()
     val total = names.count()
 
+    // the honest recall denominator: plants whose JW actually clears
+    // the threshold. Hex names carry ~2x duplicate chars, so a single
+    // substitution sets off greedy-match transposition cascades in
+    // Jaro — ~16% of planted copies sit BELOW 0.95 by construction
+    // (measured round 12); banding recall must be judged against the
+    // true matches, not the raw plant count
+    val truePairs = base.select($"entity_id", $"nm".as("nm_a"))
+      .join(plants.select(($"entity_id" - 10L * n).as("entity_id"),
+        $"nm".as("nm_b")), Seq("entity_id"))
+      .where(graft.functions.Kit.jaroWinkler($"nm_a", $"nm_b") >= jw)
+      .count()
+
     val (bandSec, bands) = timed {
       val b = FuzzyBand.nameBands(names)
         .persist(graft.ops.StageLevels.pinnedFor(names))
@@ -58,7 +70,9 @@ object FuzzyScale {
       f""""band_sec": $bandSec%.2f, "cand_sec": $candSec%.2f, """ +
       f""""candidates": $nCand, "cand_per_name": ${nCand.toDouble / total}%.4f, """ +
       f""""verify_sec": $verifySec%.2f, "matches": $nMatch, """ +
-      f""""recall_vs_plants": ${nMatch.toDouble / (total - n)}%.3f}""")
+      f""""true_matches": $truePairs, """ +
+      f""""recall_vs_plants": ${nMatch.toDouble / (total - n)}%.3f, """ +
+      f""""recall_vs_true": ${nMatch.toDouble / truePairs}%.3f}""")
     spark.stop()
   }
 }

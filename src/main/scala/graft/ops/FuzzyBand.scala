@@ -20,16 +20,37 @@ import graft.sources.Tables
   * never Σ(block²).
   *
   * Banding geometry differs from the document family deliberately:
-  * 4 bands × 4 rows from the same 16 minhash slots
-  * ([[TextOps.MH_AB]]). Entity resolution verifies at HIGH similarity
-  * (JW ≥ 0.95 ⇒ gram-Jaccard ≥ ~0.75 for same-length names), where
-  * r = 4 keeps the random-pair collision at J⁴ — on a realistic-entropy
-  * name corpus (J_rand ≈ 0.004 for 32-char hex) that is ~10⁻¹⁰ per
-  * band: effectively zero false candidates at any corpus size, while a
-  * 1-char-edit true pair (J ≈ 0.82) collides in ≥1 of 4 bands with
-  * ~90% probability. The document family's 2-row bands (tuned for its
-  * 0.30 report threshold) would collide ~every pair of TPC-H's
-  * template names.
+  * 4 bands × 4 rows, and — unlike the document family — each slot gets
+  * its OWN independent hash (a disjoint 32-bit chunk of a
+  * slot-group-keyed md5, [[slotHashSql]]), not an affine transform
+  * `(aᵢ·h + bᵢ) mod P` of one shared gram hash. The affine
+  * family ([[TextOps.MH_AB]]) was this form's first cut and it is
+  * QUADRATIC on names, found by measurement at 1.1M names (round 12):
+  * because aᵢ and bᵢ are both linear in the slot index i, a single
+  * gram's slot values mᵢ(g) = (A_g·i + B_g) mod P are linear in i, so
+  * any gram with small A_g and B_g is the arg-min of EVERY slot of a
+  * band (the giveaway: the largest band keys are arithmetic
+  * progressions, e.g. `16279434_15860058_15440682_15021306`, step
+  * 419,376, bucket size 3,573 — and the same name tops several bands).
+  * Band keys collapse to a one-gram fingerprint; over the FIXED
+  * 4,096-gram hex-3-gram space each gram's carrier count grows ∝ n, so
+  * candidates grew Σ(DF²) ≈ n²/4,096-ish: 15.6 candidates/name at 1.1M
+  * names ≈ 21M pairs, ~220 false per true. With independent per-slot
+  * hashes the J⁴ model actually holds: random-pair collision is
+  * E[(m/u)⁴] ≈ 10⁻⁸ (m = shared grams ~Poisson(0.22), u ≈ 59), and
+  * measured candidates drop ~200× to plant-dominated (STRESS_r12 §4).
+  * The document family keeps the shared-hash family: the same
+  * correlation exists there, but its bucket keys degrade to
+  * single-SHINGLE fingerprints whose document frequency is bounded
+  * (shingle space grows with the corpus), so its candidates stay
+  * measured-linear to 20M docs — the name-gram space is fixed at
+  * 4,096, which is exactly why names need the stronger family.
+  * Entity resolution verifies at HIGH similarity (JW ≥ 0.95 ⇒
+  * gram-Jaccard ≥ ~0.75 for same-length names), where r = 4 holds
+  * random pairs at J⁴ while a 1-char-edit true pair (J ≈ 0.82)
+  * collides in ≥1 of 4 bands with ~90% probability. The document
+  * family's 2-row bands (tuned for its 0.30 report threshold) would
+  * collide ~every pair of TPC-H's template names.
   *
   * THE FIXTURE PROBLEM, measured and designed around: TPC-H `c_name`
   * is `Customer#000000001` — 18 chars of which ~10 are a shared
@@ -53,13 +74,27 @@ object FuzzyBand {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** 4 bands × 4 rows over [[TextOps.MH_AB]]'s 16 minhash slots. */
+  /** 4 bands × 4 rows over 16 INDEPENDENT per-slot minhash functions. */
   private val FB_BANDS = 4
 
+  /** The per-slot gram hash: slot i reads an 8-hex-char (32-bit) chunk
+    * of `md5(g || '|' || i/4)` — 4 md5 calls per gram, 4 disjoint
+    * chunks each. Disjoint bit-ranges of a cryptographic hash are
+    * independent orderings of the gram space, which is the property
+    * the affine family lacked (see object doc: shared-hash affine
+    * slots collapse band keys to one-gram fingerprints, measured
+    * quadratic at 1.1M names). 32-bit chunks leave no meaningful tie
+    * mass over the ~4k-gram space (E[tie pairs] ≈ 2·10⁻³ per slot, and
+    * a single-slot tie still needs 3 more independent slot matches to
+    * band-collide); one md5 per slot measured 16 md5s/gram ≈ 3 s of
+    * fixed cost on the registered query — the chunked form pays 4. */
+  private def slotHashSql(i: Int): String =
+    s"CAST(conv(substr(h${i / 4}, ${8 * (i % 4) + 1}, 8), 16, 10) AS BIGINT)"
+
   /** (entity_id, band, k) LSH bucket keys from an (entity_id, nm)
-    * frame — character-3-gram shingles, md5-prefix base hash mod
-    * [[TextOps.MH_P]], 16-slot signature, 4-slot band keys. The
-    * name-scale sibling of [[TextOps.minhashBands]], including its
+    * frame — character-3-gram shingles, 16 independent per-slot hashes
+    * (see [[slotHashSql]]), 16-slot signature, 4-slot band keys.
+    * The name-scale sibling of [[TextOps.minhashBands]], including its
     * stage-table discipline: the SIGNATURE aggregation is persisted
     * (every band projection and both self-join sides read it; without
     * the pin the 4-way band union re-runs the gram/minhash aggregation
@@ -68,17 +103,29 @@ object FuzzyBand {
   private[graft] def nameBands(names: DataFrame): DataFrame = {
     val s = names.sparkSession
     import s.implicits._
-    val grams = names.select($"entity_id",
+    // Explicit-count spread on the grouping key: a names table often
+    // arrives as a handful of parquet files (one, at fixture scale), and
+    // the gram/md5/min pipeline is cpu-per-byte-heavy — left on the scan
+    // partitioning it runs ~single-threaded (measured 3× the query wall
+    // at sf0.1). Hash-partitioning on entity_id satisfies the signature
+    // groupBy's distribution, so this replaces the agg exchange rather
+    // than adding one; the explicit count keeps AQE from coalescing the
+    // tiny-in-bytes exchange back to one task (the BandJoin lesson).
+    val spread = names.repartition(
+      s.sessionState.conf.numShufflePartitions, $"entity_id")
+    val grams = spread.select($"entity_id",
       explode(array_distinct(expr(
         "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")))
         .as("g"))
-    val hs = grams.select($"entity_id",
-      expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % ${TextOps.MH_P}")
-        .as("h"))
-    val sigCols = TextOps.MH_AB.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"($a * h + $b) % ${TextOps.MH_P}")).as(s"m$i")
+    // the 4 md5s are projected ONCE per gram row — as agg-child
+    // expressions the 16 min()s would each re-evaluate their md5
+    // (aggregate codegen does not subexpression-eliminate them)
+    val hashed = grams.select($"entity_id" +:
+      (0 until 4).map(b => md5(concat($"g", lit(s"|$b"))).as(s"h$b")): _*)
+    val sigCols = (0 until 16).map { i =>
+      min(expr(slotHashSql(i))).as(s"m$i")
     }
-    val sig = hs.groupBy($"entity_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = hashed.groupBy($"entity_id").agg(sigCols.head, sigCols.tail: _*)
       .persist(StageLevels.pinnedFor(names))
     (0 until FB_BANDS).map { bd =>
       sig.select($"entity_id", lit(bd).as("band"),
@@ -135,8 +182,9 @@ object FuzzyBand {
     * candidates + JW verify, as one DuckDB CTE chain — the name-corpus
     * sibling of [[TextOps.mhPairsCteSql]]. */
   private def fuzzyBandedOracleSql(jwThreshold: Double): String = {
-    val sigColsSql = TextOps.MH_AB.zipWithIndex.map { case ((a, b), i) =>
-      s"MIN(($a * h + $b) % ${TextOps.MH_P}) AS m$i"
+    val sigColsSql = (0 until 16).map { i =>
+      s"MIN(CAST(('0x' || substr(md5(g || '|${i / 4}'), ${8 * (i % 4) + 1}, 8))" +
+        s" AS BIGINT)) AS m$i"
     }.mkString(",\n    ")
     val bandsSql = (0 until FB_BANDS).map { bd =>
       val key = (0 until 4).map(r => s"m${4 * bd + r}").mkString(", ")
@@ -156,14 +204,10 @@ object FuzzyBand {
       |grams AS (
       |  SELECT DISTINCT entity_id, substr(nm, i, 3) AS g
       |  FROM names, UNNEST(range(1, len(nm) - 1)) AS t(i)),
-      |hs AS (
-      |  SELECT entity_id,
-      |    CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % ${TextOps.MH_P} AS h
-      |  FROM grams),
       |sig AS (
       |  SELECT entity_id,
       |    $sigColsSql
-      |  FROM hs GROUP BY entity_id),
+      |  FROM grams GROUP BY entity_id),
       |bands AS (
       |  $bandsSql),
       |cand AS (
