@@ -88,6 +88,11 @@ object SemdedupScale {
       val (cs1, cs2) = phase("twolevel-train")(splitOverride match {
         case Some((a, b)) =>
           Clustering.kmeansTwoLevelTrainSplit(q, a, b, iters = 3)
+        case None if kOverride.isEmpty =>
+          // the production default: semdedupK2's power-of-two k under
+          // the measured-lattice factorization (rectangular mid-band)
+          val (a, b) = Clustering.latticeSplit(k)
+          Clustering.kmeansTwoLevelTrainSplit(q, a, b, iters = 3)
         case None => Clustering.kmeansTwoLevelTrain(q, k, iters = 3)
       })
       val asg = phase("assign")(
@@ -122,7 +127,10 @@ object SemdedupScale {
       val wall = (System.nanoTime() - t0) / 1e9
       val splitStr = splitOverride.map { case (a, b) => s"${a}x$b" }
         .getOrElse {
-          val (a, b) = Clustering.twoLevelSplit(k); s"${a}x$b"
+          val (a, b) =
+            if (kOverride.isEmpty) Clustering.latticeSplit(k)
+            else Clustering.twoLevelSplit(k)
+          s"${a}x$b"
         }
       println(f"""{"mode": "twolevel", "n": $n, "k": $k, """ +
         f""""split": "$splitStr", """ +

@@ -783,18 +783,33 @@ object Clustering {
     * not the flat n·k, so the census/assignment balance moves from
     * [[semdedupK]]'s k = √(n/2) to k = (n/2)^(2/3) — census pair
     * volume divides ∝ 1/k, which is how the probed census reached
-    * ≥98% recall at 0.88× the flat anchor's cost. The target is
-    * snapped DOWN to an equal power-of-two split
-    * (K1 = K2 = 2^⌊log2((n/2)^(1/3))⌋): the 64 × 64 lattice actually
-    * measured at 2M vectors (93.1 s probe-2×2 census, 98.3% recall —
-    * STRESS_r10 §1); snapping down lands on the measured, cheaper side
-    * of the balance rather than an unmeasured finer lattice, and a
-    * power-of-two side keeps [[twoLevelSplit]] exactly equal. Floors
+    * ≥98% recall at 0.88× the flat anchor's cost. Since round 12 the
+    * balance is CAPPED BY A MEASURED RECALL-DENSITY FLOOR and snapped
+    * down to a power of TWO (odd exponents allowed — [[latticeSplit]]
+    * factorizes them into a coarse-heavy 2:1 rectangle):
+    * k = 2^⌊log2 min((n/2)^(2/3), n/[[LatticeDensityFloor]])⌋. The
+    * five-point lattice sweep at 2M and 4M vectors (STRESS_r12 §5,
+    * same-day) collapsed onto a density law, not a k law: probe-2×2
+    * recall is ≥ 98% wherever cells hold ≥ ~488 vectors (2M@4,096 =
+    * 98.3%/98.1%, 4M@8,192 = 98.03%, 4M@4,096 = 98.10%) and below the
+    * bar at ~244 (2M@8,192 = 97.85%, 4M@16,384 = 97.46% — the latter
+    * also OOMs the default 8 GiB heap in the unpruned probe phase,
+    * whose expanded fine-assign stream is ∝ n·probes·K2). The density
+    * cap keeps every default inside the measured-green [480, 960)
+    * band — and since the power-of-4 snap's real protection was
+    * accidentally exactly this (64 × 64 at 2M = 488/cell), the law
+    * keeps 2M at 4,096 while unfreezing the mid-band: 4M now gets the
+    * 128 × 64 rectangle (census 0.60× its 64 × 64 wall at equal
+    * recall), 8M gets 128 × 128 at the recall-safe 488/cell. Below
+    * n ≈ 2.8·10⁷ the density cap binds (census cost then grows
+    * LINEARLY in n at ~480–960 pairs/vector); above it the (n/2)^(2/3)
+    * balance binds and densities only get safer. Floors
     * and caps: the `minClusterSize` cap bounds k ≤ n/min (64 by
     * default, the registered queries' floor, NOT the flat formula's
     * 1,024 SemDeDup regime: the finer lattice relies on coarse-probe
     * recall, measured, not on big cells) — but the absolute k ≥ 8
-    * floor WINS below n = 8·minClusterSize, so tiny corpora get cells
+    * floor WINS below n = 8·[[LatticeDensityFloor]] = 3,840, so tiny
+    * corpora get cells
     * smaller than `minClusterSize` (n = 100 → k = 8 → ~12 vecs/cell;
     * deliberate — at that size the whole corpus fits one census pass
     * and the floor keeps the two-level mechanism exercised) — and the
@@ -802,13 +817,40 @@ object Clustering {
     * bound (k ≤ ~10⁹ cells ≈ 10¹² vectors). The registered
     * `semdedup_twolevel` keeps [[semdedupK]]'s oracle-pinned formula
     * byte-identical — this is the harness/production dial. */
+  /** The measured recall-density floor (STRESS_r12 §5): probe-2×2
+    * census recall holds ≥ 98% at ≥ ~488 vectors/cell and drops below
+    * the bar at ~244; 480 keeps the power-of-two snap's fine end at
+    * the measured-green 488 point (2M → 4,096, 4M → 8,192). */
+  private val LatticeDensityFloor = 480L
+
   def semdedupK2(n: Long, minClusterSize: Long = 64L): Int = {
-    val side = math.cbrt(n / 2.0)
-    val sideP2 = math.min(32768L,
-      math.max(1L, java.lang.Long.highestOneBit(math.max(1L, side.toLong))))
-    val k = sideP2 * sideP2
+    val balance = math.pow(n / 2.0, 2.0 / 3.0)
+    val densityCap = n.toDouble / LatticeDensityFloor
+    val k0 = math.min(1L << 30,
+      math.max(8L, java.lang.Long.highestOneBit(
+        math.max(8L, math.min(balance, densityCap).toLong))))
     val maxK = math.max(8L, n / math.max(1L, minClusterSize))
-    math.max(8L, math.min(k, maxK)).toInt
+    // round the capped value back down to a power of two so
+    // [[latticeSplit]] always factorizes it
+    java.lang.Long.highestOneBit(math.max(8L, math.min(k0, maxK))).toInt
+  }
+
+  /** Split a POWER-OF-TWO cell budget into the measured-lattice factors:
+    * equal sides at even exponents (4,096 → 64 × 64), coarse = 2 × fine
+    * at odd ones (8,192 → 128 × 64) — the coarse side gets the extra
+    * factor because coarse probing is what recovers boundary pairs
+    * (see [[kmeansTwoLevelTrainSplit]]). Unlike [[twoLevelSplit]]
+    * (⌈√k⌉, any k — the registered query's oracle-replayed form), this
+    * is the DEFAULT-path factorization for [[semdedupK2]] lattices. */
+  def latticeSplit(k: Int): (Int, Int) = {
+    require(k >= 2 && Integer.bitCount(k) == 1,
+      s"latticeSplit needs a power-of-two k, got $k")
+    val b = Integer.numberOfTrailingZeros(k)
+    val k1 = 1 << ((b + 1) / 2)
+    val k2 = k / k1
+    require(k1 <= 32768 && k2 <= 32768,
+      s"lattice split $k1 x $k2 exceeds the per-level pack bound")
+    (k1, k2)
   }
 
   /** Split a cell budget into the two-level factors: K1 = ⌈√k⌉ coarse,
@@ -1053,7 +1095,8 @@ object Clustering {
                            iters: Int = 3): DataFrame = {
     val n = q.count()
     val k = semdedupK2(n)
-    val (cs1, cs2) = kmeansTwoLevelTrain(q, k, iters)
+    val (k1, k2) = latticeSplit(k)
+    val (cs1, cs2) = kmeansTwoLevelTrainSplit(q, k1, k2, iters)
     val asg0 = twoLevelCellAssign(q, cs1, cs2)
     val asg = asg0.persist(StageLevels.pinnedFor(asg0))
     val cand0 = twoLevelProbeCellAssign(q, cs1, cs2, 2, 2)

@@ -214,23 +214,46 @@ class ChunkShardSemdedupSpec extends SparkTestBase {
   }
 
   test("semdedupK2: the (n/2)^(2/3) two-level balance, snapped to the measured lattice") {
-    // the STRESS_r10 §1 measured-optimal row: 64 × 64 cells at 2M
+    // round-12 law (STRESS_r12 §5): the (n/2)^(2/3) balance capped by
+    // the measured recall-density floor (≥ ~480 vecs/cell), snapped to
+    // a power of two — every default sits in the measured-green
+    // [480, 960) density band: 2M stays at 64×64, 4M unfreezes to the
+    // 128×64 rectangle, 8M steps to 128×128
+    assert(Clustering.semdedupK2(1000000) === 2048)
     assert(Clustering.semdedupK2(2000000) === 4096)
-    // 4M still snaps to 64 (cbrt(2e6) ≈ 126 → floor pow2 64); 8M moves
-    // to 128 × 128
-    assert(Clustering.semdedupK2(4000000) === 4096)
+    assert(Clustering.semdedupK2(4000000) === 8192)
     assert(Clustering.semdedupK2(8000000) === 16384)
+    // density-cap-bound regime (n below ~28M): density lands in the
+    // measured-green [480, 960) band; in the balance-bound regime
+    // beyond, densities only get safer (larger)
+    for (n <- Seq(1000000L, 2000000L, 4000000L, 8000000L)) {
+      val d = n.toDouble / Clustering.semdedupK2(n)
+      assert(d >= 480 && d < 960, s"density $d out of the measured band at n=$n")
+    }
+    for (n <- Seq(64000000L, 1000000000L))
+      assert(n.toDouble / Clustering.semdedupK2(n) >= 480, s"n=$n")
     // strictly finer than the flat balance wherever both apply — the
     // whole point: census volume divides ∝ 1/k at n·2√k train cost
     for (n <- Seq(1000000L, 4000000L, 64000000L, 1000000000L))
       assert(Clustering.semdedupK2(n) > Clustering.semdedupK(n), s"n=$n")
-    // min-cluster floor caps k at fixture scale (cells never < 64)
+    // at fixture scale the k >= 8 floor wins (n < 8·480); cells are
+    // large, the two-level mechanism still exercised
     val kSmall = Clustering.semdedupK2(2048)
-    assert(kSmall === 32 && 2048L / kSmall === 64L)
+    assert(kSmall === 8 && 2048L / kSmall === 256L)
     // per-level pack bound holds at any n: side clamped to 32,768
-    val (k1, k2) = Clustering.twoLevelSplit(
+    val (k1, k2) = Clustering.latticeSplit(
       Clustering.semdedupK2(Long.MaxValue / 4))
     assert(k1 <= 32768 && k2 <= 32768)
+  }
+
+  test("latticeSplit: equal sides at even exponents, coarse-heavy rectangle at odd") {
+    assert(Clustering.latticeSplit(4096) === ((64, 64)))
+    assert(Clustering.latticeSplit(8192) === ((128, 64)))
+    assert(Clustering.latticeSplit(16384) === ((128, 128)))
+    assert(Clustering.latticeSplit(32) === ((8, 4)))
+    // non-power-of-two budgets must refuse loudly — they belong to
+    // twoLevelSplit (the registered query's oracle-replayed ceil-sqrt)
+    assertThrows[IllegalArgumentException](Clustering.latticeSplit(6000))
   }
 
   test("semdedupTwoLevelAuto: the default-lattice production path drops every plant") {
