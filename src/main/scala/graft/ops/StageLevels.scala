@@ -90,6 +90,37 @@ object StageLevels {
       ()
     }
 
+  /** [[pinnedFor]] sized from the plan's LEAF relations instead of the
+    * frame's own projected stats. A column-pruned text frame — e.g. the
+    * `(doc_id, text)` batches the gates receive by contract — estimates
+    * its string columns at the fixed default width (~20 B), so a 5 GB
+    * corpus projects as ~140 MB and [[pinnedFor]] keeps the memory
+    * level: the r8 §13 starvation, reproduced by the round-12 1000×
+    * TextGate drain (UNABLE_TO_ACQUIRE_MEMORY in the seed landing).
+    * Leaf stats carry the real source bytes: a raw scan reports file
+    * size (a corpus-sized landing flips to DISK_ONLY), and an
+    * already-persisted arrival batch's InMemoryRelation leaf reports
+    * its true materialized bytes (routine batches keep the fast
+    * memory path). Upper-bound by construction — filters/projections
+    * between leaf and frame are ignored, which only ever flips toward
+    * the safe disk regime. */
+  def pinnedForSource(df: org.apache.spark.sql.DataFrame,
+                      expansion: Long = TextStageExpansion): StorageLevel = {
+    val s = df.sparkSession
+    s.conf.get("spark.graft.pinnedLevel", "") match {
+      case "memory_and_disk" => StorageLevel.MEMORY_AND_DISK
+      case "disk_only"       => StorageLevel.DISK_ONLY
+      case _ =>
+        val caps = s.sparkContext.getExecutorMemoryStatus.values.map(_._1)
+        val projected = df.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum * expansion
+        if (caps.nonEmpty && caps.min >= MinResidentPool &&
+            projected <= BigInt(caps.sum) / 2)
+          StorageLevel.MEMORY_AND_DISK
+        else StorageLevel.DISK_ONLY
+    }
+  }
+
   def pinnedFor(df: org.apache.spark.sql.DataFrame,
                 expansion: Long = TextStageExpansion): StorageLevel = {
     val s = df.sparkSession

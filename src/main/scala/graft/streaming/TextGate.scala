@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.TextOps
+import graft.ops.{StageLevels, TextOps}
 import graft.pipeline.{SinkPolicy, Warehouse}
 
 /** TEXT NEAR-DUP AT THE DOOR — [[VectorGate]]'s contract for DOCUMENT
@@ -177,7 +177,22 @@ final case class TextGate(wh: Warehouse, name: String,
       batch.foreach(_ => ())
       return
     }
-    val b = batch.persist()
+    // Size-aware stage pinning (StageLevels convention): a routine
+    // arrival batch pins in memory, but a CORPUS-SIZED landing (the
+    // lifecycle seed, a backfill) must flip its stage frames to
+    // DISK_ONLY — plain MEMORY_AND_DISK persists hold the unified
+    // region's guaranteed storage fraction against the signature
+    // aggregation and starve it (UNABLE_TO_ACQUIRE_MEMORY at a 5M-doc
+    // seed, found by the round-12 wide-store drain; the r8 §13
+    // starvation signature). Sized from the LEAF relations
+    // (pinnedForSource) because the gate's (doc_id, text) contract
+    // frame under-reports its strings at default width; one level
+    // shared by every stage frame of this landing, and the disk regime
+    // bounds the columnar cache builder's per-task spike
+    // (tuneCacheBatchFor — the fifth-decade OOM discipline).
+    val lvl = StageLevels.pinnedForSource(batch)
+    StageLevels.tuneCacheBatchFor(spark, lvl)
+    val b = batch.persist(lvl)
     try {
       val nDocs = b.count()
       if (nDocs == 0L) return
@@ -200,10 +215,10 @@ final case class TextGate(wh: Warehouse, name: String,
       autoCompactBar.foreach { bar =>
         if (maintenanceNeeded(bar)) compactBands()
       }
-      val sets = TextOps.shingleSets(b).persist()
-      val bands = TextOps.minhashBandsUncached(sets).persist()
+      val sets = TextOps.shingleSets(b).persist(lvl)
+      val bands = TextOps.minhashBandsUncached(sets).persist(lvl)
       try {
-        val verdicts = verdictsFor(b, sets, bands).persist()
+        val verdicts = verdictsFor(b, sets, bands).persist(lvl)
         try {
           wh.load(verdictTable, verdicts, SinkPolicy.Append, Some(txn))
           val acceptedIds = verdicts.where($"is_new").select($"doc_id")
