@@ -107,6 +107,19 @@ object Plans {
         "repartition of a few-hundred-KB side is an AQE-coalesce target) " +
         "so the pair loop fans out across every core — the difference " +
         "between 11.9 s and 0.65 s at sf0.1."),
+    "fuzzy_banded_entities" ->
+      ("The entity-matching SCALE ladder's production form: MinHash-LSH " +
+        "over name character 3-grams replaces the nation-blocked pair " +
+        "loop — candidates come from 4-band bucket equality (salted " +
+        "self-join, the BandJoin machinery), verified by the codegen'd " +
+        "Jaro-Winkler kernel, so no Σ block² term exists anywhere. The " +
+        "16 slot hashes are INDEPENDENT per-slot md5 chunks projected " +
+        "once per gram row before the signature aggregate (agg codegen " +
+        "does not CSE them), and the gram pipeline is hash-spread off " +
+        "the scan partitioning with an explicit count — the shared " +
+        "affine family this replaced collapsed band keys to one-gram " +
+        "fingerprints and went quadratic at 1.1M names " +
+        "(STRESS_r12 §4)."),
     "bloom_prune_join" ->
       ("Runtime filtering made explicit: the dimension keys build one " +
         "Bloom sketch (a separate tree-aggregated job, KBs), embedded as " +
