@@ -36,11 +36,44 @@ object PageRank {
     * 0.85) for a fixed `rounds`. Returns (id, rank_q6) over every vertex
     * appearing as src or dst. Σ rank_q6 ≤ N·1e6 (truncation + dangling
     * leak are not redistributed). */
+  /** Edge-count bound under which [[pageRank]] runs its fixpoint on the
+    * driver instead of as distributed rounds. The rank iteration is
+    * O(E + V) integer arithmetic per round; when the AGGREGATED edge
+    * list is this small (≤ 65,536 rows ≈ a few MB collected — the same
+    * bounded-artifact class as the k-means seed pools), ten distributed
+    * rounds are pure scheduler latency: ~30 jobs over frames smaller
+    * than one shuffle block. The local path runs the IDENTICAL
+    * truncating-i64 recurrence (bit-equal ranks — PageRankSpec pins
+    * parity against the distributed loop), so callers see the same
+    * frame either way; graphs past the bound take the distributed loop
+    * unchanged. Type-vocabulary transition graphs (the registered
+    * query) are bounded by |types|² and stay local at ANY corpus scale;
+    * web-scale doc graphs blow the bound and distribute. */
+  private[ops] val LocalEdgeGate = 65536L
+
   def pageRank(edges: DataFrame, d6: Long = 850000L,
                rounds: Int = 10): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.toDF("src", "dst", "w").persist()
+    // guide §1.2/"the distributed algorithm": don't pay 3 jobs/round on a
+    // bounded graph. count() here is one cheap job over the (already
+    // aggregated, persisted) edge list that every path below re-reads.
+    if (e.count() <= LocalEdgeGate) {
+      val out = pageRankLocal(e, d6, rounds)
+      e.unpersist()
+      out
+    } else pageRankDistributed(e, d6, rounds)
+  }
+
+  /** The distributed round loop — every graph past [[LocalEdgeGate]].
+    * Takes ownership of the persisted `e` and unpersists it on exit.
+    * Package-visible so PageRankSpec can pin local/distributed parity on
+    * the same edge frame. */
+  private[ops] def pageRankDistributed(e: DataFrame, d6: Long,
+                                       rounds: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val nodes = e.select($"src".as("id"))
       .union(e.select($"dst".as("id"))).distinct().persist()
     val out = e.groupBy($"src").agg(sum($"w").as("totw"))
@@ -80,6 +113,51 @@ object PageRank {
       ew.unpersist(); nodes.unpersist(); e.unpersist()
     }
     rank
+  }
+
+  /** Driver-side fixpoint for gate-sized graphs — the IDENTICAL
+    * recurrence as the distributed loop, in the same truncating 64-bit
+    * integer arithmetic (Scala `/` on non-negative longs ≡ Spark `div`),
+    * so ranks are bit-equal. One collect of the aggregated edge list
+    * (≤ [[LocalEdgeGate]] rows), zero distributed rounds; the result
+    * returns as a local relation. */
+  private[ops] def pageRankLocal(e: DataFrame, d6: Long,
+                                 rounds: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val idType = e.schema("src").dataType
+    val rows = e.select($"src", $"dst",
+      $"w".cast(org.apache.spark.sql.types.LongType)).collect()
+    val edges = rows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val totw = scala.collection.mutable.HashMap.empty[Any, Long]
+    edges.foreach { case (src, _, w) =>
+      totw(src) = totw.getOrElse(src, 0L) + w
+    }
+    // deterministic, insertion-ordered vertex set (src-first, as seen)
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    edges.foreach { case (src, dst, _) => nodes += src; nodes += dst }
+    val base = 1000000L - d6
+    var rank = scala.collection.mutable.HashMap.empty[Any, Long]
+    nodes.foreach(id => rank(id) = 1000000L)
+    for (_ <- 1 to rounds) {
+      val in = scala.collection.mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (src, dst, w) =>
+        // damp first (bounded by rank), then per-edge share — all i64
+        // truncating division, exactly the distributed expression
+        val c = rank(src) * d6 / 1000000L * w / totw(src)
+        in(dst) = in.getOrElse(dst, 0L) + c
+      }
+      val next = scala.collection.mutable.HashMap.empty[Any, Long]
+      nodes.foreach(id => next(id) = base + in.getOrElse(id, 0L))
+      rank = next
+    }
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.toSeq.map(id =>
+        org.apache.spark.sql.Row(id, rank(id))): _*)
+    s.createDataFrame(outRows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("rank_q6",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** Registered form: PageRank of the event-type transition graph — per

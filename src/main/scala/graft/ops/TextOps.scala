@@ -469,14 +469,17 @@ object TextOps {
   def jaccardNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val (cand, sets) = rareShingleCandidates(docs)
+    val (cand, hsets) = rareShingleCandidates(docs)
     // |A∩B| ≤ shared_rare + min(hot_a, hot_b); Jaccard is monotone in
     // |A∩B|, so pairs whose bound misses 0.30 cannot pass exact verify
     val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
     val plausible = cand
       .where(ub.cast(DoubleType) / ($"na" + $"nb" - ub) >= 0.30)
       .select($"doc_a", $"doc_b")
-    jaccardVerify(plausible, sets)
+    val jac = $"n_both".cast(DoubleType) / ($"na" + $"nb" - $"n_both")
+    intersectionSizesHashed(plausible, hsets)
+      .where(jac >= 0.30)
+      .select($"doc_a", $"doc_b", Kit.quantize(jac, 6).as("jaccard_q6"))
   }
 
   /** CONTAINMENT near-dup detection — |A∩B| / min(|A|,|B|) ≥ 0.80: the
@@ -491,13 +494,13 @@ object TextOps {
   def containmentNeardupPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val (cand, sets) = rareShingleCandidates(docs)
+    val (cand, hsets) = rareShingleCandidates(docs)
     val ub = $"shared_rare" + least($"nhot_a", $"nhot_b")
     val plausible = cand
       .where(ub.cast(DoubleType) / least($"na", $"nb") >= 0.80)
       .select($"doc_a", $"doc_b")
     val contain = $"n_both".cast(DoubleType) / least($"na", $"nb")
-    intersectionSizes(plausible, sets)
+    intersectionSizesHashed(plausible, hsets)
       .where(contain >= 0.80)
       .select($"doc_a", $"doc_b", Kit.quantize(contain, 6).as("containment_q6"))
   }
@@ -510,25 +513,30 @@ object TextOps {
   private def rareShingleCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
-    val sets = shingleSets(docs).persist() // stage table: read by cand/verify
-    // 8-byte shingle hashes, not strings, through every shuffle. (A 64-bit
-    // collision could in principle merge two shingles' df counts or link a
-    // spurious candidate; at ~2⁻⁶⁴ per pair the exact-Jaccard verify stage
-    // makes this unobservable.)
-    val sh = explodedShingles(sets).select($"doc_id", xxhash64($"s").as("h"))
-    // ONE shuffle of the shingled corpus: window-count the document
-    // frequency per shingle hash, drop hot shingles, then collect each
-    // rare shingle's ≤DF_CAP doc ids on the SAME hash(h) partitioning —
-    // Catalyst inserts no second exchange. The old formulation self-joined
-    // the exploded corpus (both sides shuffled, the b-side unfiltered) and
-    // deduped with a wide distinct; this never shuffles a shingle twice.
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    // stage table (persisted): one window pass computes per-shingle df and
-    // the ≤DF_CAP doc list; read twice below (pair-gen + per-doc rare
-    // counts) without re-shuffling the corpus
-    val docLists = sh
-      .withColumn("df", count(lit(1)).over(byShingle))
+    // 8-byte shingle hashes, not strings, from the FIRST expression on:
+    // the stage table holds hashed shingle sets (array<bigint>), so no
+    // shingle string is ever materialized, persisted, or re-hashed — the
+    // old string stage table cost ~3× the bytes and re-ran xxhash64 over
+    // every set on both verify sides (guide §2.3, narrower types). (A
+    // 64-bit collision could in principle merge two shingles' df counts
+    // or link a spurious candidate; at ~2⁻⁶⁴ per pair the exact verify
+    // stage makes this unobservable — same accepted bound as before.)
+    val sets = shingleHashSets(docs).persist() // stage: read by cand/verify
+    val sh = sets.select($"doc_id", explode($"hset").as("h"))
+    // df-count as a map-side-combined aggregate + semi join back, NOT a
+    // count() window: the window formulation hash-partitioned AND SORTED
+    // the whole shingled corpus (WindowExec requires a sort on the
+    // partition key); the aggregate ships one (h, count) row per shingle
+    // per task, the join probes it, and only RARE rows reach the
+    // collect_list exchange — strictly fewer bytes sorted/shuffled than
+    // the window plan (guide §2.3 "aggregate before you shuffle", §2.4).
+    val rare = sh.groupBy($"h").agg(count(lit(1)).as("df"))
       .where($"df" <= DF_CAP)
+      .select($"h")
+    // stage table (persisted): each rare shingle's ≤DF_CAP doc list; read
+    // twice below (pair-gen + per-doc rare counts)
+    val docLists = sh
+      .join(rare, Seq("h"))
       .groupBy($"h").agg(collect_list($"doc_id").as("ds"))
       .persist()
     // pair generation is map-side: each rare shingle's doc list yields its
@@ -561,7 +569,7 @@ object TextOps {
       .select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
     val stats = sets
-      .select($"doc_id", size($"sset").cast(LongType).as("n"))
+      .select($"doc_id", size($"hset").cast(LongType).as("n"))
       .join(nRare, Seq("doc_id"), "left")
       .select($"doc_id", $"n",
         ($"n" - coalesce($"n_rare", lit(0L))).as("n_hot"))
@@ -597,6 +605,31 @@ object TextOps {
         .as("sset"))
   }
 
+  /** Per-document DISTINCT word-3-gram shingle set HASHED to 8-byte
+    * xxhash64 values: (doc_id, hset array<bigint>) — the exact-family
+    * stage table ([[rareShingleCandidates]]). Hashing happens INSIDE the
+    * shingling transform (`xxhash64(ts[i], ts[i+1], ts[i+2])` — the
+    * token triple is hashed directly, no concatenated shingle string is
+    * ever built), so `array_distinct` compares longs, the persisted
+    * stage table holds 8 bytes per shingle, and the verify stage
+    * intersects these arrays as-is. Token triples map 1:1 to the string
+    * shingles (tokens come from a split on ' ', so they contain no
+    * spaces and the joined rendering is injective); hash collisions are
+    * the same ~2⁻⁶⁴-per-pair bound the family has always accepted. */
+  def shingleHashSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .select($"doc_id", array_distinct(expr(
+        """CASE WHEN size(ts) >= 3
+          |  THEN transform(sequence(0, size(ts) - 3),
+          |         i -> xxhash64(ts[i], ts[i+1], ts[i+2]))
+          |  ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+        .as("hset"))
+  }
+
   /** (doc_id, s) rows — a narrow explode of the per-doc sets. */
   private def explodedShingles(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("sset")).as("s"))
@@ -626,6 +659,23 @@ object TextOps {
     import s.implicits._
     val hsets = sets.select($"doc_id",
       expr("transform(sset, s -> xxhash64(s))").as("hs"))
+    cand
+      .join(hsets.toDF("doc_a", "ha"), Seq("doc_a"))
+      .join(hsets.toDF("doc_b", "hb"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ha", $"hb")).cast(LongType).as("n_both"),
+        size($"ha").cast(LongType).as("na"),
+        size($"hb").cast(LongType).as("nb"))
+  }
+
+  /** [[intersectionSizes]] over ALREADY-HASHED sets
+    * ([[shingleHashSets]]' (doc_id, hset)) — no per-side re-hash
+    * transform; the persisted 8-byte arrays join and intersect as-is. */
+  private def intersectionSizesHashed(cand: DataFrame,
+      hsets0: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val hsets = hsets0.select($"doc_id", $"hset")
     cand
       .join(hsets.toDF("doc_a", "ha"), Seq("doc_a"))
       .join(hsets.toDF("doc_b", "hb"), Seq("doc_b"))

@@ -72,6 +72,27 @@ class NeardupCascadeSpec extends SparkTestBase {
     assert(sets == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("shingleHashSets is set-isomorphic to the string shingle sets") {
+    // the r12 exact-family stage table hashes token triples directly
+    // (xxhash64(w1,w2,w3) — by design NOT the same VALUES as
+    // xxhash64 of the joined string); what the df counts and
+    // intersections rest on is the SET STRUCTURE: same per-doc set
+    // sizes, and same cross-doc intersection sizes, as the string sets
+    val tiny = Seq((1L, "one two"), (2L, "one two three four"),
+      (3L, "pad one two three pad one two three"), (4L, "a"),
+      (5L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val sSets = TextOps.shingleSets(tiny)
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet)
+    val hSets = TextOps.shingleHashSets(tiny)
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet)
+    assert(hSets.keySet == sSets.keySet)
+    for (k <- sSets.keys) assert(hSets(k).size == sSets(k).size)
+    for (a <- sSets.keys; b <- sSets.keys if a < b)
+      assert(hSets(a).intersect(hSets(b)).size ==
+        sSets(a).intersect(sSets(b)).size, s"pair ($a,$b)")
+  }
+
   test("incremental dedup-on-ingest: batch vs corpus and within-batch") {
     val other = (1 to 60).map(i => s"q${(i * 41) % 103}")
     val staged = Seq(

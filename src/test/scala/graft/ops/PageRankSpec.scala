@@ -42,6 +42,18 @@ class PageRankSpec extends SparkTestBase {
     assert(r.values.sum >= 20L * 150000L)
   }
 
+  test("local fixpoint is bit-equal to the distributed loop") {
+    // the r12 size gate routes small graphs to the driver-side fixpoint;
+    // ranks must be IDENTICAL to the distributed rounds on the same edges
+    val edges = ((1L to 40L).map(i => (i, i % 40 + 1, (i % 5) + 1L)) ++
+      Seq((7L, 3L, 4L), (13L, 7L, 2L), (40L, 1L, 9L))).toDF("src", "dst", "w")
+    val local = PageRank.pageRankLocal(edges, 850000L, 10)
+      .as[(Long, Long)].collect().toMap
+    val dist = PageRank.pageRankDistributed(edges.persist(), 850000L, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+  }
+
   test("registered transition query is deterministic and non-empty") {
     val dir = "/root/testdata/sf0.001"
     val r1 = PageRank.pagerankTransitions.fn(spark, dir)
