@@ -93,6 +93,24 @@ object Kit {
       org.apache.spark.sql.GraftExpr.expression(id),
       k).toAggregateExpression())
 
+  /** Native one-pass MinHash signature (see [[MinHashSig]]) — per set
+    * row: one MD5 per element folded into every affine minimum; no
+    * explode, no aggregate, no exchange. */
+  def minhashSig(sset: Column, ab: Seq[(Long, Long)], p: Long): Column =
+    org.apache.spark.sql.GraftExpr.column(MinHashSig(
+      org.apache.spark.sql.GraftExpr.expression(sset),
+      ab.map(_._1).toArray, ab.map(_._2).toArray, p))
+
+  /** Native one-pass SimHash fingerprint (see [[SimHashFp]]). */
+  def simhashFp(sset: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(SimHashFp(
+      org.apache.spark.sql.GraftExpr.expression(sset), bits))
+
+  /** Native one-pass fuzzy-entity band signature (see [[FuzzyBandSig]]). */
+  def fuzzyBandSig(gset: Column, groups: Int, chunks: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(FuzzyBandSig(
+      org.apache.spark.sql.GraftExpr.expression(gset), groups, chunks))
+
   /** Deterministic float quantization: floor(x * 10^scale) as BIGINT.
     * floor (not cast) because Spark truncates double→bigint while other
     * engines round — floor is unambiguous everywhere. Used to make

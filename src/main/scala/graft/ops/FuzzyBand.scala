@@ -77,9 +77,10 @@ object FuzzyBand {
   /** 4 bands × 4 rows over 16 INDEPENDENT per-slot minhash functions. */
   private val FB_BANDS = 4
 
-  /** The per-slot gram hash: slot i reads an 8-hex-char (32-bit) chunk
-    * of `md5(g || '|' || i/4)` — 4 md5 calls per gram, 4 disjoint
-    * chunks each. Disjoint bit-ranges of a cryptographic hash are
+  /** Per-slot gram hash scheme: slot i reads an 8-hex-char (32-bit)
+    * chunk of `md5(g || '|' || i/4)` — 4 md5 calls per gram, 4 disjoint
+    * chunks each ([[graft.functions.FuzzyBandSig]] is the native
+    * one-pass kernel). Disjoint bit-ranges of a cryptographic hash are
     * independent orderings of the gram space, which is the property
     * the affine family lacked (see object doc: shared-hash affine
     * slots collapse band keys to one-gram fingerprints, measured
@@ -88,8 +89,6 @@ object FuzzyBand {
     * a single-slot tie still needs 3 more independent slot matches to
     * band-collide); one md5 per slot measured 16 md5s/gram ≈ 3 s of
     * fixed cost on the registered query — the chunked form pays 4. */
-  private def slotHashSql(i: Int): String =
-    s"CAST(conv(substr(h${i / 4}, ${8 * (i % 4) + 1}, 8), 16, 10) AS BIGINT)"
 
   /** (entity_id, band, k) LSH bucket keys from an (entity_id, nm)
     * frame — character-3-gram shingles, 16 independent per-slot hashes
@@ -113,23 +112,26 @@ object FuzzyBand {
     // tiny-in-bytes exchange back to one task (the BandJoin lesson).
     val spread = names.repartition(
       s.sessionState.conf.numShufflePartitions, $"entity_id")
-    val grams = spread.select($"entity_id",
-      explode(array_distinct(expr(
-        "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")))
-        .as("g"))
-    // the 4 md5s are projected ONCE per gram row — as agg-child
-    // expressions the 16 min()s would each re-evaluate their md5
-    // (aggregate codegen does not subexpression-eliminate them)
-    val hashed = grams.select($"entity_id" +:
-      (0 until 4).map(b => md5(concat($"g", lit(s"|$b"))).as(s"h$b")): _*)
-    val sigCols = (0 until 16).map { i =>
-      min(expr(slotHashSql(i))).as(s"m$i")
-    }
-    val sig = hashed.groupBy($"entity_id").agg(sigCols.head, sigCols.tail: _*)
+    // Map-side signature (r12, the minhashBandsImpl change applied to
+    // the name family): the 16 slot minima are computed from the
+    // per-row DISTINCT gram array by ONE native pass
+    // ([[graft.functions.FuzzyBandSig]] — per gram the 4 slot-group
+    // MD5s, 4 disjoint 32-bit chunks each, folded into 16 minima; each
+    // md5 is computed exactly once per gram, which the old exploded
+    // aggregate needed a separate projection to guarantee). No gram
+    // explode, no 16-buffer hash aggregate, no aggregation exchange;
+    // values are identical to the oracle's formulation (LshSigsSpec).
+    val sig = spread
+      .select($"entity_id", array_distinct(expr(
+        "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))"))
+        .as("gs"))
+      .where(size($"gs") > 0)
+      .select($"entity_id", Kit.fuzzyBandSig($"gs", 4, 4).as("sig"))
       .persist(StageLevels.pinnedFor(names))
     (0 until FB_BANDS).map { bd =>
       sig.select($"entity_id", lit(bd).as("band"),
-        concat_ws("_", (0 until 4).map(r => col(s"m${4 * bd + r}")): _*)
+        concat_ws("_", (0 until 4).map(r =>
+          element_at($"sig", 4 * bd + r + 1).cast("string")): _*)
           .as("k"))
     }.reduce(_ unionByName _)
   }

@@ -630,10 +630,6 @@ object TextOps {
         .as("hset"))
   }
 
-  /** (doc_id, s) rows — a narrow explode of the per-doc sets. */
-  private def explodedShingles(sets: DataFrame): DataFrame =
-    sets.select(col("doc_id"), explode(col("sset")).as("s"))
-
   /** Exact-Jaccard verify stage shared by both near-dup candidate
     * generators: join the (small) candidate pair set back to the per-doc
     * shingle arrays and compute |∩| with `array_intersect` — a map-side
@@ -831,18 +827,24 @@ object TextOps {
       stageLevel: Option[StorageLevel]): DataFrame = {
     val s = sets.sparkSession
     import s.implicits._
-    val sh = explodedShingles(sets)
-    val hs = sh.select($"doc_id",
-      expr(s"CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % $MH_P")
-        .as("h"))
-    val sigCols = MH_AB.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"($a * h + $b) % $MH_P")).as(s"m$i")
-    }
-    val sig0 = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Map-side signature (r12): the 16 slot minima are a per-ROW
+    // property of the persisted shingle-set array, computed by ONE
+    // native pass ([[graft.functions.MinHashSig]] — one MD5 per
+    // element, folded into all 16 affine minima) instead of exploding
+    // the shingled corpus through a 16-buffer hash aggregate. Values
+    // are identical to the oracle's MIN((aᵢ·h+bᵢ) % P) formulation;
+    // the explode AND its aggregation exchange disappear from the plan
+    // (guide §2.4, §4.1 — LshSigsSpec pins slot-for-slot parity).
+    // Empty sets are filtered, matching the old absent-group semantics.
+    val sig0 = sets
+      .where(size($"sset") > 0)
+      .select($"doc_id", Kit.minhashSig($"sset", MH_AB, MH_P).as("sig"))
     val sig = stageLevel.map(sig0.persist).getOrElse(sig0)
     val bandStructs = (0 until MH_BANDS).map { bd =>
       struct(lit(bd).as("band"),
-        concat_ws("_", col(s"m${2 * bd}"), col(s"m${2 * bd + 1}")).as("k"))
+        concat_ws("_",
+          element_at($"sig", 2 * bd + 1).cast("string"),
+          element_at($"sig", 2 * bd + 2).cast("string")).as("k"))
     }
     sig
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
@@ -914,17 +916,16 @@ object TextOps {
       // persist: see minhashNeardupPairs — explode would re-evaluate the
       // shingling per output row
       val sets = shingleSets(docs).persist()
-      val hs = explodedShingles(sets).select($"doc_id",
-        expr("CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT)").as("h"))
-      val sigCols = (0 until SH_BITS).map(b =>
-        sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-      val sig = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val fpExpr = (0 until SH_BITS).map(b =>
-        s"CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
-        .mkString(" + ")
-      // persist: see minhash_lsh_neardup — fingerprint stage table read by
-      // both self-join sides.
-      val fps = sig.select($"doc_id", expr(fpExpr).as("fp")).persist()
+      // Map-side fingerprint (r12, see minhashBandsImpl): one native
+      // pass per set row ([[graft.functions.SimHashFp]] — per element
+      // one MD5 and 48 ±1 votes, sign-folded) replaces the exploded
+      // 48-column sum aggregate; vote sums and the sign fold are the
+      // oracle's exact integer arithmetic. Persist: fingerprint stage
+      // table read by both self-join sides.
+      val fps = sets
+        .where(size($"sset") > 0)
+        .select($"doc_id", Kit.simhashFp($"sset", SH_BITS).as("fp"))
+        .persist()
       val bandStructs = (0 until SH_BANDS).map(k =>
         struct(lit(k).as("band"),
           expr(s"shiftright(fp, ${12 * k}) & 4095").as("bv")))
