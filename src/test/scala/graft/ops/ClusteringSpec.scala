@@ -38,6 +38,27 @@ class ClusteringSpec extends SparkTestBase {
     assert(a == c, "centroid update is not order-independent")
   }
 
+  test("driver-local Lloyd rounds are centroid-identical to distributed") {
+    // the r12 LocalTrainGate routes gate-sized corpora to lloydLocal;
+    // its rounds must be BIT-equal to the distributed join loop from
+    // the same init — including a deliberately empty cluster (the far
+    // sentinel init) and a ragged tie landscape
+    val base = planted
+      .withColumn("nrm", graft.functions.Kit.dotI64(
+        org.apache.spark.sql.functions.col("qe"),
+        org.apache.spark.sql.functions.col("qe")))
+      .persist()
+    val init = Seq(Seq(0L, 0L), Seq(900L, 50L), Seq(50L, 900L),
+      Seq(100000L, 100000L)) // 4th centroid owns nothing
+    val dist = Clustering.lloydJoinDistributed(base, init, iters = 4)
+    val local = Clustering.lloydLocal(
+      base.select("qe").as[Seq[Long]].collect().map(_.toArray),
+      init, iters = 4)
+    base.unpersist()
+    assert(local == dist)
+    assert(local(3) == Seq(100000L, 100000L)) // empty cluster kept
+  }
+
   test("an empty cluster keeps its previous centroid instead of vanishing") {
     // k=3 over two tight groups: one init centroid ends up owning nothing
     val pts = ((0 until 10).map(i => (i.toLong, Seq(0L, 0L))) ++
