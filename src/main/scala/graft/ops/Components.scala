@@ -33,12 +33,90 @@ object Components {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Edge-count bound under which [[connectedComponents]] resolves the
+    * labels on the driver instead of running distributed label rounds.
+    * Same bounded-artifact class as [[PageRank.LocalEdgeGate]] and the
+    * k-means seed pools: ≤ 65,536 (src, dst) longs ≈ 1 MB collected.
+    * At fixture scale every registered near-dup graph has tens of
+    * edges, yet the label loop costs 2–4 rounds × (join + agg + two
+    * pointer jumps + an eager pin) — pure scheduler latency over frames
+    * smaller than one shuffle block (guide §1.2: fix the distributed
+    * algorithm first). The local path is a min-root union-find —
+    * bit-equal labels, because attaching the larger root under the
+    * smaller keeps every set's root at its minimum id, exactly the
+    * distributed min-label fixpoint (ComponentsSpec pins parity on the
+    * 10k-ring topology). Graphs past the bound, non-long id types, and
+    * null endpoints all take the distributed loop unchanged. */
+  private[ops] val LocalEdgeGate = 65536L
+
   /** Connected components of the undirected graph given by `edges` (two
     * id columns; direction ignored). Returns (id, cluster_id) for every
     * vertex that appears in some edge, where cluster_id is the MINIMUM
     * vertex id of the component — deterministic at any partitioning.
     * Empty edge sets return an empty frame with that schema. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 40): DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.toDF("src", "dst")
+    val longIds = e.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds) {
+      // One cheap count gates the driver path; the edge frame is
+      // persisted so the count's evaluation of the pair lineage is
+      // reused by whichever path runs (the distributed loop's first
+      // round would materialize it anyway).
+      val lvl = StageLevels.pinned(s)
+      val pinned = e.persist(lvl)
+      if (pinned.count() <= LocalEdgeGate) {
+        val rows = pinned.collect()
+        if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+          val out = ccLocal(s, rows)
+          pinned.unpersist()
+          return out
+        }
+      }
+      return ccDistributed(pinned, maxIters, unpersistInput = true)
+    }
+    ccDistributed(e, maxIters, unpersistInput = false)
+  }
+
+  /** Driver-side union-find for gate-sized graphs: min-id roots with
+    * path compression — the identical min-label semantics as the
+    * distributed fixpoint. Output vertex order is first-seen over the
+    * collected edges (deterministic for a deterministic collect; the
+    * consumers and the driver compare order-independently). */
+  private def ccLocal(s: SparkSession,
+                      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) { parent(a) = a; order += a }
+      if (!parent.contains(b)) { parent(b) = b; order += b }
+      val ra = find(a); val rb = find(b)
+      // larger root under smaller: every set's root stays its minimum
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val outRows: java.util.List[Row] =
+      java.util.Arrays.asList(order.map(id => Row(id, find(id))).toSeq: _*)
+    s.createDataFrame(outRows, StructType(Seq(
+      StructField("id", LongType), StructField("cluster_id", LongType))))
+  }
+
+  /** The distributed label loop — every graph past [[LocalEdgeGate]].
+    * Package-visible so ComponentsSpec / CheckpointModeSpec can exercise
+    * the loop (and its pins) directly below the gate. */
+  private[ops] def ccDistributed(edges: DataFrame, maxIters: Int = 40,
+                                 unpersistInput: Boolean = false): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.toDF("src", "dst")
@@ -69,6 +147,9 @@ object Components {
     var labels = LoopState.pin(sym.groupBy($"src".as("id"))
       .agg(least($"id", min($"dst")).as("cluster_id")), lvl)
     var converged = sym.isEmpty
+    // the seed pin's eager aggregate materialized sym's cache, so the
+    // gate's pinned input frame (if any) is no longer read
+    if (unpersistInput) edges.unpersist()
     var iter = 0
     while (!converged && iter < maxIters) {
       // (1) neighbor step: min over own + neighbors' labels. Formulated

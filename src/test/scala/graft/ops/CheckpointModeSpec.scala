@@ -27,7 +27,9 @@ class CheckpointModeSpec extends SparkTestBase {
       (10L, 11L), (11L, 12L),                // chain -> cluster 10
       (20L, 21L), (21L, 22L), (20L, 22L),    // triangle -> cluster 20
       (30L, 31L))                            // pair -> cluster 30
-    Components.connectedComponents(edges.toDF("src", "dst"))
+    // the distributed loop directly: the public entry point resolves a
+    // 9-edge graph on the driver (LocalEdgeGate) and would never pin
+    Components.ccDistributed(edges.toDF("src", "dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 

@@ -58,6 +58,31 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.forall { case (id, lbl) => lbl == (id / 50) * 50 })
   }
 
+  test("driver union-find and the distributed loop agree label-for-label") {
+    // the hardest gate-sized topology (rings force labels to travel);
+    // the public entry point takes the driver path at this size, so the
+    // distributed loop is invoked directly for the comparison
+    val ring = for {
+      c <- 0L until 40L
+      i <- 0L until 50L
+    } yield (c * 50 + i, c * 50 + (i + 1) % 50)
+    val local = cc(ring)
+    val dist = Components.ccDistributed(ring.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local.size == 2000)
+  }
+
+  test("graphs past the local gate still resolve through the distributed loop") {
+    // one chain longer than LocalEdgeGate: the public entry point must
+    // take the distributed path and converge inside the round guard
+    val n = Components.LocalEdgeGate + 10
+    val chain = (0L until n).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == n + 1)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("keep-best picks the highest-quality member, not the minimum id") {
     // doc 10: quality 1 (short, too-short words); doc 11: quality 3
     val good = Seq.fill(30)("word").mkString(" ") // len 149, all checks pass
