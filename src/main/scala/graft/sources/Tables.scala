@@ -21,6 +21,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache per (table path, nanosAsLong mode): schema
+    * INFERENCE — not the scan — dominated every `load` call (~70 ms of
+    * driver-side DataSource resolution + footer read, measured
+    * MiniProbe r12; a schema-supplied read plans in ~6 ms), and a bench
+    * sweep re-loads each fixture table hundreds of times. Fixture
+    * tables are immutable by contract (TESTDATA.md), so the inferred
+    * StructType is a constant of the path; caching it is the guide-§6
+    * listing/metadata-cache discipline (what a catalog table or
+    * manifest format gives you for free). The cache holds METADATA
+    * only — every action still scans the parquet — and is keyed by the
+    * session's `nanosAsLong` flag because that conf changes what
+    * inference returns for TIMESTAMP(NANOS) columns. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   /** Lazy scan of one fixture table.
     *
     * `events.ts` has shipped in two physical layouts across driver
@@ -39,7 +54,12 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val nanosMode = spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.getOrElseUpdate((path, nanosMode),
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") {
       import org.apache.spark.sql.types.{LongType, TimestampType}
       df.schema("ts").dataType match {
