@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.Kit
 import graft.sources.Tables
@@ -102,11 +102,24 @@ object Advanced {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""") { (s, dir) =>
     import s.implicits._
-    // spread (Tables.loadSpread rationale): the Expand(×4)+partial-agg is
-    // the whole query and would otherwise run inside the one-split scan
-    Tables.loadSpread(s, dir, "lineitem")
-      .cube($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_lines"), Kit.moneySum($"l_quantity").as("sum_qty"))
+    // Aggregate BEFORE the cube Expand (guide §2.3 — aggregate before
+    // you shuffle, applied to the ×4 row multiplication): COUNT and the
+    // exact decimal SUM both decompose over partial aggregates, so the
+    // cube runs over the 6-row (flag, status) base — Expand multiplies
+    // 6 rows, not 600k — and the only corpus-width pass is one plain
+    // map-side-combined groupBy. Values are identical: sum-of-sums over
+    // disjoint groups in exact DECIMAL, count-as-sum-of-counts; fixture
+    // flags are non-null so value-null vs grouping-null cannot collide
+    // (no null flag rows exist for the subtotal rows to alias with).
+    // spread (Tables.loadSpread rationale): the base partial agg is the
+    // whole query and would otherwise run inside the one-split scan
+    val base = Tables.loadSpread(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).as("q0"))
+    base.cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n0").as("n_lines"),
+        sum($"q0").cast(DoubleType).as("sum_qty"))
   }
 
   /** Ranking-function kit over a partitioned window: rank, dense_rank,

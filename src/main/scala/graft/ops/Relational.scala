@@ -166,18 +166,33 @@ object Relational {
       |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
     import s.implicits._
-    // spread (Tables.loadSpread rationale): count-distinct plans its own
-    // (key, value, gid) dedup exchange that no input partitioning can
-    // satisfy, so this shuffle is additive — but it moves the Expand(×3)
-    // + dedup partial-agg (the bulk of the work) off the single-split
-    // scan task and onto every core; measured 2.24 s → 1.66 s
-    t(s, dir, "lineitem")
+    // Dedup-branch formulation instead of Catalyst's multi-distinct
+    // rewrite (guide §2.3/§2.4): two countDistincts in one groupBy plan
+    // as Expand(×3) — 1.8M expanded rows through a (key, value, gid)
+    // dedup exchange that no input partitioning can satisfy, THEN a
+    // final exchange on the key. Splitting each distinct into its own
+    // groupBy((key, value)) → groupBy(key) branch removes the Expand
+    // and every post-spread exchange: hash(l_orderkey) satisfies the
+    // clustered distribution of BOTH aggregation levels and of the
+    // branch join (the key is a subset of each grouping), and the two
+    // branches reuse the one spread shuffle (ReuseExchange). count(col)
+    // over the (key, value) groups counts non-null values = COUNT
+    // (DISTINCT col) exactly; n_lines rides the supp branch as a
+    // sum-of-group-counts. Measured (MiniProbe, warm, same window):
+    // 1.30 s → 0.68 s; the spread itself was the round-6 win (the
+    // Expand otherwise ran inside the one-split scan task).
+    val spread = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_partkey")
       .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
+    val supp = spread.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"l_orderkey")
-      .agg(
-        countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct($"l_partkey").as("n_part"),
-        count(lit(1)).as("n_lines"))
+      .agg(count($"l_suppkey").as("n_supp"), sum($"c").as("n_lines"))
+    val part = spread.groupBy($"l_orderkey", $"l_partkey")
+      .agg(count(lit(1)).as("cp"))
+      .groupBy($"l_orderkey").agg(count($"l_partkey").as("n_part"))
+    supp.join(part, Seq("l_orderkey"))
+      .select($"l_orderkey", $"n_supp", $"n_part", $"n_lines")
   }
 
   /** S14 — the fire-and-forget SQL task (`Query.run()`,
@@ -236,11 +251,17 @@ object Relational {
     // Expand.
     val spread = t(s, dir, "lineitem")
       .repartition(s.sparkContext.defaultParallelism, $"l_orderkey")
-    val exact = spread.groupBy($"l_orderkey")
-      .agg(
-        countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct($"l_partkey").as("n_part"),
-        count(lit(1)).as("n_lines"))
+    // exact side: dedup-branch formulation (see groupedCountDistinct —
+    // no Expand, and every aggregation level + the joins below ride the
+    // spread's hash(l_orderkey) distribution with zero added exchange)
+    val supp = spread.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_orderkey")
+      .agg(count($"l_suppkey").as("n_supp"), sum($"c").as("n_lines"))
+    val part = spread.groupBy($"l_orderkey", $"l_partkey")
+      .agg(count(lit(1)).as("cp"))
+      .groupBy($"l_orderkey").agg(count($"l_partkey").as("n_part"))
+    val exact = supp.join(part, Seq("l_orderkey"))
     val approx = spread.groupBy($"l_orderkey")
       .agg(
         approx_count_distinct($"l_suppkey", rsd).as("a_supp"),
