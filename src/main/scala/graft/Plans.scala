@@ -85,18 +85,21 @@ object Plans {
         "tf stage read from InMemoryTableScan by both consumers instead " +
         "of being recomputed."),
     "neardup_clusters" ->
-      ("Connected components shown as its FINAL round's plan (earlier " +
-        "rounds are severed behind localCheckpoint scans — that lineage " +
-        "cut is itself the scale property: the plan stays O(1) per round " +
-        "while the pointer-jump self-join would otherwise double it). " +
-        "Per round: one O(E) edges⋈labels shuffle, one map-side-combined " +
+      ("At gate scale (≤65,536 edges — every fixture near-dup graph) the " +
+        "labels come from a driver union-find whose min-id roots equal " +
+        "the distributed min-label fixpoint bit-for-bit (r12: 2–4 label " +
+        "rounds of join+agg+jump+pin were pure scheduler latency on a " +
+        "tens-of-edges graph), so the plan below shows a LocalTableScan " +
+        "for the CC labels. Past the gate the distributed loop runs " +
+        "unchanged, shown in prior rounds' audits as its FINAL round's " +
+        "plan (earlier rounds severed behind localCheckpoint scans — " +
+        "that lineage cut is itself the scale property). Per distributed " +
+        "round: one O(E) edges⋈labels shuffle, one map-side-combined " +
         "neighbor-min, two O(V) label-to-label joins — the pointer jump " +
         "applied twice, collapsing label chains 4× per round inside the " +
-        "same checkpointed pass; the seed fuses vertex discovery with the " +
-        "first neighbor step (one aggregation replaces distinct + a full " +
-        "round). No component member list ever materializes on one node, " +
-        "so a 10⁸-copy boilerplate cluster is not a hotspot. O(log₄ n) " +
-        "rounds by double pointer jumping."),
+        "same checkpointed pass. No component member list ever " +
+        "materializes on one node, so a 10⁸-copy boilerplate cluster is " +
+        "not a hotspot. O(log₄ n) rounds by double pointer jumping."),
     "fuzzy_match_entities" ->
       ("Entity resolution bounded two ways: candidate volume by nation " +
         "blocking (Σ block² pairs, never n²), per-pair cost by the " +
@@ -155,7 +158,13 @@ object Plans {
         "ReuseExchange, and all mix arithmetic is integer (engine-" +
         "exact). PlanShapeSpec pins the no-Window plan."),
     "pagerank_transitions" ->
-      ("Per round: one shuffle joining the O(E) edge list with the O(V) " +
+      ("The registered query's aggregated type-transition graph is " +
+        "bounded by |types|² and stays under the 65,536-edge gate at ANY " +
+        "corpus scale, so the ranks solve as a driver fixpoint (bit-equal " +
+        "truncating-i64 recurrence; the plan is a LocalTableScan of the " +
+        "solved ranks). Web-scale doc graphs blow the gate and take the " +
+        "distributed loop. Per distributed round: one shuffle joining " +
+        "the O(E) edge list with the O(V) " +
         "rank vector, one partial-combined aggregation onto dst, one " +
         "left join back to the vertex set; rank state is localCheckpoint-" +
         "pinned every 2nd round so the plan never grows with rounds. " +
@@ -196,8 +205,9 @@ object Plans {
         "(≈2.4 MB cap, independent of corpus size). DuckDB replays the " +
         "identical run boundaries from the same prefix arithmetic."),
     "neardup_keep_best" ->
-      ("Keep-best dedup over near-dup clusters: the CC loop is the " +
-        "neardup_clusters plan unchanged; the per-cluster winner is ONE " +
+      ("Keep-best dedup over near-dup clusters: the CC labels are the " +
+        "neardup_clusters machinery unchanged (driver union-find at gate " +
+        "scale, distributed loop past it); the per-cluster winner is ONE " +
         "map-side-combined packed-long max — q in the high bits, " +
         "complemented doc_id below, with an out-of-range raise guard — " +
         "NOT max(struct(q, -doc_id)), whose struct buffer silently " +

@@ -293,14 +293,22 @@ class PlanShapeSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("grouped count distinct expands above the spread, not in the scan task") {
+  test("grouped count distinct: dedup branches above the spread, no Expand") {
     val p = plan("grouped_count_distinct")
-    // the Expand(×3) consumes the explicit spread exchange — i.e. the
-    // tripling and the dedup partial-agg run at full width, not inside
-    // the single-split scan task (top-down plan text: Expand prints
-    // above the REPARTITION_BY_NUM exchange it reads from)
+    // r12 dedup-branch shape: each COUNT(DISTINCT col) is its own
+    // groupBy((key, value)) → groupBy(key) branch riding the explicit
+    // spread exchange — Catalyst's multi-distinct Expand(×3) rewrite
+    // (1.8M expanded rows through a (key, value, gid) exchange) is gone,
+    // and hash(l_orderkey) satisfies both aggregation levels so the
+    // branches add NO exchange beyond their spread
     assert(p.contains("REPARTITION_BY_NUM"), p)
-    assert(p.indexOf("Expand") >= 0 &&
-      p.indexOf("Expand") < p.indexOf("REPARTITION_BY_NUM"), p)
+    assert(!p.contains("Expand"), p)
+    // dedup level present: a grouping on (l_orderkey, l_suppkey)
+    assert(p.contains("HashAggregate(keys=[l_orderkey") &&
+      p.contains("l_suppkey"), p)
+    // exactly the branch spreads exchange — no (key, value, gid) dedup
+    // exchange, no post-aggregation exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected only the branch spreads, got:\n$p")
   }
 }
