@@ -71,6 +71,31 @@ object MiniProbe {
       spark.catalog.clearCache()
     }
 
+    // --- q3: join-then-aggregate vs pre-aggregated lineitem ---
+    for (rep <- 1 to 2) {
+      println(s"--- q3 rep $rep ---")
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val m12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+      time("q3 current (join-then-agg)") {
+        noop(graft.SparkEntry.queries("q3_top_revenue")(spark, sfDir))
+      }
+      time("q3 pre-agg lineitem") {
+        val t = (n: String) => graft.sources.Tables.load(spark, sfDir, n)
+        val rev = t("lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .groupBy($"l_orderkey")
+          .agg(sum(m12($"l_extendedprice") * m12(lit(1) - $"l_discount"))
+            .cast(DoubleType).as("revenue"))
+        noop(t("customer").where($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+          .join(t("orders").select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+            $"c_custkey" === $"o_custkey")
+          .join(rev, $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"revenue", to_date($"o_orderdate").as("order_day"))
+          .orderBy($"revenue".desc, $"l_orderkey".asc).limit(10))
+      }
+    }
+
     // --- cube_sales: Expand-over-corpus vs pre-aggregated base ---
     for (rep <- 1 to 2) {
       println(s"--- cube rep $rep ---")
